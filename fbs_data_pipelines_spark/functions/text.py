@@ -1,0 +1,134 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting, shingling.
+
+Design constraints:
+- Pure built-in expressions (codegen'd, no UDFs) so they run at
+  100 TB scan speed.
+- Deterministic and engine-portable: hashing uses md5 hex substrings,
+  which DuckDB computes identically — the correctness oracle can
+  reproduce every value exactly (no engine-specific hash()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+#: tiny per-language stopword sets for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "it"],
+    "es": ["el", "la", "de", "y", "en", "es", "por", "un", "una", "los"],
+    "fr": ["le", "la", "de", "et", "en", "est", "pour", "un", "une", "les"],
+}
+
+#: BPE-ish token pattern: letter runs | digit runs | single punctuation runs
+TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Lowercase, non-alphanumerics → single space, trim."""
+    s = F.lower(_col(c))
+    s = F.regexp_replace(s, r"[^a-z0-9]+", " ")
+    return F.trim(s)
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(c), r" ")
+
+
+def token_count(c: Column | str) -> Column:
+    """BPE-ish token count via TOKEN_PATTERN over the lowercased text."""
+    return F.regexp_count(F.lower(_col(c)), F.lit(TOKEN_PATTERN)).cast("long")
+
+
+def whitespace_token_count(c: Column | str) -> Column:
+    """Plain whitespace token count (empty text → 0)."""
+    t = tokens(c)
+    return F.when(F.get(t, 0) == "", F.lit(0)).otherwise(F.size(t)).cast("long")
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>); < n words → empty array.
+
+    Built with sequence+transform (JVM-side), no explode needed at the
+    call site: callers explode lazily so Spark streams the expansion.
+    """
+    t = tokens(c)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    shingle = lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))  # noqa: E731
+    return F.when(F.size(t) >= n, F.transform(idx, shingle)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_hits(c: Column | str, lang: str) -> Column:
+    """Count of tokens in the ``lang`` stopword set."""
+    words = STOPWORDS[lang]
+    t = tokens(c)
+    return F.size(F.filter(t, lambda x: x.isin(*words))).cast("long")
+
+
+def language_id(c: Column | str) -> Column:
+    """Heuristic language ID by stopword-set hit counts.
+
+    Deterministic argmax with fixed tie-break order en > es > fr;
+    zero hits everywhere → 'und'. Exactly reproducible in ANSI SQL
+    (the oracle mirrors the CASE chain).
+    """
+    en = stopword_hits(c, "en")
+    es = stopword_hits(c, "es")
+    fr = stopword_hits(c, "fr")
+    return (
+        F.when((en == 0) & (es == 0) & (fr == 0), F.lit("und"))
+        .when((en >= es) & (en >= fr), F.lit("en"))
+        .when(es >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite quality score in [0,1], rounded to 4 decimals.
+
+    Components (all cheap, scan-local):
+    - length score: min(n_chars/500, 1)
+    - alpha ratio: alphabetic chars / chars
+    - stopword ratio capped at 0.5, scaled ×2 (fluency proxy)
+    Weights 0.3/0.4/0.3.
+    """
+    col = _col(c)
+    n_chars = F.length(col).cast("double")
+    alpha = F.length(F.regexp_replace(F.lower(col), r"[^a-z]", "")).cast("double")
+    sw = (
+        stopword_hits(c, "en") + stopword_hits(c, "es") + stopword_hits(c, "fr")
+    ).cast("double")
+    ntok = F.greatest(whitespace_token_count(c).cast("double"), F.lit(1.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1.0))
+    sw_score = F.least(sw / ntok, F.lit(0.5)) * F.lit(2.0)
+    score = F.lit(0.3) * len_score + F.lit(0.4) * alpha_ratio + F.lit(0.3) * sw_score
+    return F.round(score, 4)
+
+
+def doc_fingerprint(c: Column | str, length: int = 16) -> Column:
+    """Deterministic content fingerprint: md5 of normalized text,
+    truncated to ``length`` hex chars. Identical in any md5-capable
+    engine — used for exact near-dup clustering after normalization."""
+    return F.substring(F.md5(normalize_text(c)), 1, length)
+
+
+def md5_hash_hex(c: Column | str, salt: int | None = None, length: int = 8) -> Column:
+    """Portable hash primitive: first ``length`` hex chars of
+    md5(salt:value). Lexicographic order == numeric order (fixed
+    width), so ``min()`` over these is a valid MinHash component."""
+    col = _col(c)
+    if salt is not None:
+        col = F.concat(F.lit(f"{salt}:"), col)
+    return F.substring(F.md5(col), 1, length)

@@ -1,0 +1,137 @@
+"""Change-data / audit composite operators (SURVEY §2.11 — C1/C2).
+
+The reference's two "crown jewel" functions re-expressed lazily:
+
+- ``authlog_table`` (C1, /root/reference/src/log_handler.py:43-94):
+  inner-join raw vs modeled on the PK, OR-fold per-column change
+  predicate over audit columns, emit one audit row per changed record
+  with run metadata.
+- ``merge_snapshot`` (C2, /root/reference/src/log_handler.py:99-128):
+  join-based SCD-1 upsert — unchanged rows kept from the published
+  side (semi join), new/changed rows taken from the snapshot (anti
+  join), all-string alignment, union, sort by PK.
+
+Semantics preserved exactly, including the reference's null handling:
+``is_not_null`` guards mean null→value transitions are NOT logged in
+C1; in C2 the negated comparison ``~(a != b)`` evaluates to null when
+either side is null (Kleene — identical in Polars and Spark), so a
+null-vs-value row falls out of the "unchanged" set and is taken from
+the snapshot side. Replicated, not "fixed" (SURVEY §7 risk list).
+
+Run-constant values (UUID, modification timestamp) are evaluated ONCE
+driver-side and injected as literals — the reference's semantics
+(N10/D8: one UUID per run, same value every row; NOT per-row F.uuid()).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import uuid as _uuid
+from collections.abc import Sequence
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fbs_data_pipelines_spark.functions.cleaning import cast_all_to_string
+from fbs_data_pipelines_spark.operators.joins import (
+    anti_join,
+    join_with_suffix,
+    semi_join,
+)
+
+
+def change_predicate(target_cols: Sequence[str], suffix: str = "_modeled") -> Column:
+    """OR-fold of per-column change tests (P4, log_handler.py:55-59):
+    both sides non-null AND values differ. Null transitions excluded."""
+    tests = [
+        F.col(c).isNotNull()
+        & F.col(f"{c}{suffix}").isNotNull()
+        & (F.col(c) != F.col(f"{c}{suffix}"))
+        for c in target_cols
+    ]
+    return reduce(or_, tests)
+
+
+def unchanged_predicate(target_cols: Sequence[str], suffix: str = "_b") -> Column:
+    """AND-fold of not-changed tests (P5, log_handler.py:102-104):
+    ``~(a != a_b)`` per column — Kleene: null comparison ⇒ unchanged."""
+    tests = [~(F.col(c) != F.col(f"{c}{suffix}")) for c in target_cols]
+    return reduce(lambda x, y: x & y, tests)
+
+
+def authlog_table(
+    df_raw: DataFrame,
+    df_modeled: DataFrame,
+    log_root: str,
+    id_col: str,
+    target_cols: Sequence[str],
+    run_id: str | None = None,
+    run_ts: _dt.datetime | None = None,
+) -> DataFrame:
+    """C1 — audit-log derivation.
+
+    Returns one row per record whose audit columns changed, with
+    interleaved old/new column pairs plus run metadata. ``tipo_cambio``
+    is always 'Modificado' under the inner join (the reference's
+    Nuevo/Eliminado branches test ``_b``-suffixed ids that never exist
+    after a ``_modeled``-suffix join — dead code preserved as a
+    constant; see log_handler.py:72-75 note in SURVEY §2.11).
+    """
+    run_id = run_id if run_id is not None else str(_uuid.uuid4())
+    run_ts = run_ts if run_ts is not None else _dt.datetime.now()
+
+    joined = join_with_suffix(df_raw, df_modeled, on=id_col, suffix="_modeled")
+    changed = joined.filter(change_predicate(target_cols, "_modeled"))
+
+    cols: list[Column] = [F.col(id_col)]
+    for c in target_cols:
+        cols.append(F.col(f"{c}_modeled").alias(f"{c}_antiguo"))
+        cols.append(F.col(c).alias(f"{c}_nuevo"))
+    cols += [
+        F.lit(run_id).alias("id_log"),
+        F.lit(run_ts).cast("timestamp").alias("fecha_modificacion"),
+        F.lit(log_root).alias("fuente_log"),
+        F.lit("Modificado").alias("tipo_cambio"),
+    ]
+    return changed.select(*cols)
+
+
+def merge_snapshot(
+    df_published: DataFrame,
+    df_snapshot: DataFrame,
+    id_col: str,
+    target_cols: Sequence[str],
+    rename_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """C2 — join-based SCD-1 upsert (log_handler.py:99-128).
+
+    unchanged-ids = inner join + not-changed filter + distinct;
+    keep published rows for unchanged ids (semi), take snapshot rows
+    for everything else (anti); align columns to the snapshot's order,
+    cast all to string, union, sort by PK.
+
+    At scale: the two joins shuffle on the PK once each; with a
+    lakehouse table format this whole function becomes MERGE INTO.
+    ``rename_map`` reproduces the reference's published-side column
+    rename (``fecha_solicitud`` → ``Fecha Radicacion``, :113).
+    """
+    df_a = df_published
+    for old, new in (rename_map or {}).items():
+        df_a = df_a.withColumnRenamed(old, new)
+
+    joined = join_with_suffix(df_a, df_snapshot, on=id_col, suffix="_b")
+    unchanged_ids = (
+        joined.filter(unchanged_predicate(target_cols, "_b"))
+        .select(id_col)
+        .distinct()
+    )
+
+    keep_a = semi_join(df_a, unchanged_ids, id_col)
+    delta_b = anti_join(df_snapshot, unchanged_ids, id_col)
+
+    column_order = df_snapshot.columns
+    keep_a = cast_all_to_string(keep_a.select(*column_order))
+    delta_b = cast_all_to_string(delta_b.select(*column_order))
+    return keep_a.unionByName(delta_b).orderBy(id_col)

@@ -1,0 +1,263 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond-reference surface (BASELINE.json north star). All variants are
+designed scale-first:
+
+- exact: hash-groupBy — one shuffle on the content hash.
+- MinHash+LSH: shingle → K minhashes → B bands → bucket self-join.
+  Candidate generation never cross-joins; the band join's fan-out is
+  bounded by bucket sizes (near-duplicate clusters), and verification
+  runs only on candidates.
+- SimHash: 60-bit signature, banded into 4×15-bit chunks — pigeonhole
+  guarantees hamming≤3 pairs share a chunk.
+- n-gram Jaccard: inverted-index self-join on shingles (pair
+  intersection counts via groupBy, never O(n²)).
+- embedding cosine: threshold pairs via block-join; see
+  operators/similarity.py for the ANN scale path.
+
+Determinism: every hash is an md5-hex-substring (fixed width ⇒
+lexicographic min == numeric min), so a DuckDB oracle reproduces the
+exact signatures/pairs — no engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fbs_data_pipelines_spark.functions.text import (
+    md5_hash_hex,
+    normalize_text,
+    word_shingles,
+)
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str, content_cols: list[str], normalize: bool = True
+) -> DataFrame:
+    """Keep the min-id row per distinct content (hash-groupBy).
+
+    One shuffle on the content hash; map-side partial min. Returns the
+    surviving ids + hash (join back to recover full rows).
+    """
+    key = (
+        F.md5(F.concat_ws("", *[normalize_text(c) for c in content_cols]))
+        if normalize
+        else F.md5(F.concat_ws("", *content_cols))
+    )
+    return (
+        df.select(F.col(id_col), key.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "content_hash", "dup_count")
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct pairs — the shared substrate for
+    MinHash and Jaccard. Explode is lazy/streamed; distinct is one
+    shuffle keyed by (id, shingle)."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: columns mh_0..mh_{K-1}.
+
+    mh_i = min over shingles of substr(md5(i ':' shingle), 1, 8) — a
+    portable minwise hash (fixed-width hex ⇒ min is well-defined).
+    Single groupBy with K partial-agg mins (map-side combine)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(md5_hash_hex(F.col("shingle"), salt=i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Pipeline: signatures → band values (concat of rows-per-band
+    hashes) → self-join per band bucket (candidates) → verify with
+    exact shingle-set Jaccard → filter ≥ threshold. Returns
+    (id_a, id_b, jaccard) with id_a < id_b, rounded to 4dp.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.concat_ws("_", *parts).alias(f"band_{b}"))
+    banded = sig.select(F.col(id_col), *band_cols)
+
+    # candidates: docs sharing any band value
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("|", F.lit(str(b)), F.col(f"band_{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    left = stacked.select(F.col(id_col).alias("id_a"), "bucket")
+    right = stacked.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    jac = ngram_jaccard(df, id_col, text_col, n)
+    return (
+        cand.join(jac, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact pairwise Jaccard over shingle sets, inverted-index style.
+
+    |A∩B| from a self-join on shingle + pair count; |A|,|B| from per-doc
+    counts. Never materializes O(n²) — only pairs sharing ≥1 shingle.
+    Returns (id_a, id_b, jaccard rounded 4dp)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """60-bit SimHash per doc (portable arithmetic, no engine hash()).
+
+    Each distinct token contributes ±1 per bit, where bit i of the
+    token is extracted from hex digit i//4 of md5(token). Two shuffles:
+    (id, token) distinct, then (id, bit) sum — both partial-agg'd.
+    Returns (id, simhash bigint)."""
+    tok = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    expanded = tok.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos"),
+        F.col("h"),
+    )
+    hex_char = F.substr(F.col("h"), (F.col("pos") / 4).cast("int") + 1, F.lit(1))
+    nibble = F.conv(hex_char, 16, 10).cast("int")
+    bit = (
+        F.floor(nibble / F.pow(F.lit(2.0), (F.col("pos") % 4))).cast("int") % 2
+    )
+    contrib = (bit * 2 - 1).alias("contrib")
+    per_bit = (
+        expanded.select(F.col(id_col), F.col("pos"), contrib)
+        .groupBy(id_col, "pos")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    weight = F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("pos")).cast("bigint")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return per_bit.groupBy(id_col).agg(F.sum(weight).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 60,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidate generation: split the signature into ``chunks`` equal
+    bit-ranges; by pigeonhole, pairs within hamming ≤ chunks-1 share
+    at least one chunk — self-join per chunk bucket, then exact
+    hamming verify via bit_count(xor). Returns (id_a, id_b, hamming).
+    """
+    sig = simhash(df, id_col, text_col, bits)
+    chunk_bits = bits // chunks
+    chunk_cols = [
+        (
+            F.floor(
+                F.col("simhash") / F.pow(F.lit(2.0), F.lit(c * chunk_bits)).cast("bigint")
+            ).cast("bigint")
+            % F.pow(F.lit(2.0), F.lit(chunk_bits)).cast("bigint")
+        ).alias(f"chunk_{c}")
+        for c in range(chunks)
+    ]
+    banded = sig.select(F.col(id_col), F.col("simhash"), *chunk_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("|", F.lit(str(c)), F.col(f"chunk_{c}"))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    left = stacked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "bucket"
+    )
+    right = stacked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "bucket"
+    )
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,87 @@
+"""Join operators (SURVEY §2.4).
+
+Spark has no Polars-style ``suffix=`` argument, so the engine provides
+suffix-aware equi-joins (J1/J2), semi/anti wrappers (J3/J4), and a
+broadcast lookup join (J5 scale path). All are thin, declarative
+compositions — Catalyst/AQE picks broadcast vs sort-merge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def join_with_suffix(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    suffix: str = "_modeled",
+) -> DataFrame:
+    """Equi-join renaming right-side non-key columns with ``suffix``.
+
+    Mirrors ``df_raw.join(df_modeled, on=id, suffix='_modeled')``
+    (/root/reference/src/log_handler.py:50). Unlike Polars (which only
+    suffixes on collision), every right non-key column is suffixed —
+    deterministic schemas regardless of input column drift.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    renamed = right.select(
+        *[
+            F.col(c).alias(c if c in keys else f"{c}{suffix}")
+            for c in right.columns
+        ]
+    )
+    return left.join(renamed, on=keys, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Rows of ``left`` whose key exists in ``right`` (J3)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Rows of ``left`` whose key is absent from ``right`` (J4)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def lookup_join(
+    df: DataFrame,
+    lookup: DataFrame,
+    key: str,
+    lookup_key: str,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Broadcast left join against a small dimension (J5 scale path:
+    the 21-entry dict of transformation_layer.py:13-34 generalized to
+    lookup tables too big for a map literal but far below a shuffle)."""
+    dim = lookup.select(
+        F.col(lookup_key).alias(key), F.col(value_col).alias(out_col)
+    )
+    return df.join(F.broadcast(dim), on=key, how="left")
+
+
+def latest_snapshot(
+    df: DataFrame, partition_by: Sequence[str], order_col: str
+) -> DataFrame:
+    """Newest row per key (S8/O2 generalized: sort-by-createdTime-desc
+    take-first, /root/reference/src/extraction_layer.py:35-36).
+
+    row_number over a window — one shuffle on ``partition_by``; at
+    scale prefer pre-partitioned input or a max-timestamp semi-join.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.col(order_col).desc())
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

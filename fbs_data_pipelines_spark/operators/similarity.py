@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``ann_topk_bruteforce``: exact top-k by cosine — broadcast the query
+  set against the corpus; the corpus side streams (no shuffle until
+  the final per-query top-k agg). This is the correctness baseline.
+- ``ann_lsh_topk``: random-hyperplane LSH bucketing — the scale path.
+  Hyperplanes are deterministic (hash-derived), so results are
+  reproducible across runs/executors.
+- ``embedding_neardup_pairs``: cosine-threshold pairs (dedup flavor).
+
+At 100 TB the bruteforce path is per-query O(N) but embarrassingly
+parallel (scan + map + top-k tree-agg); LSH cuts the scanned fraction
+to the probed buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fbs_data_pipelines_spark.functions.vectors import cosine_similarity
+
+
+def ann_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query.
+
+    Ties broken by neighbor id (deterministic). Self-matches excluded
+    when query ids collide with corpus ids. Returns
+    (query_id, neighbor_id, sim, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    joined = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+    ).crossJoin(F.broadcast(q))
+    scored = joined.filter(F.col("neighbor_id") != F.col(query_id_col)).select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )
+
+
+def _deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Hash-derived pseudo-random hyperplanes in [-1,1]^dim —
+    identical on every executor/run, no RNG state."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
+            row.append((int(h[:8], 16) / float(0xFFFFFFFF)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Append an LSH bucket id (sign pattern over hyperplanes) as a
+    bigint column ``bucket``. Bucketing is a narrow map — no shuffle;
+    downstream joins/groupBys key on ``bucket``."""
+    planes = _deterministic_planes(num_planes, dim)
+    vec = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return df.withColumn("bucket", bucket)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket
+    are scored. Same output shape as the bruteforce path; recall is
+    tunable via num_planes (fewer planes → bigger buckets)."""
+    c = lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        vec_col,
+        num_planes,
+        dim,
+    )
+    q = lsh_bucket(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        "__qvec",
+        num_planes,
+        dim,
+    )
+    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold.
+
+    ``use_lsh=False``: exact block cross-join (correctness baseline —
+    O(n²) scoring but shuffle-free scoring, only the input is
+    broadcast). ``use_lsh=True``: bucket first, join within buckets —
+    the 100 TB path (misses cross-bucket pairs by design)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if use_lsh:
+        a = lsh_bucket(a, "__va", num_planes, dim)
+        b = lsh_bucket(b, "__vb", num_planes, dim)
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("__va", "__vb"), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

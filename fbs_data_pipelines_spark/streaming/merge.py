@@ -1,0 +1,100 @@
+"""Streaming re-expression of the reference's incremental semantics.
+
+The reference achieves incrementality by full-snapshot diff
+(C2 merge, /root/reference/src/log_handler.py:99-128). In Structured
+Streaming that becomes: snapshots arrive as files → each micro-batch
+merges into the published table via ``foreachBatch`` (the canonical
+upsert-sink pattern for non-lakehouse sinks).
+
+Also ships a watermarked windowed aggregation (late-data-safe event
+rollup) — the streaming operator a 100 TB event pipeline needs that
+the reference lacks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from fbs_data_pipelines_spark.operators.audit import merge_snapshot
+
+
+def streaming_snapshot_merge(
+    spark: SparkSession,
+    snapshot_dir: str,
+    snapshot_schema,
+    published_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    target_cols: Sequence[str],
+) -> StreamingQuery:
+    """File-arrival stream of snapshots → foreachBatch C2 merge.
+
+    Each micro-batch plays the reference's get_table_updated against
+    the current published parquet and overwrites it — SCD-1 with
+    exactly-once per batch via the checkpoint. With a lakehouse format
+    the body becomes a single MERGE INTO.
+    """
+
+    stream = (
+        spark.readStream.schema(snapshot_schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(snapshot_dir, header=True)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            published = batch_df.sparkSession.read.parquet(published_path)
+        except Exception:
+            published = None
+        if published is None:
+            merged = batch_df
+        else:
+            merged = merge_snapshot(
+                published, batch_df, id_col=id_col, target_cols=list(target_cols)
+            )
+        # materialize before overwrite: the plan reads the same path
+        rows = merged.collect()
+        out = batch_df.sparkSession.createDataFrame(rows, merged.schema)
+        out.write.mode("overwrite").parquet(published_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup (works on both batch and
+    streaming DataFrames): per (window, event_type) count + value sum.
+    Late rows beyond the watermark are dropped in streaming mode."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,111 @@
+import datetime as dt
+
+from fbs_data_pipelines_spark.operators.audit import authlog_table, merge_snapshot
+from fbs_data_pipelines_spark.operators.joins import (
+    anti_join,
+    join_with_suffix,
+    latest_snapshot,
+    lookup_join,
+    semi_join,
+)
+
+
+def _merge_fixtures(spark):
+    """Port of the reference's only golden fixture
+    (/root/reference/src/log_handler.py:131-148)."""
+    df_a = spark.createDataFrame(
+        [(1, "A", 100), (2, "B", 200), (3, "C", 300), (4, "D", 400)],
+        ["id_registro", "valor1", "valor2"],
+    )
+    df_b = spark.createDataFrame(
+        [(1, "A", 100), (2, "B_cambiado", 205), (3, "C", 300), (5, "E", 500)],
+        ["id_registro", "valor1", "valor2"],
+    )
+    return df_a, df_b
+
+
+def test_join_with_suffix(spark):
+    df_a, df_b = _merge_fixtures(spark)
+    out = join_with_suffix(df_a, df_b, "id_registro", suffix="_modeled")
+    assert set(out.columns) == {
+        "id_registro", "valor1", "valor2", "valor1_modeled", "valor2_modeled",
+    }
+    assert out.count() == 3  # ids 1,2,3
+
+
+def test_semi_anti(spark):
+    df_a, df_b = _merge_fixtures(spark)
+    ids = df_b.select("id_registro")
+    assert sorted(r[0] for r in semi_join(df_a, ids, "id_registro").select("id_registro").collect()) == [1, 2, 3]
+    assert sorted(r[0] for r in anti_join(df_a, ids, "id_registro").select("id_registro").collect()) == [4]
+
+
+def test_authlog_table_golden(spark):
+    df_b, df_a_snapshot = _merge_fixtures(spark)  # raw=new snapshot, modeled=published
+    log = authlog_table(
+        df_a_snapshot,
+        df_b,
+        log_root="unit",
+        id_col="id_registro",
+        target_cols=["valor1", "valor2"],
+        run_id="RUN",
+        run_ts=dt.datetime(2024, 1, 1, 12, 0, 0),
+    )
+    rows = log.collect()
+    assert len(rows) == 1  # only id=2 changed
+    r = rows[0]
+    assert r["id_registro"] == 2
+    assert r["valor1_antiguo"] == "B" and r["valor1_nuevo"] == "B_cambiado"
+    assert r["valor2_antiguo"] == 200 and r["valor2_nuevo"] == 205
+    assert r["id_log"] == "RUN" and r["tipo_cambio"] == "Modificado"
+    assert r["fuente_log"] == "unit"
+
+
+def test_authlog_null_transitions_not_logged(spark):
+    a = spark.createDataFrame([(1, None), (2, "x")], ["id", "v"])
+    b = spark.createDataFrame([(1, "was"), (2, None)], ["id", "v"])
+    log = authlog_table(a, b, "unit", "id", ["v"], run_id="R")
+    assert log.count() == 0  # null→value and value→null excluded
+
+
+def test_merge_snapshot_golden(spark):
+    df_a, df_b = _merge_fixtures(spark)
+    merged = merge_snapshot(df_a, df_b, "id_registro", ["valor1", "valor2"])
+    rows = merged.collect()
+    # {1,3} unchanged from A; {2,5} from B; 4 dropped; sorted by PK; all strings
+    assert [r["id_registro"] for r in rows] == ["1", "2", "3", "5"]
+    assert rows[1]["valor1"] == "B_cambiado" and rows[1]["valor2"] == "205"
+    assert rows[0]["valor1"] == "A"
+    assert all(isinstance(v, str) for r in rows for v in r if v is not None)
+
+
+def test_merge_null_vs_value_treated_as_changed(spark):
+    # P5 Kleene semantics (matches Polars exactly): null-vs-value
+    # comparison → null → filtered out of the "unchanged" set → the
+    # row counts as changed and is taken from the snapshot (B).
+    a = spark.createDataFrame([(1, "x")], ["id", "v"])
+    b = spark.createDataFrame([(1, None)], "id int, v string")
+    merged = merge_snapshot(a, b, "id", ["v"])
+    rows = merged.collect()
+    assert len(rows) == 1 and rows[0]["v"] is None
+
+
+def test_lookup_join_broadcast(spark):
+    facts = spark.createDataFrame([(1, "GTICS"), (2, "NOPE")], ["id", "cod"])
+    dim = spark.createDataFrame([("GTICS", "Tech")], ["code", "name"])
+    out = lookup_join(facts, dim, "cod", "code", "name", "grupo")
+    got = {r["id"]: r["grupo"] for r in out.collect()}
+    assert got == {1: "Tech", 2: None}
+
+
+def test_latest_snapshot(spark):
+    df = spark.createDataFrame(
+        [
+            ("creditos", dt.datetime(2024, 1, 1), "old.csv"),
+            ("creditos", dt.datetime(2024, 2, 1), "new.csv"),
+            ("radicados", dt.datetime(2024, 1, 15), "only.csv"),
+        ],
+        ["entity", "created", "name"],
+    )
+    out = {r["entity"]: r["name"] for r in latest_snapshot(df, ["entity"], "created").collect()}
+    assert out == {"creditos": "new.csv", "radicados": "only.csv"}

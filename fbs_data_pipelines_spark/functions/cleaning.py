@@ -72,6 +72,18 @@ def nan_to_null_all(df: DataFrame) -> DataFrame:
     return df.select(*exprs)
 
 
+def round_half_up(c: Column | str, scale: int) -> Column:
+    """Portable deterministic rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
+
+    Engine round() implementations disagree on doubles near half-way
+    points (BigDecimal exact-expansion vs shortest-repr). This formula
+    is pure IEEE double arithmetic — bit-identical in any engine — so
+    cross-engine verification (the DuckDB oracle) can match exactly.
+    """
+    m = F.lit(float(10**scale))
+    return F.floor(_col(c) * m + F.lit(0.5)) / m
+
+
 def split_part(c: Column | str, sep: str, index: int) -> Column:
     """``split(c, sep)[index]`` with null-safe out-of-range (F4/F5)."""
     return F.get(F.split(_col(c), sep), index)

@@ -114,7 +114,9 @@ def quality_score(c: Column | str) -> Column:
     alpha_ratio = alpha / F.greatest(n_chars, F.lit(1.0))
     sw_score = F.least(sw / ntok, F.lit(0.5)) * F.lit(2.0)
     score = F.lit(0.3) * len_score + F.lit(0.4) * alpha_ratio + F.lit(0.3) * sw_score
-    return F.round(score, 4)
+    from fbs_data_pipelines_spark.functions.cleaning import round_half_up
+
+    return round_half_up(score, 4)
 
 
 def doc_fingerprint(c: Column | str, length: int = 16) -> Column:

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fbs_data_pipelines_spark.functions.cleaning import round_half_up
 from fbs_data_pipelines_spark.functions.text import (
     md5_hash_hex,
     normalize_text,
@@ -160,7 +161,7 @@ def ngram_jaccard(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            round_half_up(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
             ).alias("jaccard"),
         )

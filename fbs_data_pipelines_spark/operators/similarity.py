@@ -20,6 +20,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fbs_data_pipelines_spark.functions.cleaning import round_half_up
 from fbs_data_pipelines_spark.functions.vectors import cosine_similarity
 
 
@@ -46,7 +47,7 @@ def ann_topk_bruteforce(
     scored = joined.filter(F.col("neighbor_id") != F.col(query_id_col)).select(
         F.col(query_id_col),
         F.col("neighbor_id"),
-        F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
+        round_half_up(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -127,7 +128,7 @@ def ann_lsh_topk(
     scored = joined.select(
         F.col(query_id_col),
         F.col("neighbor_id"),
-        F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
+        round_half_up(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -166,7 +167,7 @@ def embedding_neardup_pairs(
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity("__va", "__vb"), 6).alias("sim"),
+            round_half_up(cosine_similarity("__va", "__vb"), 6).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from fbs_data_pipelines_spark.functions.cleaning import round_half_up
 from fbs_data_pipelines_spark.operators.audit import merge_snapshot
 
 
@@ -88,7 +89,7 @@ def windowed_event_rollup(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            round_half_up(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -1,0 +1,101 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares
+against ``oracle_sql()`` via DuckDB: row count, column names, and
+order-insensitive exact value comparison (sorted rows). Usage:
+
+    PYTHONPATH=/root/repo python tools/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    import datetime as dt
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from fbs_data_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[1:])
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(norm(v) for v in r) for r in sdf.collect()]
+        t1 = time.time()
+        if name not in oracles:
+            print(f"  {name}: NO-ORACLE rows={len(srows)} ({t1-t0:.1f}s)")
+            continue
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = [tuple(norm(v) for v in r) for r in cur.fetchall()]
+        t2 = time.time()
+
+        status = []
+        if len(srows) != len(orows):
+            status.append(f"ROWCOUNT spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            status.append(f"COLS spark={scols} duck={ocols}")
+        if not status:
+            # align column order by name, then compare sorted rows
+            sidx = [scols.index(c) for c in sorted(scols)]
+            oidx = [ocols.index(c) for c in sorted(ocols)]
+            key = lambda row: tuple((v is None, str(type(v)), str(v)) for v in row)
+            ss = sorted((tuple(r[i] for i in sidx) for r in srows), key=key)
+            oo = sorted((tuple(r[i] for i in oidx) for r in orows), key=key)
+            if ss != oo:
+                diffs = [
+                    (a, b) for a, b in zip(ss, oo) if a != b
+                ][:3]
+                status.append(f"VALUES first-diffs={diffs}")
+        if status:
+            failures.append(name)
+            print(f"  {name}: FAIL {'; '.join(status)}")
+        else:
+            print(f"  {name}: OK rows={len(srows)} spark={t1-t0:.1f}s duck={t2-t1:.1f}s")
+
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -528,15 +528,10 @@ def q_json_extract(spark, sf_dir):
 # --- text analysis -------------------------------------------------------
 
 def q_text_stats(spark, sf_dir):
+    from fbs_data_pipelines_spark.functions.text import text_profile
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        token_count("text").alias("ntok_bpe"),
-        whitespace_token_count("text").alias("ntok_ws"),
-        language_id("text").alias("lang_pred"),
-        quality_score("text").alias("quality"),
-        doc_fingerprint("text").alias("fingerprint"),
-    )
+    return text_profile(d, "doc_id", "text")
 
 
 def q_dedup_exact(spark, sf_dir):

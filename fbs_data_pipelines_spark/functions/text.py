@@ -119,6 +119,73 @@ def quality_score(c: Column | str) -> Column:
     return round_half_up(score, 4)
 
 
+def text_profile(df, id_col: str, text_col: str):
+    """Single-pass text analysis: all stats from one tokenization.
+
+    The per-column helpers (language_id, quality_score, …) each
+    re-derive normalize+split; calling five of them in one select
+    would tokenize five times. This materializes ``__norm``/``__toks``
+    as named projection columns — Catalyst keeps the projection (an
+    expensive alias referenced multiple times is not inlined), so the
+    scan tokenizes once. Output columns: doc_id, ntok_bpe, ntok_ws,
+    lang_pred, quality, fingerprint — identical values to the
+    per-column helpers.
+    """
+    from fbs_data_pipelines_spark.functions.cleaning import round_half_up
+    from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
+
+    staged = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        normalize_text(text_col).alias("__norm"),
+    ).select(
+        F.col(id_col),
+        "__text",
+        "__norm",
+        F.split(F.col("__norm"), r" ").alias("__toks"),
+    )
+
+    def hits(lang: str) -> Column:
+        words = STOPWORDS[lang]
+        return F.size(
+            F.filter(F.col("__toks"), lambda x: x.isin(*words))
+        ).cast("long")
+
+    en, es, fr = hits("en"), hits("es"), hits("fr")
+    ntok_ws = (
+        F.when(F.get(F.col("__toks"), 0) == "", F.lit(0))
+        .otherwise(F.size(F.col("__toks")))
+        .cast("long")
+    )
+    n_chars = F.length(F.col("__text")).cast("double")
+    alpha = F.length(
+        F.regexp_replace(F.lower(F.col("__text")), r"[^a-z]", "")
+    ).cast("double")
+    sw = (en + es + fr).cast("double")
+    ntok_d = F.greatest(ntok_ws.cast("double"), F.lit(1.0))
+    score = (
+        F.lit(0.3) * F.least(n_chars / F.lit(500.0), F.lit(1.0))
+        + F.lit(0.4) * (alpha / F.greatest(n_chars, F.lit(1.0)))
+        + F.lit(0.3) * (F.least(sw / ntok_d, F.lit(0.5)) * F.lit(2.0))
+    )
+    lang_pred = (
+        F.when((en == 0) & (es == 0) & (fr == 0), F.lit("und"))
+        .when((en >= es) & (en >= fr), F.lit("en"))
+        .when(es >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.regexp_count(F.lower(F.col("__text")), F.lit(TOKEN_PATTERN))
+        .cast("long")
+        .alias("ntok_bpe"),
+        ntok_ws.alias("ntok_ws"),
+        lang_pred.alias("lang_pred"),
+        round_half_up(score, 4).alias("quality"),
+        F.substring(F.md5(F.col("__norm")), 1, 16).alias("fingerprint"),
+    )
+
+
 def doc_fingerprint(c: Column | str, length: int = 16) -> Column:
     """Deterministic content fingerprint: md5 of normalized text,
     truncated to ``length`` hex chars. Identical in any md5-capable

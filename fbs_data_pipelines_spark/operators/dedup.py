@@ -57,12 +57,18 @@ def dedup_exact(
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) distinct pairs — the shared substrate for
-    MinHash and Jaccard. Explode is lazy/streamed; distinct is one
-    shuffle keyed by (id, shingle)."""
-    return (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
-        .distinct()
+    """(id, shingle) distinct pairs — the substrate for Jaccard.
+
+    Per-doc dedup happens BEFORE the explode (``array_distinct`` on
+    the shingle array), so this is a pure narrow map — no shuffle at
+    all. (Shingle sets are per-document; no cross-doc distinct needed.)
+    """
+    from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
+
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    return src.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
     )
 
 
@@ -72,8 +78,14 @@ def minhash_signatures(
     """Per-doc MinHash signature: columns mh_0..mh_{K-1}.
 
     mh_i = min over shingles of substr(md5(i ':' shingle), 1, 8) — a
-    portable minwise hash (fixed-width hex ⇒ min is well-defined).
-    Single groupBy with K partial-agg mins (map-side combine)."""
+    portable minwise hash (fixed-width hex ⇒ lexicographic min ==
+    numeric min). Shingle sets are deduped per-doc BEFORE the explode
+    (narrow), then one codegen'd hash aggregate computes all K mins
+    with map-side partial aggregation — the only shuffle carries
+    ≤ K·8 bytes per doc. (A zero-shuffle array_min/transform variant
+    was measured 5× slower: Spark's higher-order lambdas are
+    interpreted, while explode+groupBy stays in whole-stage codegen.)
+    Docs with < n words produce no signature (empty shingle set)."""
     sh = shingle_table(df, id_col, text_col, n)
     aggs = [
         F.min(md5_hash_hex(F.col("shingle"), salt=i)).alias(f"mh_{i}")
@@ -99,7 +111,24 @@ def minhash_lsh_pairs(
     (id_a, id_b, jaccard) with id_a < id_b, rounded to 4dp.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+
+    # The shingle table feeds BOTH the signature pass and the verify
+    # pass, and each self-join streams its subtree twice — without
+    # materialization the shingling work runs ~4×. Persist the two
+    # small intermediates (sh: ids+shingles, sig: K hex codes per doc;
+    # both ≪ input size). On a cluster the same role is played by a
+    # shuffle-materialized temp or exchange reuse; MEMORY_AND_DISK
+    # spills safely if a 100 TB corpus makes sh large.
+    from pyspark.storagelevel import StorageLevel
+
+    sh = shingle_table(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    aggs = [
+        F.min(md5_hash_hex(F.col("shingle"), salt=i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
 
     band_cols = []
     for b in range(bands):
@@ -128,12 +157,37 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    jac = ngram_jaccard(df, id_col, text_col, n)
-    return (
-        cand.join(jac, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # verification restricted to candidate pairs: intersection counts
+    # come from joining each candidate's shingle set — never the full
+    # all-pairs-sharing-a-shingle blowup (that's ngram_jaccard's job).
+    # Cost: |cand| × shingles-per-doc, bounded by the banding.
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
+    jac = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            round_half_up(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
 def ngram_jaccard(
@@ -172,38 +226,48 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     """60-bit SimHash per doc (portable arithmetic, no engine hash()).
 
     Each distinct token contributes ±1 per bit, where bit i of the
-    token is extracted from hex digit i//4 of md5(token). Two shuffles:
-    (id, token) distinct, then (id, bit) sum — both partial-agg'd.
-    Returns (id, simhash bigint)."""
-    tok = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .distinct()
-        .withColumn("h", F.md5(F.col("tok")))
-    )
-    expanded = tok.select(
+    token is extracted from hex digit i//4 of md5(token). Computed as
+    a ZERO-SHUFFLE narrow map with higher-order functions: token md5s
+    are materialized once per doc (named projection column), then each
+    bit position aggregates over the hash array. Returns
+    (id, simhash bigint)."""
+    from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
+
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    staged = src.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos"),
-        F.col("h"),
+        F.transform(
+            F.array_distinct(
+                F.filter(
+                    F.split(normalize_text(text_col), " "), lambda t: t != ""
+                )
+            ),
+            lambda t: F.md5(t),
+        ).alias("__hashes"),
     )
-    hex_char = F.substr(F.col("h"), (F.col("pos") / 4).cast("int") + 1, F.lit(1))
-    nibble = F.conv(hex_char, 16, 10).cast("int")
-    bit = (
-        F.floor(nibble / F.pow(F.lit(2.0), (F.col("pos") % 4))).cast("int") % 2
+
+    def bit_sum(pos: int):
+        """Σ over tokens of ±1 for bit ``pos`` (int arithmetic)."""
+        char_idx = pos // 4 + 1
+        divisor = float(2 ** (pos % 4))
+
+        def contrib(h):
+            nibble = F.conv(F.substring(h, char_idx, 1), 16, 10).cast("int")
+            bit = F.floor(nibble / F.lit(divisor)).cast("int") % 2
+            return bit * 2 - 1
+
+        return F.aggregate(
+            F.col("__hashes"), F.lit(0), lambda acc, h: acc + contrib(h)
+        )
+
+    sim = F.lit(0).cast("bigint")
+    for pos in range(bits):
+        sim = sim + F.when(
+            bit_sum(pos) >= 0, F.lit(int(2**pos)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return staged.filter(F.size("__hashes") > 0).select(
+        F.col(id_col), sim.alias("simhash")
     )
-    contrib = (bit * 2 - 1).alias("contrib")
-    per_bit = (
-        expanded.select(F.col(id_col), F.col("pos"), contrib)
-        .groupBy(id_col, "pos")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    weight = F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("pos")).cast("bigint")).otherwise(
-        F.lit(0).cast("bigint")
-    )
-    return per_bit.groupBy(id_col).agg(F.sum(weight).alias("simhash"))
 
 
 def simhash_pairs(

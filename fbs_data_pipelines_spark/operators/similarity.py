@@ -38,11 +38,13 @@ def ann_topk_bruteforce(
     when query ids collide with corpus ids. Returns
     (query_id, neighbor_id, sim, rank).
     """
+    from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
+
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
-    joined = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+    joined = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
     ).crossJoin(F.broadcast(q))
     scored = joined.filter(F.col("neighbor_id") != F.col(query_id_col)).select(
         F.col(query_id_col),
@@ -155,7 +157,11 @@ def embedding_neardup_pairs(
     O(n²) scoring but shuffle-free scoring, only the input is
     broadcast). ``use_lsh=True``: bucket first, join within buckets —
     the 100 TB path (misses cross-bucket pairs by design)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
+
+    a = ensure_parallelism(
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    )
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     if use_lsh:
         a = lsh_bucket(a, "__va", num_planes, dim)

@@ -50,9 +50,15 @@ def token_count(c: Column | str) -> Column:
 
 
 def whitespace_token_count(c: Column | str) -> Column:
-    """Plain whitespace token count (empty text → 0)."""
+    """Plain whitespace token count (empty text → 0, null → null —
+    guard needed because Spark's non-ANSI ``size(null)`` is -1)."""
     t = tokens(c)
-    return F.when(F.get(t, 0) == "", F.lit(0)).otherwise(F.size(t)).cast("long")
+    return (
+        F.when(_col(c).isNull(), F.lit(None))
+        .when(F.get(t, 0) == "", F.lit(0))
+        .otherwise(F.size(t))
+        .cast("long")
+    )
 
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:
@@ -153,7 +159,8 @@ def text_profile(df, id_col: str, text_col: str):
 
     en, es, fr = hits("en"), hits("es"), hits("fr")
     ntok_ws = (
-        F.when(F.get(F.col("__toks"), 0) == "", F.lit(0))
+        F.when(F.col("__text").isNull(), F.lit(None))
+        .when(F.get(F.col("__toks"), 0) == "", F.lit(0))
         .otherwise(F.size(F.col("__toks")))
         .cast("long")
     )

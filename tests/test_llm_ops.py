@@ -1,0 +1,227 @@
+"""Unit tests for the LLM-pipeline operators (beyond-reference surface):
+text analysis, dedup family, embedding similarity.
+
+Tiny inline fixtures with exact-value asserts (SURVEY §5 strategy),
+plus plan-shape assertions that the narrow operators stay shuffle-free
+(the property that matters at 100 TB).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fbs_data_pipelines_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    text_profile,
+    token_count,
+    whitespace_token_count,
+    word_shingles,
+)
+from fbs_data_pipelines_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    shingle_table,
+    simhash,
+    simhash_pairs,
+)
+from fbs_data_pipelines_spark.operators.similarity import (
+    ann_topk_bruteforce,
+    embedding_neardup_pairs,
+    lsh_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog today"),
+        (2, "The quick brown fox jumps over the lazy dog tonight"),  # near-dup of 1
+        (3, "el gato y la casa de la abuela en madrid"),
+        (4, "completely different words entirely unrelated content here now"),
+        (5, ""),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- text analysis ------------------------------------------------------
+
+
+def test_token_counts(spark, docs):
+    r = {
+        x.doc_id: (x.bpe, x.ws)
+        for x in docs.select(
+            "doc_id",
+            token_count("text").alias("bpe"),
+            whitespace_token_count("text").alias("ws"),
+        ).collect()
+    }
+    assert r[1] == (10, 10)
+    assert r[5] == (0, 0)
+    assert r[6] == (None, None)
+
+
+def test_language_id(spark, docs):
+    r = {x.doc_id: x.lang for x in docs.select("doc_id", language_id("text").alias("lang")).collect()}
+    assert r[1] == "en"
+    assert r[3] == "es"
+    assert r[4] == "und"  # no stopwords at all
+    assert r[5] == "und"
+
+
+def test_quality_score_bounds(spark, docs):
+    vals = [
+        x.q
+        for x in docs.filter(F.col("text").isNotNull())
+        .select(quality_score("text").alias("q"))
+        .collect()
+    ]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO ... world")],
+        "id long, text string",
+    )
+    fps = {r.id: r.fp for r in df.select("id", doc_fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    assert len(fps[1]) == 16
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "only two")], "id long, text string")
+    [r] = df.select(word_shingles("text", 3).alias("s")).collect()
+    assert r.s == []
+
+
+def test_text_profile_matches_per_column_helpers(spark, docs):
+    prof = {r.doc_id: r.asDict() for r in text_profile(docs, "doc_id", "text").collect()}
+    ref = {
+        r.doc_id: r.asDict()
+        for r in docs.select(
+            "doc_id",
+            token_count("text").alias("ntok_bpe"),
+            whitespace_token_count("text").alias("ntok_ws"),
+            language_id("text").alias("lang_pred"),
+            quality_score("text").alias("quality"),
+            doc_fingerprint("text").alias("fingerprint"),
+        ).collect()
+    }
+    assert prof == ref
+
+
+# --- dedup --------------------------------------------------------------
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same text"), (1, "Same  TEXT!"), (2, "other")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.dup_count for r in dedup_exact(df, "doc_id", ["text"]).collect()}
+    assert rows == {1: 2, 2: 1}  # normalized dup collapses to min id
+
+
+def test_shingle_table_is_narrow(spark, docs):
+    plan = shingle_table(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan  # no shuffle: per-doc distinct is array_distinct
+
+
+def test_minhash_signature_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: tuple(v for k, v in r.asDict().items() if k.startswith("mh_"))
+           for r in minhash_signatures(df, "doc_id", "text", num_hashes=8).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} → J = 1/3
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    [r] = ngram_jaccard(df, "doc_id", "text", n=3).collect()
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.jaccard == round(1 / 3, 4)
+
+
+def test_minhash_lsh_finds_planted_neardup(spark, docs):
+    # rows_per_band=1 → candidate iff ANY of the 8 minhashes collide;
+    # for J=7/9 that is 1-(2/9)^8 ≈ certain even with only 8 hashes
+    pairs = minhash_lsh_pairs(
+        docs.filter(F.col("text").isNotNull()),
+        "doc_id",
+        "text",
+        num_hashes=8,
+        bands=8,
+        threshold=0.5,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    # exact jaccard verified against the candidate's shingle sets:
+    # 8 shingles each, 7 shared → 7/9
+    assert pairs[0].jaccard == round(7 / 9, 4)
+
+
+def test_simhash_is_narrow_and_deterministic(spark, docs):
+    d = docs.filter(F.col("text").isNotNull())
+    plan = simhash(d, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan  # zero-shuffle narrow map
+    a = {r.doc_id: r.simhash for r in simhash(d, "doc_id", "text").collect()}
+    b = {r.doc_id: r.simhash for r in simhash(d, "doc_id", "text").collect()}
+    assert a == b
+    assert 5 not in a  # empty doc → no signature
+
+
+def test_simhash_pairs_near_vs_far(spark, docs):
+    d = docs.filter(F.col("text").isNotNull())
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(d, "doc_id", "text", max_hamming=12).collect()}
+    assert (1, 2) in pairs  # near-dup within 12 bits
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+# --- similarity ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_topk_exact_order(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = ann_topk_bruteforce(vecs, q, k=3, id_col="vec_id").collect()
+    assert [r.neighbor_id for r in sorted(rows, key=lambda r: r.rank)] == [2, 3, 4]
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(rows[0].sim - round(expected, 6)) < 1e-9
+
+
+def test_embedding_neardup_pairs_threshold(spark, vecs):
+    pairs = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(vecs, 0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_lsh_bucket_deterministic_and_narrow(spark, vecs):
+    b1 = {r.vec_id: r.bucket for r in lsh_bucket(vecs, dim=3).collect()}
+    b2 = {r.vec_id: r.bucket for r in lsh_bucket(vecs, dim=3).collect()}
+    assert b1 == b2
+    plan = lsh_bucket(vecs, dim=3)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    # antipodal vectors land in complementary buckets, never the same one
+    assert b1[1] != b1[4]

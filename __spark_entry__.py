@@ -51,6 +51,7 @@ from fbs_data_pipelines_spark.operators.dedup import (
 )
 from fbs_data_pipelines_spark.operators.joins import (
     anti_join,
+    asof_join,
     join_with_suffix,
     latest_snapshot,
     lookup_join,
@@ -625,6 +626,212 @@ def q_multimodal_features(spark, sf_dir):
     return extract_image_features(media, "doc_id", "content", fake=True)
 
 
+# --- advanced relational surface ----------------------------------------
+
+def q_multi_join_topn(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, agg, top-10 by revenue."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            _date_s("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_join_5way(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join with broadcast dims, revenue per
+    nation. region/nation are broadcast (tiny dims); customer-supplier
+    nation equality restricts to local suppliers."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def q_sql_exists(spark, sf_dir):
+    """SQL front door (EP3): correlated EXISTS through spark.sql —
+    orders with at least one line shipped after the order date."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM v_orders
+        WHERE EXISTS (
+            SELECT 1 FROM v_lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def q_scalar_subquery(spark, sf_dir):
+    """TPC-H Q17 shape: per-part average quantity as a scalar per
+    group; lineitems below 0.5x that average. The per-part avg side is
+    small (one row per part) — broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(avg_q), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            round_half_up(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_below"),
+        )
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS with grouping_id — finer than rollup/cube."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n,
+               floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+def q_percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles (median/p90) per group — the
+    all-data path; at 100 TB swap to approx_percentile with bounded
+    error (oracle-checked exact here)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_half_up(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        round_half_up(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        round_half_up(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_p50"),
+    )
+
+
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates: sample stddev/variance, correlation,
+    covariance — single partial-aggregable pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        round_half_up(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        round_half_up(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        round_half_up(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        round_half_up(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
+    )
+
+
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation per group (deterministic: sort the
+    collected array before joining — engine-portable listagg)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count("*").alias("n_nations"),
+    )
+
+
+def q_conditional_agg(spark, sf_dir):
+    """Filtered/conditional aggregation — count_if + conditional sums."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 200000.0).alias("n_big"),
+        round_half_up(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)),
+            2,
+        ).alias("finished_value"),
+        round_half_up(
+            F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+        ).alias("open_avg"),
+    )
+
+
+def q_monthly_rollup(spark, sf_dir):
+    """date_trunc month rollup — partition-pruning-friendly shape (at
+    scale o_orderdate is the partition column; the trunc groups map
+    1:1 onto partitions)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month_ts"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(_date_s("month_ts").alias("month"), "n_orders", "revenue")
+    )
+
+
+def q_unpivot(spark, sf_dir):
+    """Wide→long unpivot (melt) of per-status metrics."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        round_half_up(F.sum("o_totalprice"), 2).alias("total"),
+        round_half_up(F.avg("o_totalprice"), 2).alias("mean"),
+        F.count("*").cast("double").alias("n"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["total", "mean", "n"], "metric", "value"
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each view event picks up the user's latest
+    purchase value at-or-before the view (union+window plan — one
+    shuffle, no range blowup; see operators/joins.py)."""
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        views, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id", "user_id", _ts_s("ts").alias("ts"), "purchase_value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -673,6 +880,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        "multi_join_topn": q_multi_join_topn,
+        "join_5way": q_join_5way,
+        "sql_exists": q_sql_exists,
+        "scalar_subquery": q_scalar_subquery,
+        "grouping_sets": q_grouping_sets,
+        "percentile_exact": q_percentile_exact,
+        "stats_agg": q_stats_agg,
+        "string_agg": q_string_agg,
+        "conditional_agg": q_conditional_agg,
+        "monthly_rollup": q_monthly_rollup,
+        "unpivot": q_unpivot,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1198,6 +1417,138 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    sql["multi_join_topn"] = """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """
+
+    sql["join_5way"] = """
+        SELECT n_name,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
+    """
+
+    sql["sql_exists"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        )
+        GROUP BY o_orderpriority
+    """
+
+    sql["scalar_subquery"] = """
+        WITH pa AS (
+            SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT floor(sum(l_extendedprice) / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly,
+               count(*) AS n_below
+        FROM lineitem JOIN pa USING (l_partkey)
+        WHERE l_quantity < half_avg
+    """
+
+    sql["grouping_sets"] = """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n,
+               floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """
+
+    sql["percentile_exact"] = """
+        SELECT l_returnflag,
+               floor(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+               floor(quantile_cont(l_extendedprice, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+               floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0 AS qty_p50
+        FROM lineitem
+        GROUP BY l_returnflag
+    """
+
+    sql["stats_agg"] = """
+        SELECT l_linestatus,
+               floor(stddev_samp(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS sd_price,
+               floor(var_samp(l_quantity) * 10000.0 + 0.5) / 10000.0 AS var_qty,
+               floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS corr_qty_price,
+               floor(covar_samp(l_discount, l_tax) * 1000000.0 + 0.5) / 1000000.0 AS cov_disc_tax
+        FROM lineitem
+        GROUP BY l_linestatus
+    """
+
+    sql["string_agg"] = """
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM nation
+        GROUP BY n_regionkey
+    """
+
+    sql["conditional_agg"] = """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+               floor(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END) * 100.0 + 0.5) / 100.0 AS finished_value,
+               floor(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) * 100.0 + 0.5) / 100.0 AS open_avg
+        FROM orders
+        GROUP BY o_orderpriority
+    """
+
+    sql["monthly_rollup"] = """
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+               count(*) AS n_orders,
+               floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM orders
+        GROUP BY date_trunc('month', o_orderdate)
+    """
+
+    sql["unpivot"] = """
+        WITH wide AS (
+            SELECT o_orderstatus,
+                   floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total,
+                   floor(avg(o_totalprice) * 100.0 + 0.5) / 100.0 AS mean,
+                   count(*)::DOUBLE AS n
+            FROM orders GROUP BY o_orderstatus
+        )
+        UNPIVOT wide ON total, mean, n INTO NAME metric VALUE value
+    """
+
+    sql["asof_join"] = """
+        WITH views AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        ), purchases AS (
+            SELECT user_id, ts, value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT v.event_id, v.user_id,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               p.purchase_value
+        FROM views v
+        ASOF LEFT JOIN purchases p
+          ON v.user_id = p.user_id AND v.ts >= p.ts
     """
 
     return sql

@@ -109,3 +109,32 @@ def test_latest_snapshot(spark):
     )
     out = {r["entity"]: r["name"] for r in latest_snapshot(df, ["entity"], "created").collect()}
     assert out == {"creditos": "new.csv", "radicados": "only.csv"}
+
+
+def test_asof_join(spark):
+    import datetime as dt
+
+    from fbs_data_pipelines_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0), "v1"),
+            (1, dt.datetime(2024, 1, 1, 12, 0), "v2"),
+            (1, dt.datetime(2024, 1, 1, 8, 0), "v0"),  # before any purchase
+            (2, dt.datetime(2024, 1, 1, 9, 0), "v3"),  # tie with purchase ts
+        ],
+        "uid long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 9, 30), 5.0),
+            (1, dt.datetime(2024, 1, 1, 11, 0), 7.0),
+            (2, dt.datetime(2024, 1, 1, 9, 0), 1.0),
+        ],
+        "uid long, rts timestamp, price double",
+    )
+    out = {
+        r.name: r.price
+        for r in asof_join(left, right, "uid", "ts", "rts", ["price"]).collect()
+    }
+    assert out == {"v0": None, "v1": 5.0, "v2": 7.0, "v3": 1.0}

@@ -200,3 +200,54 @@ def test_registry_lenient_cast_null_on_failure(spark, dictionary):
 def test_registry_pk_violation_raises():
     with pytest.raises(ValueError):
         DataDictionary("x", [ColumnSpec("a", "String")]).primary_key()
+
+
+def test_sessionize_stream_stateful(spark):
+    """Two micro-batches: sessions must close across the batch
+    boundary using the persisted per-user state."""
+    import os
+
+    from fbs_data_pipelines_spark.streaming.sessionize import sessionize_stream
+
+    tmp = tempfile.mkdtemp(prefix="sess_stream_")
+    src_dir = f"{tmp}/in"
+    os.makedirs(src_dir)
+    base = 1700000000
+
+    def write_batch(name, rows):
+        with open(f"{tmp}/{name}.csv", "w") as f:
+            f.write("user_id,ts\n")
+            for uid, off in rows:
+                f.write(f"{uid},{dt.datetime.fromtimestamp(base + off, dt.timezone.utc).strftime('%Y-%m-%dT%H:%M:%S')}\n")
+        shutil.move(f"{tmp}/{name}.csv", f"{src_dir}/{name}.csv")
+
+    # batch 1: user 1 has events 0s and 10s (one open session)
+    write_batch("b1", [(1, 0), (1, 10)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .csv(src_dir, header=True)
+    )
+    out = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 1 event 2 hours later → closes session 1
+        write_batch("b2", [(1, 7200), (1, 7210)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "SELECT * FROM sessions_test WHERE session_seq = 1"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].n_events == 2  # both batch-1 events, folded via state
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -626,6 +626,45 @@ def q_multimodal_features(spark, sf_dir):
     return extract_image_features(media, "doc_id", "content", fake=True)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected-component clusters (iterative
+    min-label propagation; oracle = recursive CTE)."""
+    from fbs_data_pipelines_spark.operators.dedup import dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    return dup_clusters(pairs).withColumnRenamed("id", "doc_id")
+
+
+def q_tfidf(spark, sf_dir):
+    """TF-IDF per (doc, term): explode tokens → tf counts → doc-freq
+    join (broadcast: |vocab| ≪ corpus) → ln(N/df) weight. The corpus
+    size N is a 1-row agg joined as a broadcast scalar."""
+    from fbs_data_pipelines_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select(F.col("doc_id"), F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            round_half_up(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .filter(F.col("tfidf") >= 1.0)
+    )
+
+
 # --- advanced relational surface ----------------------------------------
 
 def q_multi_join_topn(spark, sf_dir):
@@ -892,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_rollup": q_monthly_rollup,
         "unpivot": q_unpivot,
         "asof_join": q_asof_join,
+        "dedup_clusters": q_dedup_clusters,
+        "tfidf": q_tfidf,
     }
 
 
@@ -1417,6 +1458,45 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    # connected components over the minhash pair graph: min reachable
+    # id per node via recursive closure (DuckDB WITH RECURSIVE; the
+    # UNION dedups rows so the fixpoint terminates)
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({sql["dedup_minhash_lsh"]}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id AS doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY id
+    """
+
+    sql["tfidf"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+        ), dfreq AS (
+            SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        ), n AS (
+            SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        )
+        SELECT tf.doc_id, tf.tok, tf.tf,
+               floor(tf.tf * ln(n.n_docs / dfreq.df) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        WHERE floor(tf.tf * ln(n.n_docs / dfreq.df) * 1000000.0 + 0.5) / 1000000.0 >= 1.0
     """
 
     sql["multi_join_topn"] = """

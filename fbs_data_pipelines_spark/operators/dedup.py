@@ -326,3 +326,55 @@ def simhash_pairs(
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id),
+    cluster_id = min id reachable through the pair graph (the cluster
+    representative every dedup pipeline keeps).
+
+    Iterative min-label propagation: each round joins current labels
+    across the (symmetrized) edge list and takes the per-node min.
+    Rounds needed = graph diameter — for dup clusters (dense blobs,
+    tiny diameter) a handful. Each round is one join + one groupBy
+    (two shuffles) over the FRONTIER only; ``localCheckpoint`` cuts
+    the growing lineage so plan size stays O(1) per round. This is the
+    standard scalable CC construction (cf. small-star/large-star,
+    Kiveris et al., "Connected Components in MapReduce"), minus the
+    star optimizations that only pay off at huge diameters.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -225,3 +225,13 @@ def test_lsh_bucket_deterministic_and_narrow(spark, vecs):
     assert "hashpartitioning" not in plan
     # antipodal vectors land in complementary buckets, never the same one
     assert b1[1] != b1[4]
+
+
+def test_dup_clusters_chain_and_island(spark):
+    from fbs_data_pipelines_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (6, 5)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}

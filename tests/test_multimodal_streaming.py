@@ -251,3 +251,15 @@ def test_sessionize_stream_stateful(spark):
     assert len(rows) == 1
     assert rows[0].n_events == 2  # both batch-1 events, folded via state
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_excel_source_gated(spark, tmp_path):
+    """No Excel engine in this container: the reader must fail with a
+    clear NotImplementedError pointing at the CSV fallback (the parse
+    stub contract), not an obscure ImportError."""
+    from fbs_data_pipelines_spark.sources.excel import read_excel
+
+    fake = tmp_path / "dict.xlsx"
+    fake.write_bytes(b"PK\x03\x04 not a real workbook")
+    with pytest.raises(NotImplementedError, match="CSV"):
+        read_excel(spark, str(fake))

@@ -1499,6 +1499,45 @@ def oracle_sql() -> dict[str, str]:
         WHERE floor(tf.tf * ln(n.n_docs / dfreq.df) * 1000000.0 + 0.5) / 1000000.0 >= 1.0
     """
 
+    # ann_lsh IS oracle-expressible: the hyperplanes are deterministic
+    # (md5-derived), so DuckDB recomputes the exact same buckets.
+    # Sign decisions are robust: dots are O(1) magnitude, never within
+    # fp-reorder distance of 0 on this data.
+    from fbs_data_pipelines_spark.operators.similarity import _deterministic_planes
+
+    def _bucket_expr(vec: str) -> str:
+        parts = []
+        for i, plane in enumerate(_deterministic_planes(6, 64)):
+            lst = ", ".join(repr(x) for x in plane)
+            parts.append(
+                f"(CASE WHEN list_dot_product({vec}::DOUBLE[], "
+                f"[{lst}]::DOUBLE[]) >= 0 THEN {2**i} ELSE 0 END)"
+            )
+        return " + ".join(parts)
+
+    sql["ann_lsh"] = f"""
+        WITH c AS (
+            SELECT vec_id AS neighbor_id, embedding,
+                   {_bucket_expr('embedding')} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qemb,
+                   {_bucket_expr('embedding')} AS bucket
+            FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   floor((list_cosine_similarity(c.embedding::DOUBLE[],
+                                                 q.qemb::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim
+            FROM c JOIN q USING (bucket)
+            WHERE c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """
+
     sql["multi_join_topn"] = """
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

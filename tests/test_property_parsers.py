@@ -1,0 +1,81 @@
+"""Property-based tests for the dirty-input parsers (SURVEY §5.4).
+
+Invariants, over arbitrary garbage and over clean generated inputs:
+- never throw (null-on-failure, the reference's ``strict=False``)
+- clean values round-trip exactly
+- parse is invariant to the separator variants / noise the reference
+  normalizes away (``-`` ``.`` separators, trailing time, spaces, %)
+"""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fbs_data_pipelines_spark.functions.cleaning import (
+    clean_percent,
+    decimal_comma_to_double,
+)
+from fbs_data_pipelines_spark.functions.dates import (
+    parse_flexible_date,
+    parse_timestamp,
+)
+
+SETTINGS = settings(
+    max_examples=12,  # each example is a tiny Spark job — keep few, batch wide
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _run_one(spark, col_expr, value):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(col_expr.alias("out")).collect()[0].out
+
+
+@SETTINGS
+@given(garbage=st.lists(st.text(max_size=25), min_size=1, max_size=40))
+def test_parsers_never_throw_on_garbage(spark, garbage):
+    df = spark.createDataFrame([(g,) for g in garbage], "v string")
+    rows = df.select(
+        parse_flexible_date("v").alias("d"),
+        parse_timestamp("v").alias("t"),
+        decimal_comma_to_double("v").alias("m"),
+        clean_percent("v").alias("p"),
+    ).collect()
+    assert len(rows) == len(garbage)  # nulls allowed; exceptions are not
+
+
+@SETTINGS
+@given(
+    d=st.dates(min_value=dt.date(1901, 1, 1), max_value=dt.date(2099, 12, 31)),
+    sep=st.sampled_from(["/", "-", "."]),
+    time_part=st.sampled_from(["", " 10:30", " 00:00:00"]),
+    pad=st.sampled_from(["", " ", "  "]),
+)
+def test_clean_dates_round_trip_all_variants(spark, d, sep, time_part, pad):
+    raw = f"{pad}{d.day:02d}{sep}{d.month:02d}{sep}{d.year:04d}{time_part}{pad}"
+    assert _run_one(spark, parse_flexible_date(F.col("v")), raw) == d
+
+
+@SETTINGS
+@given(
+    whole=st.integers(min_value=0, max_value=10**9),
+    frac=st.integers(min_value=0, max_value=99),
+)
+def test_decimal_comma_round_trip(spark, whole, frac):
+    raw = f"{whole},{frac:02d}"
+    out = _run_one(spark, decimal_comma_to_double(F.col("v")), raw)
+    assert out == float(f"{whole}.{frac:02d}")
+
+
+@SETTINGS
+@given(
+    rate=st.integers(min_value=0, max_value=10**7),
+    spaces=st.sampled_from(["", " ", "   "]),
+)
+def test_clean_percent_strips_and_scales(spark, rate, spaces):
+    raw = f"{rate}{spaces}%"
+    out = _run_one(spark, clean_percent(F.col("v")), raw)
+    assert out == float(rate)  # the /1e7 interest scaling lives in the plan

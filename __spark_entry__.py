@@ -871,6 +871,46 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Interval-containment join via the bucketed scale path (equi-join
+    on coarse buckets + residual predicate), aggregated per band."""
+    from fbs_data_pipelines_spark.operators.joins import bucketed_range_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(24).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 25000.0).alias("lo"),
+        ((F.col("id") + 1) * 25000.0).alias("hi"),
+    )
+    return (
+        bucketed_range_join(o, bands, "o_totalprice", bucket_width=25000.0)
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("band_value"),
+        )
+    )
+
+
+def q_window_range_30d(spark, sf_dir):
+    """RANGE-frame window: per customer, rolling 30-day order value
+    (value-based frame, not row-based — peers at equal dates included
+    on both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # parquet TIMESTAMP_NTZ has no direct long cast; epoch seconds
+        # via timestamp (session TZ = UTC, so values match the oracle)
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        round_half_up(F.sum("o_totalprice").over(w), 2).alias("rolling_30d"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -933,6 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "dedup_clusters": q_dedup_clusters,
         "tfidf": q_tfidf,
+        "range_join": q_range_join,
+        "window_range_30d": q_window_range_30d,
     }
 
 
@@ -1653,6 +1695,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus
         )
         UNPIVOT wide ON total, mean, n INTO NAME metric VALUE value
+    """
+
+    sql["range_join"] = """
+        WITH bands AS (
+            SELECT i AS band_id, i * 25000.0 AS lo, (i + 1) * 25000.0 AS hi
+            FROM generate_series(0, 23) t(i)
+        )
+        SELECT band_id, count(*) AS n_orders,
+               floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS band_value
+        FROM orders JOIN bands
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band_id
+    """
+
+    sql["window_range_30d"] = """
+        SELECT o_custkey, o_orderkey,
+               floor(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) * 100.0 + 0.5) / 100.0 AS rolling_30d
+        FROM orders
     """
 
     sql["asof_join"] = """

@@ -160,3 +160,62 @@ def latest_snapshot(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Interval containment join: point rows matched to interval rows
+    with ``lo <= point < hi`` (another join Spark has no native
+    operator for; DuckDB plans it as a range join).
+
+    Small interval side (dimension bands, calendars): broadcast — each
+    task streams its points against the in-memory interval list, no
+    shuffle of the big side. For interval tables too large to
+    broadcast use ``bucketed_range_join``.
+    """
+    p = F.col(point_col)
+    return points.join(
+        F.broadcast(intervals), (p >= F.col(lo_col)) & (p < F.col(hi_col))
+    )
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Scale-path interval join: both sides keyed by coarse bucket.
+
+    Each interval explodes into the buckets it overlaps
+    (``sequence(floor(lo/W), floor((hi-ε)/W))``), points map to one
+    bucket — the join becomes an equi-join on ``__bucket`` (shuffle
+    hash join, AQE-skew-splittable), with the exact range predicate as
+    a post-filter. Fan-out = interval_len/W per interval row; pick W
+    near the median interval length so it's O(1). This is the standard
+    large-large range-join decomposition (equi-prefilter + residual).
+    """
+    w = float(bucket_width)
+    p = F.col(point_col)
+    ibuckets = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor((F.col(hi_col) - F.lit(1e-9)) / w).cast("long"),
+            )
+        ),
+    )
+    pbuckets = points.withColumn("__bucket", F.floor(p / w).cast("long"))
+    return (
+        pbuckets.join(ibuckets, "__bucket")
+        .filter((p >= F.col(lo_col)) & (p < F.col(hi_col)))
+        .drop("__bucket")
+    )

@@ -138,3 +138,48 @@ def test_asof_join(spark):
         for r in asof_join(left, right, "uid", "ts", "rts", ["price"]).collect()
     }
     assert out == {"v0": None, "v1": 5.0, "v2": 7.0, "v3": 1.0}
+
+
+def test_range_join_broadcast_vs_bucketed_equivalent(spark):
+    from fbs_data_pipelines_spark.operators.joins import (
+        bucketed_range_join,
+        range_join,
+    )
+    import pyspark.sql.functions as F
+
+    points = spark.range(0, 500).select((F.col("id") * 7.3).alias("x"))
+    iv = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 50.0, 1200.0), (3, 3000.0, 3700.0)],
+        "iv_id long, lo double, hi double",
+    )
+    a = sorted(
+        (r.x, r.iv_id) for r in range_join(points, iv, "x").collect()
+    )
+    b = sorted(
+        (r.x, r.iv_id)
+        for r in bucketed_range_join(points, iv, "x", bucket_width=100.0).collect()
+    )
+    assert a == b and len(a) > 0
+    # boundary semantics: lo inclusive, hi exclusive
+    edge = spark.createDataFrame([(100.0,), (0.0,)], "x double")
+    hits = sorted((r.x, r.iv_id) for r in range_join(edge, iv, "x").collect())
+    assert hits == [(0.0, 1), (100.0, 2)]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from fbs_data_pipelines_spark.operators.partitioning import salted_join
+    import pyspark.sql.functions as F
+
+    # skewed left: 90% of rows share key 1
+    left = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (10, "a"), (20, "b")], "k long, v string"
+    )
+    plain = sorted((r.payload, r.v) for r in left.join(right, "k").collect())
+    salted = sorted(
+        (r.payload, r.v) for r in salted_join(left, right, "k").collect()
+    )
+    assert plain == salted and len(plain) > 0

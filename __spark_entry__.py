@@ -871,6 +871,37 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_regression_agg(spark, sf_dir):
+    """Built-in linear-regression aggregates (slope/intercept/r2) —
+    all partial-aggregable single-pass sums under the hood."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_half_up(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        round_half_up(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        round_half_up(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+def q_window_navigation(spark, sf_dir):
+    """Navigation window functions: lag/lead/ntile/percent_rank over
+    each customer's order history."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
 def q_range_join(spark, sf_dir):
     """Interval-containment join via the bucketed scale path (equi-join
     on coarse buckets + residual predicate), aggregated per band."""
@@ -975,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "range_join": q_range_join,
         "window_range_30d": q_window_range_30d,
+        "regression_agg": q_regression_agg,
+        "window_navigation": q_window_navigation,
     }
 
 
@@ -1695,6 +1728,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus
         )
         UNPIVOT wide ON total, mean, n INTO NAME metric VALUE value
+    """
+
+    sql["regression_agg"] = """
+        SELECT l_returnflag,
+               floor(regr_slope(l_extendedprice, l_quantity) * 10000.0 + 0.5) / 10000.0 AS slope,
+               floor(regr_intercept(l_extendedprice, l_quantity) * 10000.0 + 0.5) / 10000.0 AS intercept,
+               floor(regr_r2(l_extendedprice, l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS r2,
+               regr_count(l_extendedprice, l_quantity) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """
+
+    sql["window_navigation"] = """
+        SELECT o_custkey, o_orderkey,
+               lag(o_orderkey, 1) OVER w AS prev_order,
+               lead(o_orderkey, 1) OVER w AS next_order,
+               ntile(4) OVER w AS quartile,
+               floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
     """
 
     sql["range_join"] = """

@@ -82,3 +82,26 @@ def table_list(spark: SparkSession) -> list[str]:
 def read_table(spark: SparkSession, name: str) -> DataFrame:
     """S5: SELECT * FROM t (db_manager.py:55-68)."""
     return spark.table(name)
+
+
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a table bucketed (and optionally sorted) on its
+    join/agg key — the co-location contract that lets repeated joins
+    and aggregations on ``bucket_cols`` run with ZERO shuffle: both
+    sides of a bucketed equi-join read matching buckets directly.
+
+    At 100 TB this is the difference between shuffling the fact table
+    on every join vs once at write time. Requires saveAsTable (bucket
+    metadata lives in the catalog).
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)

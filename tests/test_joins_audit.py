@@ -183,3 +183,37 @@ def test_salted_join_matches_plain_join(spark):
         (r.payload, r.v) for r in salted_join(left, right, "k").collect()
     )
     assert plain == salted and len(plain) > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-located bucketed tables join with zero Exchange — the
+    write-once-shuffle-never contract for 100 TB fact tables."""
+    from fbs_data_pipelines_spark.sources.catalog import save_bucketed
+    import pyspark.sql.functions as F
+    import shutil
+
+    for t in ("t_bucket_a", "t_bucket_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/root/repo/spark-warehouse/{t}", ignore_errors=True)
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    save_bucketed(a, "t_bucket_a", ["k"], num_buckets=4)
+    save_bucketed(b, "t_bucket_b", ["k"], num_buckets=4)
+    # force the non-broadcast path: bucketing is what must kill the
+    # shuffle, not a broadcast of these (deliberately tiny) fixtures
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Exchange hashpartitioning" not in plan  # no shuffle
+        assert "SortMergeJoin" in plan  # co-located bucket SMJ
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -263,3 +263,42 @@ def test_excel_source_gated(spark, tmp_path):
     fake.write_bytes(b"PK\x03\x04 not a real workbook")
     with pytest.raises(NotImplementedError, match="CSV"):
         read_excel(spark, str(fake))
+
+
+# --- custom Python DataSource -------------------------------------------
+
+
+def test_rows_datasource_roundtrip(spark, tmp_path):
+    import json
+
+    from fbs_data_pipelines_spark.sources.rows_datasource import register
+
+    register(spark)
+    src = tmp_path / "payload.json"
+    src.write_text(json.dumps({
+        "values": [
+            ["id", "name", "city"],
+            ["1", "ana", "bogota"],
+            ["2", "luis"],               # ragged → city null
+            ["3", "", "cali"],           # empty string → null
+            ["4", "eva", "medellin"],
+        ]
+    }))
+    df = spark.read.format("fbs_rows").option("path", str(src)).load()
+    assert df.columns == ["id", "name", "city"]
+    assert df.rdd.getNumPartitions() > 1  # scan is partition-planned
+    rows = {r.id: (r.name, r.city) for r in df.collect()}
+    assert rows == {
+        "1": ("ana", "bogota"),
+        "2": ("luis", None),
+        "3": (None, "cali"),
+        "4": ("eva", "medellin"),
+    }
+
+    out = tmp_path / "out.json"
+    df.filter("id <> '2'").write.format("fbs_rows").option(
+        "path", str(out)
+    ).mode("append").save()
+    written = json.loads(out.read_text())
+    assert written["values"][0] == ["id", "name", "city"]
+    assert sorted(v[0] for v in written["values"][1:]) == ["1", "3", "4"]

@@ -105,3 +105,21 @@ def save_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def save_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Materialize with directory partitioning on coarse keys (date,
+    layer, entity): reads that filter on ``partition_cols`` touch only
+    matching directories (partition pruning — the Drive folder-walk
+    S7 analogue, but enforced by the planner, not convention).
+
+    Partition columns must be low-cardinality (days, not ids): each
+    value is a directory, and at 100 TB over-partitioning shatters the
+    table into small files.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -217,3 +217,29 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert "SortMergeJoin" in plan  # co-located bucket SMJ
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning), not a data filter over the full scan."""
+    from fbs_data_pipelines_spark.sources.catalog import save_partitioned
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("bucket_day")
+    )
+    save_partitioned(df, str(tmp_path / "t"), ["bucket_day"])
+    back = spark.read.parquet(str(tmp_path / "t")).filter(
+        F.col("bucket_day") == "2"
+    )
+    assert back.count() == 250
+    formatted = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", formatted)
+    assert m and "bucket_day" in m.group(1)  # pruning, not post-filter
+    # and every file actually read lives under the one matching dir
+    files = [r[0] for r in back.select(F.input_file_name()).distinct().collect()]
+    assert files and all("bucket_day=2" in f for f in files)

@@ -99,3 +99,32 @@ def windowed_event_rollup(
             "sum_value",
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right events within ``within`` AFTER
+    the left event, same key. Both sides are watermarked and the join
+    condition is time-bounded — Structured Streaming's requirement for
+    bounding join state (rows older than watermark+interval are
+    evicted from the state store; unbounded-condition stream joins
+    would grow state forever).
+
+    Works on batch DataFrames too (the condition is plain SQL there).
+    """
+    l_wm = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r_wm = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    cond = (
+        (l_wm[on] == r_wm[on])
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return l_wm.alias("l").join(r_wm.alias("r"), cond, "inner")

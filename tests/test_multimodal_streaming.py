@@ -302,3 +302,54 @@ def test_rows_datasource_roundtrip(spark, tmp_path):
     written = json.loads(out.read_text())
     assert written["values"][0] == ["id", "name", "city"]
     assert sorted(v[0] for v in written["values"][1:]) == ["1", "3", "4"]
+
+
+def test_stream_stream_interval_join(spark):
+    """Two file streams joined on key within a bounded time interval
+    (watermarked state): click followed by purchase within 1h."""
+    import os
+
+    from fbs_data_pipelines_spark.streaming.merge import (
+        stream_stream_interval_join,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ssj_")
+    base = 1700000000
+    clicks = spark.createDataFrame(
+        [(1, base), (2, base), (3, base)], "user_id long, sec long"
+    ).select("user_id", F.timestamp_seconds("sec").alias("c_ts"))
+    purchases = spark.createDataFrame(
+        [(1, base + 600), (2, base + 7200), (9, base + 60)],
+        "user_id long, sec long",
+    ).select("user_id", F.timestamp_seconds("sec").alias("p_ts"))
+    clicks.write.parquet(f"{tmp}/clicks")
+    purchases.write.parquet(f"{tmp}/purchases")
+
+    c_stream = spark.readStream.schema("user_id long, c_ts timestamp").parquet(
+        f"{tmp}/clicks"
+    )
+    p_stream = spark.readStream.schema("user_id long, p_ts timestamp").parquet(
+        f"{tmp}/purchases"
+    )
+    joined = stream_stream_interval_join(
+        c_stream, p_stream, "user_id", "c_ts", "p_ts", within="1 hour"
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ssj_test").collect()
+    # user 1: purchase 10 min after click → match; user 2: 2h → outside
+    # the interval; user 3 no purchase; user 9 purchase without click
+    assert [r["l.user_id"] if "l.user_id" in r.asDict() else r.user_id
+            for r in rows].count(1) >= 1
+    assert len(rows) == 1
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,113 @@
+"""Direct tests for the source/sink layer (SURVEY §2.1–2.2):
+dialected CSV, rows edge, catalog listing/latest, table staging, and
+the guarded export payload."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fbs_data_pipelines_spark.sinks.writers import export_payload, normalize_for_export
+from fbs_data_pipelines_spark.sources.catalog import (
+    entity_from_filename,
+    latest_files,
+    list_layer,
+    read_table,
+    save_table,
+    table_list,
+)
+from fbs_data_pipelines_spark.sources.csv import dedup_headers, read_dialected_csv
+from fbs_data_pipelines_spark.sources.rows import (
+    df_to_rows,
+    pad_rows,
+    ragged_row_rate,
+    rows_to_df,
+)
+
+
+# --- CSV (S1/S2) --------------------------------------------------------
+
+
+def test_dedup_headers_polars_naming():
+    assert dedup_headers(["a", "b", "a", "a", "b"]) == [
+        "a", "b", "a_duplicated_0", "a_duplicated_1", "b_duplicated_0",
+    ]
+
+
+def test_read_dialected_csv_dirty(spark, tmp_path):
+    raw = (
+        "JUNK ROW TO SKIP;;;\n"
+        "Cr\xe9dito;Monto;FormaPago;FormaPago;Fecha\n"
+        '1;"20648000,50";CAJA;BANCO;15/03/2020\n'
+        '2;"1,99";X;Y;16-03-2020\n'
+        "3;bad\n"  # ragged
+    )
+    p = tmp_path / "dirty.csv"
+    p.write_bytes(raw.encode("latin-1"))
+    df = read_dialected_csv(spark, str(p), skip_rows=1)
+    assert df.columns[:4] == ["Crédito", "Monto", "FormaPago", "FormaPago_duplicated_0"]
+    rows = {r["Crédito"]: r for r in df.collect()}
+    assert rows["1"]["Monto"] == "20648000,50"
+    assert rows["3"]["FormaPago"] is None  # ragged row padded, not dropped
+
+
+# --- rows edge (S3/K1) --------------------------------------------------
+
+
+def test_pad_and_ragged_rate():
+    rows = [["a", "b"], ["c"], ["d", "e", "f"]]
+    assert pad_rows(rows, 2) == [["a", "b"], ["c", None], ["d", "e"]]
+    assert 0.0 <= ragged_row_rate(rows, 2) <= 1.0
+
+
+def test_rows_roundtrip(spark):
+    df = rows_to_df(spark, ["id", "v"], [["1", "x"], ["2"]])
+    assert df.dtypes == [("id", "string"), ("v", "string")]
+    payload = df_to_rows(df.orderBy("id"))
+    assert payload == [["id", "v"], ["1", "x"], ["2", None]]
+
+
+def test_export_payload_normalizes_and_caps(spark):
+    df = spark.createDataFrame(
+        [(1, dt.date(2020, 3, 15), dt.datetime(2020, 3, 15, 10, 30), float("nan"))],
+        "id long, d date, ts timestamp, x double",
+    )
+    payload = export_payload(df)
+    assert payload[0] == ["id", "d", "ts", "x"]
+    assert payload[1] == [1, "2020-03-15", "2020-03-15 10:30:00", None]
+    with pytest.raises(ValueError, match="driver-bound"):
+        export_payload(spark.range(100), max_rows=10)
+
+
+# --- catalog (S5-S8) ----------------------------------------------------
+
+
+def test_listing_and_latest(spark, tmp_path):
+    os.makedirs(tmp_path / "raw")
+    for name, when in [
+        ("20240101_creditos.csv", 1),
+        ("20240201_creditos.csv", 2),
+        ("20240115_radicados.csv", 3),
+    ]:
+        f = tmp_path / "raw" / name
+        f.write_text("x")
+        os.utime(f, (1700000000 + when, 1700000000 + when))
+    listing = list_layer(spark, str(tmp_path), "raw")
+    assert listing.count() == 3
+    assert entity_from_filename("20240201_creditos.csv") == "creditos"
+    latest = {r.entity: r.name for r in latest_files(listing).collect()}
+    assert latest == {
+        "creditos": "20240201_creditos.csv",
+        "radicados": "20240115_radicados.csv",
+    }
+
+
+def test_table_staging_roundtrip(spark):
+    spark.sql("DROP TABLE IF EXISTS t_stage_test")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    save_table(df, "t_stage_test")
+    assert "t_stage_test" in table_list(spark)
+    back = read_table(spark, "t_stage_test")
+    assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+    spark.sql("DROP TABLE t_stage_test")

@@ -35,11 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fbs_data_pipelines_spark.functions.cleaning import cast_all_to_string
-from fbs_data_pipelines_spark.operators.joins import (
-    anti_join,
-    join_with_suffix,
-    semi_join,
-)
+from fbs_data_pipelines_spark.operators.joins import join_with_suffix
 
 
 def change_predicate(target_cols: Sequence[str], suffix: str = "_modeled") -> Column:
@@ -121,17 +117,32 @@ def merge_snapshot(
     for old, new in (rename_map or {}).items():
         df_a = df_a.withColumnRenamed(old, new)
 
-    joined = join_with_suffix(df_a, df_snapshot, on=id_col, suffix="_b")
-    unchanged_ids = (
-        joined.filter(unchanged_predicate(target_cols, "_b"))
-        .select(id_col)
-        .distinct()
+    # Single-join plan. The reference's three-join algorithm
+    # (unchanged-ids = inner+filter+distinct; semi; anti) assumes the
+    # PK is unique per side (it's a keyed upsert). Under that same
+    # assumption the merge collapses to ONE right-outer join:
+    #   every snapshot row joins its published row (if any);
+    #   unchanged  → emit the published side's values,
+    #   otherwise  → emit the snapshot side's values;
+    #   published-only rows never appear (reference drops them).
+    # Same result, one PK shuffle instead of three.
+    marked_a = df_a.withColumn("__in_a", F.lit(1))
+    joined = join_with_suffix(
+        df_snapshot, marked_a, on=id_col, suffix="_a", how="left"
     )
-
-    keep_a = semi_join(df_a, unchanged_ids, id_col)
-    delta_b = anti_join(df_snapshot, unchanged_ids, id_col)
-
+    unchanged = F.col("__in_a_a").isNotNull() & reduce(
+        lambda x, y: x & y,
+        [~(F.col(f"{c}_a") != F.col(c)) for c in target_cols],
+    )
     column_order = df_snapshot.columns
-    keep_a = cast_all_to_string(keep_a.select(*column_order))
-    delta_b = cast_all_to_string(delta_b.select(*column_order))
-    return keep_a.unionByName(delta_b).orderBy(id_col)
+    out = joined.select(
+        *[
+            (
+                F.col(id_col)
+                if c == id_col
+                else F.when(unchanged, F.col(f"{c}_a")).otherwise(F.col(c))
+            ).alias(c)
+            for c in column_order
+        ]
+    )
+    return cast_all_to_string(out).orderBy(id_col)

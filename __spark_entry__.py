@@ -1071,8 +1071,10 @@ _SHINGLES = f"""
     )
 """
 
+# hash i = 8-hex window i%4 of md5((i//4) ':' shingle) — 4 independent
+# 32-bit hash functions per digest, mirroring operators/dedup.py
 _MINHASH_SIG = _SHINGLES + ",\n    sig AS (\n        SELECT doc_id,\n" + ",\n".join(
-    f"            min(substr(md5('{i}:' || shingle), 1, 8)) AS mh_{i}"
+    f"            min(substr(md5('{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS mh_{i}"
     for i in range(8)
 ) + "\n        FROM shingles GROUP BY doc_id\n    )"
 

@@ -72,26 +72,41 @@ def shingle_table(
     )
 
 
+def _minhash_aggs(num_hashes: int) -> list:
+    """The K min-hash aggregate expressions.
+
+    An md5 digest is 128 bits = four independent 32-bit words, so one
+    salted md5 yields FOUR hash functions (8-hex windows at offsets
+    1/9/17/25) — hash function i reads window i%4 of md5(i//4 ':' x).
+    Computing ceil(K/4) md5s instead of K cuts the dominant per-shingle
+    hashing cost 4×. Fixed-width hex keeps lexicographic min == minwise
+    hash; the DuckDB oracle mirrors the same windows exactly."""
+    return [
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))),
+                1 + 8 * (i % 4),
+                8,
+            )
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, n: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature: columns mh_0..mh_{K-1}.
 
-    mh_i = min over shingles of substr(md5(i ':' shingle), 1, 8) — a
-    portable minwise hash (fixed-width hex ⇒ lexicographic min ==
-    numeric min). Shingle sets are deduped per-doc BEFORE the explode
-    (narrow), then one codegen'd hash aggregate computes all K mins
-    with map-side partial aggregation — the only shuffle carries
-    ≤ K·8 bytes per doc. (A zero-shuffle array_min/transform variant
-    was measured 5× slower: Spark's higher-order lambdas are
-    interpreted, while explode+groupBy stays in whole-stage codegen.)
-    Docs with < n words produce no signature (empty shingle set)."""
+    Shingle sets are deduped per-doc BEFORE the explode (narrow), then
+    one codegen'd hash aggregate computes all K mins with map-side
+    partial aggregation — the only shuffle carries ≤ K·8 bytes per
+    doc. (A zero-shuffle array_min/transform variant was measured 5×
+    slower: Spark's higher-order lambdas are interpreted, while
+    explode+groupBy stays in whole-stage codegen.) Docs with < n words
+    produce no signature (empty shingle set)."""
     sh = shingle_table(df, id_col, text_col, n)
-    aggs = [
-        F.min(md5_hash_hex(F.col("shingle"), salt=i)).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*_minhash_aggs(num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -124,11 +139,14 @@ def minhash_lsh_pairs(
     sh = shingle_table(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    aggs = [
-        F.min(md5_hash_hex(F.col("shingle"), salt=i)).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
+    # fuse the per-doc shingle-set size into the signature aggregate:
+    # one pass over sh produces signatures AND the |A| sizes the
+    # Jaccard verification needs (saves a second full groupBy scan)
+    sig = (
+        sh.groupBy(id_col)
+        .agg(*_minhash_aggs(num_hashes), F.count("*").alias("sz"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     band_cols = []
     for b in range(bands):
@@ -161,7 +179,7 @@ def minhash_lsh_pairs(
     # come from joining each candidate's shingle set — never the full
     # all-pairs-sharing-a-shingle blowup (that's ngram_jaccard's job).
     # Cost: |cand| × shingles-per-doc, bounded by the banding.
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sizes = sig.select(F.col(id_col), "sz")
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (

@@ -871,6 +871,18 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (nprobe=1): deterministic coarse quantizer,
+    inverted-list probe — scanned fraction ~1/8 of the corpus."""
+    from fbs_data_pipelines_spark.operators.similarity import ann_ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_topk(e, queries, k=5, num_centroids=8)
+
+
 def q_regression_agg(spark, sf_dir):
     """Built-in linear-regression aggregates (slope/intercept/r2) —
     all partial-aggregable single-pass sums under the hood."""
@@ -1008,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_range_30d": q_window_range_30d,
         "regression_agg": q_regression_agg,
         "window_navigation": q_window_navigation,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -1730,6 +1743,41 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus
         )
         UNPIVOT wide ON total, mean, n INTO NAME metric VALUE value
+    """
+
+    sql["ann_ivf"] = """
+        WITH n AS (SELECT greatest(1, count(*) // 8) AS step FROM embeddings),
+        cents AS (
+            SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS centroid_id,
+                   embedding AS cvec
+            FROM embeddings, n WHERE vec_id % n.step = 0
+        ),
+        assign AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                               c.centroid_id ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qemb, centroid_id
+            FROM assign WHERE vec_id < 5
+        ),
+        scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                q.qemb::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
+            FROM assign a JOIN q USING (centroid_id)
+            WHERE a.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= 5
     """
 
     sql["regression_agg"] = """

@@ -177,3 +177,98 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF 'coarse quantizer' seeds: vectors whose id is
+    a multiple of ``max(1, N // k)`` (hash-free, reproducible on any
+    engine — a k-means refinement would drop in here; the assignment/
+    probe machinery below is identical either way).
+
+    Scale note: the seed FILTER is a narrow scan; the row_number that
+    densifies centroid ids runs over only the ~k seed rows, never the
+    corpus. Returns (centroid_id, centroid_vec)."""
+    n = corpus.count()
+    step = max(1, n // num_centroids)
+    seeds = corpus.select(F.col(id_col), F.col(vec_col)).filter(
+        F.col(id_col) % step == 0
+    )
+    w = Window.orderBy(F.col(id_col).asc())
+    return seeds.select(
+        (F.row_number().over(w) - 1).alias("centroid_id"),
+        F.col(vec_col).alias("centroid_vec"),
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine; ties →
+    lowest centroid_id). Broadcast the K centroids, score K per row
+    (narrow), argmax via max_by over a deterministic struct. Adds
+    ``centroid_id``."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        cosine_similarity(vec_col, "centroid_vec").alias("__sim"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("centroid_id"), F.struct(F.col("__sim"), -F.col("centroid_id"))
+        ).alias("centroid_id")
+    )
+    return df.join(best, id_col)
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are bucketed by nearest centroid
+    (the inverted file); each query probes ONLY its own centroid's
+    list (nprobe=1). Scanned fraction ≈ 1/num_centroids — the standard
+    recall/throughput dial (raise nprobe by unioning more centroid
+    lists). Same output shape as the exact path."""
+    cents = ivf_centroids(corpus, num_centroids, id_col, vec_col)
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        cents,
+        "neighbor_id",
+        vec_col,
+    )
+    q = ivf_assign(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        cents,
+        query_id_col,
+        "__qvec",
+    )
+    joined = c.join(F.broadcast(q), "centroid_id").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        round_half_up(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )

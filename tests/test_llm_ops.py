@@ -235,3 +235,23 @@ def test_dup_clusters_chain_and_island(spark):
     )
     out = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_ivf_assignment_and_probe(spark, vecs):
+    from fbs_data_pipelines_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(vecs, num_centroids=2)
+    assert cents.count() >= 2
+    assigned = ivf_assign(vecs, cents)
+    a = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    assert a[1] == a[2]  # near-identical vectors share a centroid
+    q = vecs.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = ann_ivf_topk(vecs, q, k=2, num_centroids=2).collect()
+    # probe of vec1's bucket must surface its true nearest neighbor
+    assert rows and rows[0].neighbor_id == 2

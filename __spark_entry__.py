@@ -562,6 +562,32 @@ def q_simhash(spark, sf_dir):
     return simhash(d, "doc_id", "text", bits=60)
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """Banded simhash near-dup pairs. The oracle brute-forces all
+    pairs (xor + bit_count); with chunks=4 and max_hamming=3 the
+    pigeonhole guarantee makes the banded plan provably lossless, so
+    both enumerate the identical pair set."""
+    from fbs_data_pipelines_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed cosine near-dup pairs (the 100 TB path: candidates
+    only within a hyperplane-sign bucket). Oracle recomputes the
+    deterministic planes and the same bucket restriction."""
+    from fbs_data_pipelines_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        e, threshold=0.4, id_col="vec_id", vec_col="embedding",
+        use_lsh=True, num_planes=4, dim=64,
+    )
+
+
 def q_quality_pipeline(spark, sf_dir):
     """Composite training-data pipeline: quality filter + fingerprint
     dedup (keep min doc_id per fingerprint) in one declarative plan."""
@@ -1021,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_agg": q_regression_agg,
         "window_navigation": q_window_navigation,
         "ann_ivf": q_ann_ivf,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
     }
 
 
@@ -1595,9 +1623,9 @@ def oracle_sql() -> dict[str, str]:
     # fp-reorder distance of 0 on this data.
     from fbs_data_pipelines_spark.operators.similarity import _deterministic_planes
 
-    def _bucket_expr(vec: str) -> str:
+    def _bucket_expr(vec: str, num_planes: int = 6) -> str:
         parts = []
-        for i, plane in enumerate(_deterministic_planes(6, 64)):
+        for i, plane in enumerate(_deterministic_planes(num_planes, 64)):
             lst = ", ".join(repr(x) for x in plane)
             parts.append(
                 f"(CASE WHEN list_dot_product({vec}::DOUBLE[], "
@@ -1626,6 +1654,32 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    # brute-force all-pairs oracle; the Spark side bands by 15-bit
+    # chunks, and pigeonhole (4 chunks, hamming<=3) makes the banded
+    # plan lossless — both enumerate the identical pair set
+    sql["simhash_pairs"] = f"""
+        WITH sims AS ({sql["simhash"]})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+    sql["embedding_neardup_lsh"] = f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   {_bucket_expr('embedding', 4)} AS bucket
+            FROM embeddings
+        )
+        SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                          b.embedding::DOUBLE[])) * 1000000.0 + 0.5)
+                       / 1000000.0 AS sim
+            FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ) WHERE sim >= 0.4
     """
 
     sql["multi_join_topn"] = """

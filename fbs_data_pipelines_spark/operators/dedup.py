@@ -305,13 +305,14 @@ def simhash_pairs(
     """
     sig = simhash(df, id_col, text_col, bits)
     chunk_bits = bits // chunks
+    # chunk extraction MUST be integer bit arithmetic: double division
+    # (x / 2^45) loses mantissa precision for x > 2^53 and silently
+    # corrupts high-chunk values
+    mask = (1 << chunk_bits) - 1
     chunk_cols = [
-        (
-            F.floor(
-                F.col("simhash") / F.pow(F.lit(2.0), F.lit(c * chunk_bits)).cast("bigint")
-            ).cast("bigint")
-            % F.pow(F.lit(2.0), F.lit(chunk_bits)).cast("bigint")
-        ).alias(f"chunk_{c}")
+        F.shiftright(F.col("simhash"), c * chunk_bits)
+        .bitwiseAND(F.lit(mask))
+        .alias(f"chunk_{c}")
         for c in range(chunks)
     ]
     banded = sig.select(F.col(id_col), F.col("simhash"), *chunk_cols)

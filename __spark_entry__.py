@@ -909,6 +909,50 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ivf_topk(e, queries, k=5, num_centroids=8)
 
 
+def q_array_ops(spark, sf_dir):
+    """Array/higher-order-function surface over the embedding column:
+    unit-normalize (zip-free scalar divide inside transform), per-row
+    element stats, slice — all JVM-side, zero shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return e.select(
+        "vec_id",
+        round_half_up(F.array_max(vec), 6).alias("elem_max"),
+        round_half_up(F.array_min(vec), 6).alias("elem_min"),
+        round_half_up(
+            F.aggregate(vec, F.lit(0.0), lambda a, x: a + x) / F.size(vec), 6
+        ).alias("elem_mean"),
+        F.size(F.filter(vec, lambda x: x > 0)).alias("n_positive"),
+        round_half_up(F.get(F.transform(vec, lambda x: x / norm), 0), 6).alias(
+            "unit_first"
+        ),
+        round_half_up(F.aggregate(F.slice(vec, 1, 4), F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "head4_sum"
+        ),
+    )
+
+
+def q_date_parts(spark, sf_dir):
+    """Datetime part-extraction + arithmetic family: year/quarter/
+    month/day-of-week, add_months, last_day, truncation."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofweek(d).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        _date_s(F.add_months(d, 3)).alias("plus3m"),
+        _date_s(F.last_day(d)).alias("month_end"),
+        _date_s(F.date_trunc("quarter", d)).alias("q_start"),
+    )
+
+
 def q_regression_agg(spark, sf_dir):
     """Built-in linear-regression aggregates (slope/intercept/r2) —
     all partial-aggregable single-pass sums under the hood."""
@@ -1049,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "array_ops": q_array_ops,
+        "date_parts": q_date_parts,
     }
 
 
@@ -1832,6 +1878,30 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    sql["array_ops"] = """
+        SELECT vec_id,
+               floor(list_max(embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS elem_max,
+               floor(list_min(embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS elem_min,
+               floor(list_sum(embedding::DOUBLE[]) / len(embedding) * 1000000.0 + 0.5) / 1000000.0 AS elem_mean,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive,
+               floor(embedding[1] / sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) * 1000000.0 + 0.5) / 1000000.0 AS unit_first,
+               floor(list_sum((embedding::DOUBLE[])[1:4]) * 1000000.0 + 0.5) / 1000000.0 AS head4_sum
+        FROM embeddings
+    """
+
+    sql["date_parts"] = """
+        SELECT o_orderkey,
+               year(o_orderdate) AS y,
+               quarter(o_orderdate) AS q,
+               month(o_orderdate) AS m,
+               dayofweek(o_orderdate) + 1 AS dow,
+               dayofyear(o_orderdate) AS doy,
+               strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+               strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start
+        FROM orders
     """
 
     sql["regression_agg"] = """

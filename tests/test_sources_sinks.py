@@ -111,3 +111,15 @@ def test_table_staging_roundtrip(spark):
     back = read_table(spark, "t_stage_test")
     assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
     spark.sql("DROP TABLE t_stage_test")
+
+
+def test_sql_front_door(spark):
+    from fbs_data_pipelines_spark.sql import register_tables, sql
+
+    names = register_tables(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "documents" in names
+    out = sql(
+        spark,
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1",
+    )
+    assert out.count() == 3

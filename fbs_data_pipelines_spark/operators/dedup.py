@@ -264,25 +264,50 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
         ).alias("__hashes"),
     )
 
-    def bit_sum(pos: int):
-        """Σ over tokens of ±1 for bit ``pos`` (int arithmetic)."""
-        char_idx = pos // 4 + 1
-        divisor = float(2 ** (pos % 4))
+    # Single-pass array fold, NOT 60 independent aggregates: one
+    # aggregate carries a 60-element bit-sum vector (zip_with add of
+    # each token's ±1 contribution vector), so the expression tree is
+    # O(1) in `bits` and the hash array streams once per doc (the 60×
+    # variant compiled a giant plan and re-walked the array per bit —
+    # ~4× slower end to end). Bit i of a token = bit i%4 of hex nibble
+    # i//4 of its md5 — identical values to the per-bit formulation.
+    n_nibbles = (bits + 3) // 4
 
-        def contrib(h):
-            nibble = F.conv(F.substring(h, char_idx, 1), 16, 10).cast("int")
-            bit = F.floor(nibble / F.lit(divisor)).cast("int") % 2
-            return bit * 2 - 1
-
-        return F.aggregate(
-            F.col("__hashes"), F.lit(0), lambda acc, h: acc + contrib(h)
+    def contribs(h):
+        nib = F.transform(
+            F.sequence(F.lit(1), F.lit(n_nibbles)),
+            lambda i: F.conv(F.substring(h, i, F.lit(1)), 16, 10).cast("int"),
+        )
+        return F.flatten(
+            F.transform(
+                nib,
+                lambda x: F.array(
+                    x.bitwiseAND(F.lit(1)) * 2 - 1,
+                    F.shiftright(x, 1).bitwiseAND(F.lit(1)) * 2 - 1,
+                    F.shiftright(x, 2).bitwiseAND(F.lit(1)) * 2 - 1,
+                    F.shiftright(x, 3).bitwiseAND(F.lit(1)) * 2 - 1,
+                ),
+            )
         )
 
-    sim = F.lit(0).cast("bigint")
-    for pos in range(bits):
-        sim = sim + F.when(
-            bit_sum(pos) >= 0, F.lit(int(2**pos)).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
+    zero = F.array_repeat(F.lit(0), bits)
+    bit_sums = F.aggregate(
+        F.col("__hashes"),
+        zero,
+        lambda acc, h: F.zip_with(
+            acc, F.slice(contribs(h), 1, bits), lambda a, c: a + c
+        ),
+    )
+    powers = F.array(*[F.lit(int(2**p)).cast("bigint") for p in range(bits)])
+    sim = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            powers,
+            lambda s, p: F.when(s >= 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
     return staged.filter(F.size("__hashes") > 0).select(
         F.col(id_col), sim.alias("simhash")
     )
@@ -303,7 +328,12 @@ def simhash_pairs(
     at least one chunk — self-join per chunk bucket, then exact
     hamming verify via bit_count(xor). Returns (id_a, id_b, hamming).
     """
-    sig = simhash(df, id_col, text_col, bits)
+    from pyspark.storagelevel import StorageLevel
+
+    # persist: the signature subtree (interpreted higher-order lambdas
+    # over token arrays — the expensive part) feeds BOTH sides of the
+    # bucket self-join; without materialization it computes twice
+    sig = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
     chunk_bits = bits // chunks
     # chunk extraction MUST be integer bit arithmetic: double division
     # (x / 2^45) loses mantissa precision for x > 2^53 and silently
@@ -334,16 +364,17 @@ def simhash_pairs(
     right = stacked.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "bucket"
     )
-    cand = (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    # hamming-filter BEFORE the distinct: the filter is a narrow map
+    # over the join stream, so dedup (the shuffle) only sees pairs
+    # that already passed — orders of magnitude fewer rows than
+    # deduping every (pair × shared-chunk) candidate row first
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

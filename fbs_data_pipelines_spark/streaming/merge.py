@@ -47,8 +47,9 @@ def streaming_snapshot_merge(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
         try:
-            published = batch_df.sparkSession.read.parquet(published_path)
+            published = spark_b.read.parquet(published_path)
         except Exception:
             published = None
         if published is None:
@@ -57,10 +58,20 @@ def streaming_snapshot_merge(
             merged = merge_snapshot(
                 published, batch_df, id_col=id_col, target_cols=list(target_cols)
             )
-        # materialize before overwrite: the plan reads the same path
-        rows = merged.collect()
-        out = batch_df.sparkSession.createDataFrame(rows, merged.schema)
-        out.write.mode("overwrite").parquet(published_path)
+        # the merged plan READS published_path, so it can't overwrite it
+        # in place. Scale-safe cycle break: write to a staging dir
+        # (distributed — never collects through the driver), then swap
+        # via the Hadoop FS API (portable across local/HDFS/S3A).
+        tmp_path = published_path.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(tmp_path)
+        jvm = spark_b._jvm
+        conf = spark_b._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(tmp_path), conf
+        )
+        dst = jvm.org.apache.hadoop.fs.Path(published_path)
+        fs.delete(dst, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_path), dst)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

@@ -909,6 +909,23 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ivf_topk(e, queries, k=5, num_centroids=8)
 
 
+def q_grouped_ols(spark, sf_dir):
+    """Per-group OLS via applyInPandas (Arrow-batched custom group
+    aggregate), validated against the SQL regr_* oracle — proves the
+    pandas escape hatch computes exactly what the JVM form does."""
+    from fbs_data_pipelines_spark.operators.grouped import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = grouped_ols(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    return out.select(
+        "l_returnflag",
+        round_half_up(F.col("slope"), 4).alias("slope"),
+        round_half_up(F.col("intercept"), 4).alias("intercept"),
+        round_half_up(F.col("r2"), 6).alias("r2"),
+        "n",
+    )
+
+
 def q_array_ops(spark, sf_dir):
     """Array/higher-order-function surface over the embedding column:
     unit-normalize (zip-free scalar divide inside transform), per-row
@@ -1095,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "array_ops": q_array_ops,
         "date_parts": q_date_parts,
+        "grouped_ols": q_grouped_ols,
     }
 
 
@@ -1878,6 +1896,16 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    sql["grouped_ols"] = """
+        SELECT l_returnflag,
+               floor(regr_slope(l_extendedprice, l_quantity) * 10000.0 + 0.5) / 10000.0 AS slope,
+               floor(regr_intercept(l_extendedprice, l_quantity) * 10000.0 + 0.5) / 10000.0 AS intercept,
+               floor(regr_r2(l_extendedprice, l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS r2,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
     """
 
     sql["array_ops"] = """

@@ -353,3 +353,46 @@ def test_stream_stream_interval_join(spark):
             for r in rows].count(1) >= 1
     assert len(rows) == 1
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_merge_checkpoint_restart_exactly_once(spark):
+    """Stop the merge stream, add a new snapshot, restart with the
+    SAME checkpoint: only the unseen file is processed (no double
+    application of snapshot 1), and state carries across restarts."""
+    import os
+
+    from fbs_data_pipelines_spark.streaming.merge import (
+        streaming_snapshot_merge,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ckpt_restart_")
+    snap, pub, ckpt = f"{tmp}/s", f"{tmp}/pub", f"{tmp}/ck"
+    os.makedirs(snap)
+    spark.createDataFrame(
+        [("1", "a", "0")], "id string, v string, gen string"
+    ).write.parquet(pub)
+
+    def run_once():
+        q = streaming_snapshot_merge(
+            spark, snap, "id string, v string, gen string", pub, ckpt,
+            id_col="id", target_cols=["v"],
+        )
+        q.awaitTermination(60)
+        if q.isActive:
+            q.stop()
+
+    with open(f"{snap}/s1.csv", "w") as f:
+        f.write("id,v,gen\n1,A,1\n2,b,1\n")
+    run_once()
+    after1 = {r.id: (r.v, r.gen) for r in spark.read.parquet(pub).collect()}
+    assert after1 == {"1": ("A", "1"), "2": ("b", "1")}
+
+    # second run: snapshot 2 changes id 2 only. If s1.csv were
+    # re-processed, id 1 would flip back to gen '1' values — the
+    # checkpoint must prevent that.
+    with open(f"{snap}/s2.csv", "w") as f:
+        f.write("id,v,gen\n1,A,1\n2,B2,2\n")
+    run_once()
+    after2 = {r.id: (r.v, r.gen) for r in spark.read.parquet(pub).collect()}
+    assert after2 == {"1": ("A", "1"), "2": ("B2", "2")}
+    shutil.rmtree(tmp, ignore_errors=True)

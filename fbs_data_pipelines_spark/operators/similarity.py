@@ -243,7 +243,9 @@ def ann_ivf_topk(
     list (nprobe=1). Scanned fraction ≈ 1/num_centroids — the standard
     recall/throughput dial (raise nprobe by unioning more centroid
     lists). Same output shape as the exact path."""
-    cents = ivf_centroids(corpus, num_centroids, id_col, vec_col)
+    # centroids feed two broadcast assigns; persist the k-row table so
+    # the corpus isn't re-scanned to derive it for each branch
+    cents = ivf_centroids(corpus, num_centroids, id_col, vec_col).persist()
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
         cents,

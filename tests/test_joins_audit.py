@@ -243,3 +243,40 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # and every file actually read lives under the one matching dir
     files = [r[0] for r in back.select(F.input_file_name()).distinct().collect()]
     assert files and all("bucket_day=2" in f for f in files)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """With AQE skew thresholds lowered, a pathologically skewed join
+    partition is split at runtime (OptimizeSkewedJoin) — the engine's
+    first line of defense before explicit salting."""
+    import pyspark.sql.functions as F
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("v")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) > 0  # executes THIS df's plan (AQE finalizes)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan  # skewed side split into subpartitions
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -108,3 +108,51 @@ def test_modeled_radicados_casts(spark):
     out = modeled_radicados(df).collect()
     assert out[0]["Radicado"] == 100 and out[0]["Rpta"] == 1
     assert out[1]["Radicado"] is None and out[1]["Rpta"] is None
+
+
+def test_etl_pipeline_end_to_end(spark, tmp_path):
+    """EP1 orchestration: layered dir store → registry dispatch →
+    parquet load, driving the real creditos plan over a dirty CSV."""
+    import datetime as dt
+    import os
+
+    from fbs_data_pipelines_spark.pipeline import ETLPipeline
+
+    raw_dir = tmp_path / "raw"
+    os.makedirs(raw_dir)
+    creditos_csv = (
+        "JUNK;JUNK;JUNK\n"
+        "Crédito;TasaInterés;FechaIngreso;FechaSolicitud;"
+        "Fecha Acta Aprobación;FechaGiro;FechaInicio;FechaLegalización;"
+        "VencimientoCuota;Monto;Monto Aprobado;Saldo\n"
+        '1;"950847 %";01/03/2020;15/03/2020;16/03/2020;20.03.2020;'
+        '17/03/2020;18/03/2020;01/04/2020;"20648000,50";"1,99";"5,5"\n'
+        '2;;02/03/2020;16-03-2020;;;;;;"1,99";;\n'
+    )
+    (raw_dir / "20240201_creditos.csv").write_bytes(creditos_csv.encode("latin-1"))
+    radicados_csv = (
+        "Radicado;Fecha Radicacion;Destino;Rpta\n"
+        "100;15/03/2020 10:30;jefe-GTICS-maria;1\n"
+        "101;16/03/2020 09:00;Pedro Perez;0\n"
+    )
+    (raw_dir / "20240201_radicados.csv").write_bytes(radicados_csv.encode("latin-1"))
+
+    pipe = ETLPipeline(spark, str(tmp_path), run_date=dt.date(2020, 4, 1))
+    results = pipe.run(layers=("raw",), out_dir=str(tmp_path / "out"))
+    assert set(results) == {("raw", "creditos"), ("raw", "radicados")}
+
+    cred = {
+        r["Crédito"]: r
+        for r in spark.read.parquet(str(tmp_path / "out/raw_creditos")).collect()
+    }
+    assert cred["1"]["TasaInterés"] == 0.0950847  # % strip + /1e7
+    assert cred["1"]["Monto"] == 20648000.5  # comma decimal
+    assert cred["1"]["FechaSolicitud"] == "2020-03-15"  # dotted/dashed → ISO
+    assert cred["2"]["tiempo_de_espera"] == 16  # FechaGiro null → wait days
+
+    rad = {
+        r["Radicado"]: r
+        for r in spark.read.parquet(str(tmp_path / "out/raw_radicados")).collect()
+    }
+    assert rad["100"]["cod_grupo_destino"] == "GTICS"
+    assert rad["101"]["cod_grupo_destino"] == "GAUEGI"  # bare-name default

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from fbs_data_pipelines_spark.functions.cleaning import round_half_up
 from fbs_data_pipelines_spark.functions.text import (
-    md5_hash_hex,
     normalize_text,
     word_shingles,
 )

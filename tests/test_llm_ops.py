@@ -255,3 +255,18 @@ def test_ivf_assignment_and_probe(spark, vecs):
     rows = ann_ivf_topk(vecs, q, k=2, num_centroids=2).collect()
     # probe of vec1's bucket must surface its true nearest neighbor
     assert rows and rows[0].neighbor_id == 2
+
+
+def test_approx_aggregates_bounded_error(spark, sf_dir):
+    """The 100 TB path for percentiles/distinct-counts is the approx
+    family (bounded-memory sketches). Verify the bounds actually hold
+    on real data so the swap-in is safe."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.select(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+        F.countDistinct("l_orderkey").alias("exact_d"),
+        F.expr("approx_count_distinct(l_orderkey, 0.02)").alias("approx_d"),
+    ).collect()[0]
+    assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.02
+    assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05

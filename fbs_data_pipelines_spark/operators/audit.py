@@ -146,3 +146,28 @@ def merge_snapshot(
         ]
     )
     return cast_all_to_string(out).orderBy(id_col)
+
+
+def audit_from_registry(
+    df_raw: DataFrame,
+    df_modeled: DataFrame,
+    dictionary,
+    log_root: str,
+    run_id: str | None = None,
+    run_ts: _dt.datetime | None = None,
+) -> DataFrame:
+    """C1 wired to the schema registry, as the reference intended:
+    the data dictionary's PK row names the join key and its
+    ``Sujeto_auditoria=1`` columns become ``target_cols``
+    (/root/reference/etl.py:106-107 + log_handler.py:43-94 — the
+    dictionary-driven wiring the reference imports but never connects).
+    ``dictionary`` is a ``schema.registry.DataDictionary``."""
+    return authlog_table(
+        df_raw,
+        df_modeled,
+        log_root=log_root,
+        id_col=dictionary.primary_key(),
+        target_cols=dictionary.audit_cols(),
+        run_id=run_id,
+        run_ts=run_ts,
+    )

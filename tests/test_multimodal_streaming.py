@@ -396,3 +396,28 @@ def test_streaming_merge_checkpoint_restart_exactly_once(spark):
     after2 = {r.id: (r.v, r.gen) for r in spark.read.parquet(pub).collect()}
     assert after2 == {"1": ("A", "1"), "2": ("B2", "2")}
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_audit_from_registry(spark, dictionary):
+    """The dictionary's PK + audit flags drive the audit log (the
+    wiring the reference declared but never connected)."""
+    from fbs_data_pipelines_spark.operators.audit import audit_from_registry
+
+    raw = spark.createDataFrame(
+        [("C1", "10.0", "2020-01-01"), ("C2", "20.0", "2020-01-02")],
+        "Credito string, Monto string, FechaGiro string",
+    )
+    modeled = spark.createDataFrame(
+        [("C1", "10.0", "2019-12-31"), ("C2", "99.0", "2020-01-02")],
+        "Credito string, Monto string, FechaGiro string",
+    )
+    log = audit_from_registry(
+        raw, modeled, dictionary, log_root="unit", run_id="R",
+        run_ts=dt.datetime(2024, 1, 1),
+    )
+    rows = log.collect()
+    # FechaGiro is the only audit column: only C1's change is logged
+    # (C2's Monto change is NOT audit-flagged)
+    assert len(rows) == 1 and rows[0]["Credito"] == "C1"
+    assert rows[0]["FechaGiro_antiguo"] == "2019-12-31"
+    assert rows[0]["FechaGiro_nuevo"] == "2020-01-01"

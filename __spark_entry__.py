@@ -909,6 +909,15 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ivf_topk(e, queries, k=5, num_centroids=8)
 
 
+def q_rolling_fingerprint(spark, sf_dir):
+    """Karp-Rabin polynomial rolling hash per document — integer left
+    fold, bit-identical across engines (DuckDB list_reduce oracle)."""
+    from fbs_data_pipelines_spark.functions.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint("text").alias("rfp"))
+
+
 def q_grouped_ols(spark, sf_dir):
     """Per-group OLS via applyInPandas (Arrow-batched custom group
     aggregate), validated against the SQL regr_* oracle — proves the
@@ -1113,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_ops": q_array_ops,
         "date_parts": q_date_parts,
         "grouped_ols": q_grouped_ols,
+        "rolling_fingerprint": q_rolling_fingerprint,
     }
 
 
@@ -1896,6 +1906,20 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    sql["rolling_fingerprint"] = f"""
+        WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+        SELECT doc_id,
+               CASE WHEN norm IS NULL THEN NULL
+                    WHEN length(norm) = 0 THEN 0
+                    ELSE list_reduce(
+                        list_prepend(0::BIGINT,
+                            list_transform(range(1, length(norm) + 1),
+                                i -> ascii(substr(norm, i::int, 1))::BIGINT)),
+                        (a, b) -> (a * 31 + b) % 2147483647)
+               END AS rfp
+        FROM n
     """
 
     sql["grouped_ols"] = """

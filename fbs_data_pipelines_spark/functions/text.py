@@ -208,3 +208,26 @@ def md5_hash_hex(c: Column | str, salt: int | None = None, length: int = 8) -> C
     if salt is not None:
         col = F.concat(F.lit(f"{salt}:"), col)
     return F.substring(F.md5(col), 1, length)
+
+
+def rolling_fingerprint(
+    c: Column | str, base: int = 31, mod: int = 2_147_483_647
+) -> Column:
+    """Polynomial rolling-hash fingerprint (Karp-Rabin form) of the
+    normalized text: fold (acc*base + charcode) % mod over characters.
+
+    Pure integer arithmetic, associativity-free LEFT fold — bitwise
+    reproducible in any engine with a list fold (DuckDB list_reduce
+    matches exactly: acc*31 stays < 2^63 because acc < mod < 2^31).
+    Complements the md5 fingerprint: this one supports incremental /
+    windowed computation at ingest time. Empty text → 0, null → null."""
+    norm = normalize_text(c)
+    codes = F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    folded = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * base + x) % F.lit(mod).cast("bigint"),
+    )
+    return F.when(_col(c).isNull(), F.lit(None).cast("bigint")).otherwise(
+        F.when(F.length(norm) == 0, F.lit(0).cast("bigint")).otherwise(folded)
+    )

@@ -270,3 +270,16 @@ def test_approx_aggregates_bounded_error(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.02
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
+
+
+def test_rolling_fingerprint_values(spark):
+    from fbs_data_pipelines_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "AB!"), (3, ""), (4, None)], "id long, text string"
+    )
+    out = {r.id: r.rfp for r in df.select("id", rolling_fingerprint("text").alias("rfp")).collect()}
+    # 'ab' → ((0*31+97)%M)*31+98 % M = 3105; normalization folds case/punct
+    assert out[1] == 97 * 31 + 98
+    assert out[2] == out[1]
+    assert out[3] == 0 and out[4] is None

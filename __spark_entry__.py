@@ -909,6 +909,35 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ivf_topk(e, queries, k=5, num_centroids=8)
 
 
+def q_cascading_rollup(spark, sf_dir):
+    """Hypertable-style cascading rollup: minute-grain aggregate once,
+    then derive hour and day grains FROM the finer aggregate (counts
+    sum, sums sum — never re-scan raw at coarser grains; at 100 TB the
+    raw scan happens once and each coarser level reads ~60× less)."""
+    e = _t(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(
+            F.date_trunc("minute", "ts").alias("m"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "m").alias("h"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "h").alias("d"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    return day.select(
+        _date_s("d").alias("day"),
+        "event_type",
+        F.col("n"),
+        round_half_up("sv", 4).alias("sum_value"),
+    )
+
+
 def q_rolling_fingerprint(spark, sf_dir):
     """Karp-Rabin polynomial rolling hash per document — integer left
     fold, bit-identical across engines (DuckDB list_reduce oracle)."""
@@ -1123,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": q_date_parts,
         "grouped_ols": q_grouped_ols,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "cascading_rollup": q_cascading_rollup,
     }
 
 
@@ -1906,6 +1936,19 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    # FP note: the cascaded sum (minute partials → hour → day) must
+    # match a direct day-grain sum in DuckDB; double addition is
+    # associative enough here only because values are 2-decimal
+    # fixed-point — rounded at 4dp regardless.
+    sql["cascading_rollup"] = """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               count(*) AS n,
+               floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
+        FROM events
+        GROUP BY date_trunc('day', ts), event_type
     """
 
     sql["rolling_fingerprint"] = f"""

@@ -54,7 +54,9 @@ def main() -> None:
         "pricing_summary", "filter_project", "multi_join_topn", "join_5way",
         "lookup_join", "merge_upsert", "text_stats", "dedup_minhash_lsh",
         "ann_topk", "windowed_rollup", "sessionize", "monthly_rollup",
-        "asof_join", "scalar_subquery",
+        "asof_join", "scalar_subquery", "range_join", "window_range_30d",
+        "dedup_clusters", "ann_ivf", "simhash_pairs", "cascading_rollup",
+        "array_ops", "tfidf",
     }
     for name, fn in queries.items():
         if name not in only:

@@ -909,6 +909,52 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ivf_topk(e, queries, k=5, num_centroids=8)
 
 
+def q_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window (dynamic gap-merged windows) —
+    same semantics as the manual lag/cumsum sessionizer; the oracle
+    derives sessions with the lag/sum formulation."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            _ts_s("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Edit-distance fuzzy matching (the name-matching cleanup op):
+    all nation-name pairs within levenshtein <= 5."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 5)
+    )
+
+
+def q_regexp_extract(spark, sf_dir):
+    """regexp_extract_all: pull numeric tokens out of free text."""
+    d = _t(spark, sf_dir, "documents")
+    # qu-words: present in the synthetic vocabulary ('query', 'queue'…)
+    hits = F.expr(r"regexp_extract_all(text, 'qu[a-z]+', 0)")
+    return d.select(
+        "doc_id",
+        F.size(hits).alias("n_hits"),
+        F.get(hits, 0).alias("first_hit"),
+    ).filter(F.col("n_hits") > 0)
+
+
 def q_cascading_rollup(spark, sf_dir):
     """Hypertable-style cascading rollup: minute-grain aggregate once,
     then derive hour and day grains FROM the finer aggregate (counts
@@ -1153,6 +1199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ols": q_grouped_ols,
         "rolling_fingerprint": q_rolling_fingerprint,
         "cascading_rollup": q_cascading_rollup,
+        "session_window": q_session_window,
+        "fuzzy_match": q_fuzzy_match,
+        "regexp_extract": q_regexp_extract,
     }
 
 
@@ -1949,6 +1998,44 @@ def oracle_sql() -> dict[str, str]:
                floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
         FROM events
         GROUP BY date_trunc('day', ts), event_type
+    """
+
+    # session start = min ts of each gap-delimited group; Spark's
+    # session_window end extends past the last event, so compare on
+    # (user, start, count) which both formulations agree on exactly
+    sql["session_window"] = """
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), grouped AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess
+            FROM marked
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events
+        FROM grouped GROUP BY user_id, sess
+    """
+
+    sql["fuzzy_match"] = """
+        SELECT a.n_name AS name_a, b.n_name AS name_b,
+               levenshtein(a.n_name, b.n_name) AS dist
+        FROM nation a, nation b
+        WHERE a.n_name < b.n_name
+          AND levenshtein(a.n_name, b.n_name) <= 5
+    """
+
+    sql["regexp_extract"] = """
+        SELECT doc_id,
+               len(regexp_extract_all(text, 'qu[a-z]+')) AS n_hits,
+               regexp_extract_all(text, 'qu[a-z]+')[1] AS first_hit
+        FROM documents
+        WHERE len(regexp_extract_all(text, 'qu[a-z]+')) > 0
     """
 
     sql["rolling_fingerprint"] = f"""

@@ -113,3 +113,35 @@ class ETLPipeline:
         if out_dir is not None:
             return self.load(out_dir)
         return self.output
+
+
+def audit_and_merge(
+    pipeline: "ETLPipeline",
+    entity: str,
+    dictionary,
+    log_root: str = "etl",
+    run_id: str | None = None,
+    run_ts: _dt.datetime | None = None,
+):
+    """EP2 — the modeled-layer round trip the reference wired but never
+    connected (etl.py:10-14 imports vs __main__): raw vs modeled audit
+    log + join-based snapshot merge, driven by the data dictionary
+    (PK + Sujeto_auditoria flags). Requires both layers transformed in
+    ``pipeline.output``. Returns (audit_log_df, merged_df)."""
+    from fbs_data_pipelines_spark.operators.audit import (
+        audit_from_registry,
+        merge_snapshot,
+    )
+
+    raw = pipeline.output[("raw", entity)]
+    modeled = pipeline.output[("modeled", entity)]
+    log_df = audit_from_registry(
+        raw, modeled, dictionary, log_root=log_root, run_id=run_id, run_ts=run_ts
+    )
+    merged = merge_snapshot(
+        modeled,
+        raw,
+        id_col=dictionary.primary_key(),
+        target_cols=dictionary.audit_cols(),
+    )
+    return log_df, merged

@@ -156,3 +156,44 @@ def test_etl_pipeline_end_to_end(spark, tmp_path):
     }
     assert rad["100"]["cod_grupo_destino"] == "GTICS"
     assert rad["101"]["cod_grupo_destino"] == "GAUEGI"  # bare-name default
+
+
+def test_ep2_audit_and_merge_flow(spark):
+    """EP2 capstone: raw + modeled snapshots through the registry-driven
+    audit log and snapshot merge (the reference's dormant wiring,
+    connected end to end)."""
+    import datetime as dt
+
+    from fbs_data_pipelines_spark.operators.audit import merge_snapshot
+    from fbs_data_pipelines_spark.pipeline import ETLPipeline, audit_and_merge
+    from fbs_data_pipelines_spark.schema.registry import ColumnSpec, DataDictionary
+
+    dictionary = DataDictionary(
+        "creditos",
+        [
+            ColumnSpec("Credito", "String", hierarchy="PK"),
+            ColumnSpec("Monto", "Float"),
+            ColumnSpec("EstadoCredito", "String", audit=True),
+        ],
+    )
+    pipe = ETLPipeline(spark, root="/nonexistent", run_date=dt.date(2020, 3, 1))
+    pipe.output[("raw", "creditos")] = spark.createDataFrame(
+        [("C1", "10", "Activo"), ("C2", "20", "Terminado"), ("C3", "30", "Activo")],
+        "Credito string, Monto string, EstadoCredito string",
+    )
+    pipe.output[("modeled", "creditos")] = spark.createDataFrame(
+        [("C1", "10", "Solicitud"), ("C2", "20", "Terminado")],
+        "Credito string, Monto string, EstadoCredito string",
+    )
+    log_df, merged = audit_and_merge(
+        pipe, "creditos", dictionary, run_id="R", run_ts=dt.datetime(2024, 1, 1)
+    )
+    log = log_df.collect()
+    # only C1's audit-flagged column changed (C3 is new → inner join drops)
+    assert len(log) == 1 and log[0]["Credito"] == "C1"
+    assert log[0]["EstadoCredito_antiguo"] == "Solicitud"
+    assert log[0]["EstadoCredito_nuevo"] == "Activo"
+
+    m = {r["Credito"]: r["EstadoCredito"] for r in merged.collect()}
+    # merge: C2 unchanged (kept), C1 changed + C3 new (from raw)
+    assert m == {"C1": "Activo", "C2": "Terminado", "C3": "Activo"}

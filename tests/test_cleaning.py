@@ -77,3 +77,14 @@ def test_cast_all_to_string(spark):
     df = spark.createDataFrame([(1, 2.5)], ["a", "b"])
     out = cast_all_to_string(df)
     assert [f.dataType.simpleString() for f in out.schema.fields] == ["string", "string"]
+
+
+def test_fold_accents(spark):
+    from fbs_data_pipelines_spark.functions.cleaning import fold_accents
+
+    df = spark.createDataFrame(
+        [("Crédito añejo GÓMEZ ü",), (None,)], ["v"]
+    )
+    out = [r.f for r in df.select(fold_accents("v").alias("f")).collect()]
+    assert out[0] == "Credito anejo GOMEZ u"
+    assert out[1] is None

@@ -909,6 +909,15 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ivf_topk(e, queries, k=5, num_centroids=8)
 
 
+def q_array_agg(spark, sf_dir):
+    """Distinct array aggregation with deterministic order."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_set("n_nationkey")).alias("nation_keys"),
+        F.count_distinct("n_nationkey").alias("n_distinct"),
+    )
+
+
 def q_session_window(spark, sf_dir):
     """Spark's NATIVE session_window (dynamic gap-merged windows) —
     same semantics as the manual lag/cumsum sessionizer; the oracle
@@ -1199,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ols": q_grouped_ols,
         "rolling_fingerprint": q_rolling_fingerprint,
         "cascading_rollup": q_cascading_rollup,
+        "array_agg": q_array_agg,
         "session_window": q_session_window,
         "fuzzy_match": q_fuzzy_match,
         "regexp_extract": q_regexp_extract,
@@ -2003,6 +2013,14 @@ def oracle_sql() -> dict[str, str]:
     # session start = min ts of each gap-delimited group; Spark's
     # session_window end extends past the last event, so compare on
     # (user, start, count) which both formulations agree on exactly
+    sql["array_agg"] = """
+        SELECT n_regionkey,
+               list_sort(list(DISTINCT n_nationkey)) AS nation_keys,
+               count(DISTINCT n_nationkey) AS n_distinct
+        FROM nation
+        GROUP BY n_regionkey
+    """
+
     sql["session_window"] = """
         WITH marked AS (
             SELECT user_id, ts,

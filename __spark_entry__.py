@@ -609,13 +609,14 @@ def q_vector_norms(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    from fbs_data_pipelines_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a", "id_b", round_half_up(cosine_similarity("va", "vb"), 6).alias("sim")
-    ).filter(F.col("sim") >= 0.5)
+    return embedding_neardup_pairs(
+        e, threshold=0.5, id_col="vec_id", vec_col="embedding", use_lsh=False
+    )
 
 
 def q_ann_topk(spark, sf_dir):

@@ -159,22 +159,31 @@ def embedding_neardup_pairs(
     the 100 TB path (misses cross-bucket pairs by design)."""
     from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
 
+    from fbs_data_pipelines_spark.functions.vectors import dot_product, l2_norm
+
+    # norms are computed ONCE per vector (narrow, n evaluations) and
+    # carried into the pair stage — the per-pair work is a single dot
+    # fold instead of dot + two norm folds (3× fewer interpreted
+    # lambda evaluations on the O(n²) exact path). Arithmetic is
+    # identical: dot / (sqrt(ssa) * sqrt(ssb)) either way.
     a = ensure_parallelism(
         df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    ).withColumn("__na", l2_norm("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")).withColumn(
+        "__nb", l2_norm("__vb")
     )
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     if use_lsh:
         a = lsh_bucket(a, "__va", num_planes, dim)
         b = lsh_bucket(b, "__vb", num_planes, dim)
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    denom = F.col("__na") * F.col("__nb")
+    sim = F.when(denom == 0, F.lit(None)).otherwise(
+        dot_product("__va", "__vb") / denom
+    )
     return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            round_half_up(cosine_similarity("__va", "__vb"), 6).alias("sim"),
-        )
+        pairs.select("id_a", "id_b", round_half_up(sim, 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 

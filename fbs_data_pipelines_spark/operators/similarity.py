@@ -40,16 +40,31 @@ def ann_topk_bruteforce(
     """
     from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
 
+    from fbs_data_pipelines_spark.functions.vectors import dot_product, l2_norm
+
+    # norms hoisted out of the per-pair scoring: corpus norm computed
+    # once per vector during the scan, query norms once on the
+    # broadcast side — the O(N·Q) stage folds only the dot product
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(vec_col).alias("__qn"),
     )
     joined = ensure_parallelism(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            l2_norm(vec_col).alias("__cn"),
+        )
     ).crossJoin(F.broadcast(q))
+    denom = F.col("__cn") * F.col("__qn")
+    cos = F.when(denom == 0, F.lit(None)).otherwise(
+        dot_product(vec_col, "__qvec") / denom
+    )
     scored = joined.filter(F.col("neighbor_id") != F.col(query_id_col)).select(
         F.col(query_id_col),
         F.col("neighbor_id"),
-        round_half_up(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
+        round_half_up(cos, 6).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -112,14 +127,24 @@ def ann_lsh_topk(
     """Approximate top-k: only corpus vectors in the query's LSH bucket
     are scored. Same output shape as the bruteforce path; recall is
     tunable via num_planes (fewer planes → bigger buckets)."""
+    from fbs_data_pipelines_spark.functions.vectors import dot_product, l2_norm
+
     c = lsh_bucket(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            l2_norm(vec_col).alias("__cn"),
+        ),
         vec_col,
         num_planes,
         dim,
     )
     q = lsh_bucket(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(vec_col).alias("__qn"),
+        ),
         "__qvec",
         num_planes,
         dim,
@@ -127,10 +152,14 @@ def ann_lsh_topk(
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col(query_id_col)
     )
+    denom = F.col("__cn") * F.col("__qn")
+    cos = F.when(denom == 0, F.lit(None)).otherwise(
+        dot_product(vec_col, "__qvec") / denom
+    )
     scored = joined.select(
         F.col(query_id_col),
         F.col("neighbor_id"),
-        round_half_up(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
+        round_half_up(cos, 6).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -267,13 +296,23 @@ def ann_ivf_topk(
         query_id_col,
         "__qvec",
     )
-    joined = c.join(F.broadcast(q), "centroid_id").filter(
-        F.col("neighbor_id") != F.col(query_id_col)
+    from fbs_data_pipelines_spark.functions.vectors import dot_product, l2_norm
+
+    joined = (
+        c.withColumn("__cn", l2_norm(vec_col))
+        .join(
+            F.broadcast(q.withColumn("__qn", l2_norm("__qvec"))), "centroid_id"
+        )
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+    )
+    denom = F.col("__cn") * F.col("__qn")
+    cos = F.when(denom == 0, F.lit(None)).otherwise(
+        dot_product(vec_col, "__qvec") / denom
     )
     scored = joined.select(
         F.col(query_id_col),
         F.col("neighbor_id"),
-        round_half_up(cosine_similarity(vec_col, "__qvec"), 6).alias("sim"),
+        round_half_up(cos, 6).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

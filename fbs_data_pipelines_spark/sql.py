@@ -34,6 +34,12 @@ def register_tables(
     for t in tables:
         path = os.path.join(data_dir, f"{t}.parquet")
         if os.path.exists(path):
+            if t == "events":
+                # TIMESTAMP(NANOS) parquet needs this on vanilla
+                # Spark 4 sessions; runtime-settable.
+                spark.conf.set(
+                    "spark.sql.legacy.parquet.nanosAsLong", "true"
+                )
             name = f"{prefix}{t}"
             spark.read.parquet(path).createOrReplaceTempView(name)
             registered.append(name)

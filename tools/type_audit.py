@@ -1,0 +1,139 @@
+"""Physical-type parity audit: Spark schema vs DuckDB Arrow schema.
+
+The driver's correctness hash is type-sensitive (Arrow-level), so a
+DuckDB HUGEINT/DECIMAL result vs a Spark bigint/double result can
+hash-mismatch even with identical values (seen on `simhash` in
+round 1). This audit LIMIT-0-executes every oracle in DuckDB, fetches
+the Arrow schema, and compares against the Spark query's schema on a
+common type lattice.
+
+    PYTHONPATH=/root/repo python tools/type_audit.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# canonical names for Arrow types (what the driver would hash over)
+def canon_arrow(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_arrow(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{canon_arrow(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    return str(t)
+
+
+SPARK_CANON = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64", "float": "float32", "double": "float64",
+    "string": "string", "boolean": "bool", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def canon_spark(dt: str) -> str:
+    dt = dt.strip()
+    if dt.startswith("array<"):
+        return f"list<{canon_spark(dt[6:-1])}>"
+    if dt.startswith("struct<"):
+        inner = dt[7:-1]
+        # naive split is fine for our flat structs
+        parts = []
+        depth = 0
+        cur = ""
+        for ch in inner:
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                cur += ch
+        parts.append(cur)
+        fields = []
+        for p in parts:
+            n, _, t = p.partition(":")
+            fields.append(f"{n}:{canon_spark(t)}")
+        return "struct<" + ",".join(fields) + ">"
+    if dt.startswith("decimal("):
+        return dt
+    return SPARK_CANON.get(dt, dt)
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from fbs_data_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="type-audit")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[1:])
+    flagged = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            stypes = {c: canon_spark(t) for c, t in sdf.dtypes}
+            tbl = con.execute(oracles[name]).arrow()
+            otypes = {f.name: canon_arrow(f.type) for f in tbl.schema}
+        except Exception as exc:  # pragma: no cover - audit tool
+            flagged.append(name)
+            print(f"  {name}: ERROR {type(exc).__name__}: {exc}")
+            continue
+        diffs = {
+            c: (stypes.get(c), otypes.get(c))
+            for c in set(stypes) | set(otypes)
+            if stypes.get(c) != otypes.get(c)
+        }
+        if diffs:
+            flagged.append(name)
+            print(f"  {name}: TYPE-DIFF {diffs}")
+    print(f"\n{len(flagged)} flagged: {flagged}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

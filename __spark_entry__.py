@@ -560,8 +560,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Inverted-index Jaccard with the document-frequency stop-shingle
+    cutoff engaged (max_df=50): hot boilerplate shingles are dropped
+    before the self-join so one ubiquitous phrase can't fan out O(df²)
+    candidate pairs. The oracle applies the identical cutoff."""
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard(d, "doc_id", "text", n=3).filter(F.col("jaccard") >= 0.5)
+    return ngram_jaccard(d, "doc_id", "text", n=3, max_df=50).filter(
+        F.col("jaccard") >= 0.5
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -1685,8 +1691,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE j.jaccard >= 0.5
     """
 
+    # same df>50 stop-shingle cutoff as the Spark side (fsh = filtered
+    # shingle universe; sizes AND intersections both restricted to it)
     sql["dedup_ngram_jaccard"] = f"""
-        WITH {_JACCARD.lstrip()}
+        WITH {_SHINGLES.lstrip()},
+        fsh AS (
+            SELECT doc_id, shingle FROM shingles
+            QUALIFY count(*) OVER (PARTITION BY shingle) <= 50
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS sz FROM fsh GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM fsh a JOIN fsh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jac AS (
+            SELECT id_a, id_b,
+                   floor((c / (sa.sz + sb.sz - c)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+        )
         SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
     """
 

@@ -208,14 +208,39 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over shingle sets, inverted-index style.
 
     |A∩B| from a self-join on shingle + pair count; |A|,|B| from per-doc
     counts. Never materializes O(n²) — only pairs sharing ≥1 shingle.
+
+    ``max_df`` is the scale valve: a shingle appearing in ``d`` docs
+    contributes O(d²) candidate pairs out of the self-join, and real
+    corpora always have boilerplate shingles with huge document
+    frequency. With ``max_df`` set, shingles whose document frequency
+    exceeds it are dropped from the universe BEFORE the join (and
+    before the per-doc sizes, so Jaccard stays a true set ratio over
+    the restricted universe — the standard stop-shingle treatment).
+    The df computation is one map-side-combined groupBy; the hot set
+    is tiny, so the anti-join broadcasts. At 100 TB run with
+    ``max_df`` set (e.g. 1000); MinHash-LSH remains the preferred
+    sub-quadratic path.
+
     Returns (id_a, id_b, jaccard rounded 4dp)."""
     sh = shingle_table(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

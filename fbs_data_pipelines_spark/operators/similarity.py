@@ -179,13 +179,20 @@ def embedding_neardup_pairs(
     use_lsh: bool = False,
     num_planes: int = 6,
     dim: int = 64,
+    max_exact_rows: int | None = 100_000,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold.
 
     ``use_lsh=False``: exact block cross-join (correctness baseline —
     O(n²) scoring but shuffle-free scoring, only the input is
     broadcast). ``use_lsh=True``: bucket first, join within buckets —
-    the 100 TB path (misses cross-bucket pairs by design)."""
+    the 100 TB path (misses cross-bucket pairs by design).
+
+    The exact path refuses inputs larger than ``max_exact_rows``
+    (checked with an early-stopping ``limit(n+1).count()``, not a full
+    scan): an unguarded O(n²) cross-join pointed at a 100 TB corpus is
+    a cluster-killer, and the refusal message routes callers to the
+    LSH path. Pass ``max_exact_rows=None`` to opt out explicitly."""
     from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
 
     from fbs_data_pipelines_spark.functions.vectors import dot_product, l2_norm
@@ -206,6 +213,15 @@ def embedding_neardup_pairs(
         b = lsh_bucket(b, "__vb", num_planes, dim)
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
+        if max_exact_rows is not None:
+            probe = df.select(id_col).limit(max_exact_rows + 1).count()
+            if probe > max_exact_rows:
+                raise ValueError(
+                    f"embedding_neardup_pairs exact path refused: input has "
+                    f"> {max_exact_rows} rows; the O(n²) cross-join does not "
+                    f"scale. Use use_lsh=True (bucketed pairs) or raise "
+                    f"max_exact_rows explicitly."
+                )
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     denom = F.col("__na") * F.col("__nb")
     sim = F.when(denom == 0, F.lit(None)).otherwise(

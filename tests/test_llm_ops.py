@@ -154,6 +154,24 @@ def test_ngram_jaccard_exact_value(spark):
     assert r.jaccard == round(1 / 3, 4)
 
 
+def test_ngram_jaccard_max_df_kills_hot_shingle_fanout(spark):
+    # every doc shares the boilerplate shingle "x y z"; without the
+    # cutoff the inverted index emits all C(20,2)=190 candidate pairs,
+    # with it only the genuinely-similar pair (1, 2) survives
+    rows = [(1, "x y z a b c d"), (2, "x y z a b c e")] + [
+        (i, f"x y z u{i} v{i} w{i}") for i in range(3, 21)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unbounded = ngram_jaccard(df, "doc_id", "text", n=3)
+    assert unbounded.count() == 190  # hot shingle → O(n²) fan-out
+    cut = ngram_jaccard(df, "doc_id", "text", n=3, max_df=10)
+    got = {(r.id_a, r.id_b): r.jaccard for r in cut.collect()}
+    # universe without "x y z": doc1 {y z a, z a b, a b c, b c d},
+    # doc2 {y z a, z a b, a b c, b c e} → J = 3/5
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == round(3 / 5, 4)
+
+
 def test_minhash_lsh_finds_planted_neardup(spark, docs):
     # rows_per_band=1 → candidate iff ANY of the 8 minhashes collide;
     # for J=7/9 that is 1-(2/9)^8 ≈ certain even with only 8 hashes
@@ -215,6 +233,13 @@ def test_ann_topk_exact_order(spark, vecs):
 def test_embedding_neardup_pairs_threshold(spark, vecs):
     pairs = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(vecs, 0.95).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_embedding_neardup_exact_path_refuses_large_input(spark, vecs):
+    with pytest.raises(ValueError, match="use_lsh=True"):
+        embedding_neardup_pairs(vecs, 0.95, max_exact_rows=2)
+    # LSH path has no such cap
+    embedding_neardup_pairs(vecs, 0.95, use_lsh=True, dim=3, max_exact_rows=2).collect()
 
 
 def test_lsh_bucket_deterministic_and_narrow(spark, vecs):

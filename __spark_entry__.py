@@ -653,6 +653,11 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction over an opaque binary media
+    column. The decode is the deterministic sha256-derived stub, which
+    makes the whole pipeline oracle-checkable: DuckDB reproduces
+    n_bytes/sha via sha256() and the width/height/luma arithmetic from
+    the digest's leading bytes."""
     from fbs_data_pipelines_spark.operators.multimodal import (
         attach_media_meta,
         extract_image_features,
@@ -2212,6 +2217,29 @@ def oracle_sql() -> dict[str, str]:
         FROM views v
         ASOF LEFT JOIN purchases p
           ON v.user_id = p.user_id AND v.ts >= p.ts
+    """
+
+    # the fake decode is sha256-derived, so DuckDB reproduces it from
+    # the hex digest: byte k of the digest = hex chars 2k+1..2k+2
+    def _hexbyte(k: int) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(sha, {2 * k + 1}, 1)) - 1) * 16"
+            f" + strpos('0123456789abcdef', substr(sha, {2 * k + 2}, 1)) - 1)"
+        )
+
+    sql["multimodal_features"] = f"""
+        WITH d AS (
+            SELECT doc_id, sha256(text) AS sha,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(nb AS BIGINT) AS n_bytes,
+               sha AS content_sha,
+               CAST(16 + {_hexbyte(0)} % 64 AS INTEGER) AS width,
+               CAST(16 + {_hexbyte(1)} % 64 AS INTEGER) AS height,
+               round({_hexbyte(2)} / 255.0, 6) AS mean_luma
+        FROM d
     """
 
     return sql

@@ -92,21 +92,24 @@ def extract_image_features(
                     "image decode requires PIL/cv2 — not available here; "
                     "pass fake=True for the deterministic stub"
                 )
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r[binary_col])
-                w, h, luma = _fake_decode(payload)
-                rows.append(
-                    {
-                        "doc_id": r[id_col],
-                        "n_bytes": len(payload),
-                        "content_sha": hashlib.sha256(payload).hexdigest(),
-                        "width": w,
-                        "height": h,
-                        "mean_luma": luma,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            # columnar batch construction: the sha256 is inherently
+            # per-payload, but everything else derives from the digest,
+            # so hash once per row and build each output column as a
+            # plain list (no iterrows — pandas row materialization is
+            # ~10× slower than iterating the underlying arrays)
+            payloads = [bytes(p) for p in pdf[binary_col]]
+            digests = [hashlib.sha256(p).digest() for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "n_bytes": [len(p) for p in payloads],
+                    "content_sha": [d.hex() for d in digests],
+                    "width": [16 + d[0] % 64 for d in digests],
+                    "height": [16 + d[1] % 64 for d in digests],
+                    "mean_luma": [round(d[2] / 255.0, 6) for d in digests],
+                },
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
 
     return df.select(id_col, binary_col).mapInPandas(kernel, schema=FEATURE_SCHEMA)
 

@@ -79,20 +79,35 @@ def asof_join(
 
     Scale-first implementation — union + single window pass, NOT a
     range cross-join: tag both sides, union them, sort each key group
-    by (ts, tag) and carry the last non-null right value forward.
-    Exactly one shuffle (the window partition), cost O(n log n) per
-    key group, no candidate blowup on dense right sides. Ties
-    (right_ts == left_ts) match, because the right row sorts first
-    at equal ts (tag 0 < tag 1).
+    by (ts, tag) and carry the last right ROW forward. Exactly one
+    shuffle (the window partition), cost O(n log n) per key group, no
+    candidate blowup on dense right sides. Ties (right_ts == left_ts)
+    match, because the right row sorts first at equal ts (tag 0 < 1).
+
+    The carried payload is a single struct of all ``value_cols`` — one
+    ``last(ignorenulls)`` over a non-null struct per right row — so a
+    legitimately-NULL value on the latest right row is preserved (a
+    per-column ``last(value, ignorenulls=True)`` would skip it and
+    resurrect an older non-null value, diverging from true ASOF
+    semantics), and all emitted values come from the SAME right row.
     """
     from pyspark.sql import Window
 
     keys = [on] if isinstance(on, str) else list(on)
+    rtypes = dict(right.dtypes)
+    # typed NULL struct (when with no otherwise): last(ignorenulls)
+    # skips left rows but never a right row, even with null fields
+    null_struct = F.when(
+        F.lit(False),
+        F.struct(
+            *[F.lit(None).cast(rtypes[c]).alias(c) for c in value_cols]
+        ),
+    )
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__rv"),
         *[
             F.lit(None).alias(f"__l_{c}")
             for c in left.columns
@@ -103,10 +118,7 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        null_struct.alias("__rv"),
         *[
             F.col(c).alias(f"__l_{c}")
             for c in left.columns
@@ -123,17 +135,14 @@ def asof_join(
         "__ts",
         "__tag",
         *[F.col(f"__l_{c}") for c in left.columns if c not in keys and c != left_ts],
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
     )
     out_left = [
         F.col(f"__l_{c}").alias(c)
         for c in left.columns
         if c not in keys and c != left_ts
     ]
-    out_right = [F.col(f"__r_{c}").alias(c) for c in value_cols]
+    out_right = [F.col("__rv").getField(c).alias(c) for c in value_cols]
     return (
         carried.filter(F.col("__tag") == 1)
         .select(*keys, F.col("__ts").alias(left_ts), *out_left, *out_right)

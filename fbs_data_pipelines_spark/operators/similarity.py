@@ -238,6 +238,7 @@ def ivf_centroids(
     num_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Deterministic IVF 'coarse quantizer' seeds: vectors whose id is
     a multiple of ``max(1, N // k)`` (hash-free, reproducible on any
@@ -246,8 +247,11 @@ def ivf_centroids(
 
     Scale note: the seed FILTER is a narrow scan; the row_number that
     densifies centroid ids runs over only the ~k seed rows, never the
-    corpus. Returns (centroid_id, centroid_vec)."""
-    n = corpus.count()
+    corpus. Pass ``n_rows`` when the corpus size is already known
+    (catalog statistics, a prior count) to skip the sizing pass; when
+    omitted, the count projects only ``id_col`` so the scan stays
+    columnar-cheap. Returns (centroid_id, centroid_vec)."""
+    n = corpus.select(id_col).count() if n_rows is None else n_rows
     step = max(1, n // num_centroids)
     seeds = corpus.select(F.col(id_col), F.col(vec_col)).filter(
         F.col(id_col) % step == 0
@@ -291,15 +295,17 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are bucketed by nearest centroid
     (the inverted file); each query probes ONLY its own centroid's
     list (nprobe=1). Scanned fraction ≈ 1/num_centroids — the standard
     recall/throughput dial (raise nprobe by unioning more centroid
-    lists). Same output shape as the exact path."""
+    lists). Same output shape as the exact path. ``n_rows`` (optional)
+    skips the centroid-sizing count when the corpus size is known."""
     # centroids feed two broadcast assigns; persist the k-row table so
     # the corpus isn't re-scanned to derive it for each branch
-    cents = ivf_centroids(corpus, num_centroids, id_col, vec_col).persist()
+    cents = ivf_centroids(corpus, num_centroids, id_col, vec_col, n_rows).persist()
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
         cents,

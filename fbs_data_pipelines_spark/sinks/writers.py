@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame
 
 from fbs_data_pipelines_spark.functions.cleaning import nan_to_null_all
 from fbs_data_pipelines_spark.functions.dates import format_dates_for_export
-from fbs_data_pipelines_spark.sources.rows import df_to_rows
 
 #: hard cap for driver-bound row payloads (the reference's 10 MB
 #: anxiety, made explicit): refuse to collect bigger edges.
@@ -28,15 +27,17 @@ def normalize_for_export(df: DataFrame) -> DataFrame:
 
 def export_payload(df: DataFrame, max_rows: int = MAX_PAYLOAD_ROWS) -> list[list]:
     """K1: normalized [header]+rows payload for API sinks
-    (gsheets_handler.py:119-171). Guarded collect."""
+    (gsheets_handler.py:119-171). Guarded collect — a single job: the
+    limit(cap+1) collect both enforces the cap and IS the payload
+    (a separate count() would scan the input twice)."""
     normalized = normalize_for_export(df)
-    n = normalized.count()
-    if n > max_rows:
+    rows = normalized.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
-            f"export_payload is a driver-bound edge: {n} rows > cap {max_rows}; "
-            "use write_parquet/save_table for data-scale sinks"
+            f"export_payload is a driver-bound edge: input exceeds cap "
+            f"{max_rows}; use write_parquet/save_table for data-scale sinks"
         )
-    return df_to_rows(normalized)
+    return [list(normalized.columns)] + [list(r) for r in rows]
 
 
 def write_parquet(

@@ -48,20 +48,31 @@ def streaming_snapshot_merge(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
-        try:
-            published = spark_b.read.parquet(published_path)
-        except Exception:
-            published = None
+        backup_path = published_path.rstrip("/") + "__old"
+        # a crash between the two publish renames below leaves the
+        # table only under __old — recover from it on replay so the
+        # checkpoint's exactly-once contract holds (previously a
+        # delete-then-rename swap could lose ALL prior data if the
+        # process died in the gap).
+        published = None
+        for path in (published_path, backup_path):
+            try:
+                published = spark_b.read.parquet(path)
+                break
+            except Exception:
+                continue
         if published is None:
             merged = batch_df
         else:
             merged = merge_snapshot(
                 published, batch_df, id_col=id_col, target_cols=list(target_cols)
             )
-        # the merged plan READS published_path, so it can't overwrite it
-        # in place. Scale-safe cycle break: write to a staging dir
-        # (distributed — never collects through the driver), then swap
-        # via the Hadoop FS API (portable across local/HDFS/S3A).
+        # the merged plan READS the published table, so it can't be
+        # overwritten in place. Scale-safe cycle break: write to a
+        # staging dir (distributed — never collects through the
+        # driver), then swap via the Hadoop FS API (portable across
+        # local/HDFS/S3A). The staging write MATERIALIZES the merge
+        # before any rename touches the published copy.
         tmp_path = published_path.rstrip("/") + "__staging"
         merged.write.mode("overwrite").parquet(tmp_path)
         jvm = spark_b._jvm
@@ -70,8 +81,16 @@ def streaming_snapshot_merge(
             jvm.java.net.URI.create(tmp_path), conf
         )
         dst = jvm.org.apache.hadoop.fs.Path(published_path)
-        fs.delete(dst, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_path), dst)
+        bak = jvm.org.apache.hadoop.fs.Path(backup_path)
+        staging = jvm.org.apache.hadoop.fs.Path(tmp_path)
+        # crash-ordering: at every point either dst or bak holds a
+        # complete copy of the previous table, and staging already
+        # holds the new one.
+        fs.delete(bak, True)  # stale backup from a crash after publish
+        if fs.exists(dst):
+            fs.rename(dst, bak)
+        fs.rename(staging, dst)
+        fs.delete(bak, True)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

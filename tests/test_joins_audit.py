@@ -140,6 +140,32 @@ def test_asof_join(spark):
     assert out == {"v0": None, "v1": 5.0, "v2": 7.0, "v3": 1.0}
 
 
+def test_asof_join_preserves_null_latest_value(spark):
+    # the most recent right row at-or-before the left ts carries a
+    # NULL value: true ASOF semantics emit that NULL — an older
+    # non-null value must NOT be resurrected
+    import datetime as dt
+
+    from fbs_data_pipelines_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0), "probe")],
+        "uid long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 9, 0), 5.0, "early"),
+            (1, dt.datetime(2024, 1, 1, 11, 0), None, "latest"),
+        ],
+        "uid long, rts timestamp, price double, tag string",
+    )
+    [row] = asof_join(
+        left, right, "uid", "ts", "rts", ["price", "tag"]
+    ).collect()
+    assert row.price is None  # from the latest row, not 5.0
+    assert row.tag == "latest"  # all values from the SAME right row
+
+
 def test_range_join_broadcast_vs_bucketed_equivalent(spark):
     from fbs_data_pipelines_spark.operators.joins import (
         bucketed_range_join,

@@ -139,6 +139,50 @@ def test_streaming_snapshot_merge_end_to_end(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_merge_recovers_from_mid_swap_crash(spark):
+    # simulate a crash in the publish swap's danger window: the old
+    # table was renamed aside to __old but the new one never landed.
+    # The next batch must recover the prior data from the backup, not
+    # rebuild from the incoming snapshot alone.
+    tmp = tempfile.mkdtemp(prefix="merge_crash_")
+    snap_dir = f"{tmp}/snapshots"
+    pub = f"{tmp}/published"
+    ckpt = f"{tmp}/ckpt"
+    import os
+
+    os.makedirs(snap_dir)
+    # the published copy carries w='PUB' (w is NOT a target col, so
+    # unchanged rows keep the published side's w — the only way 'PUB'
+    # can appear in the output is via backup recovery)
+    spark.createDataFrame(
+        [(1, "a", "PUB"), (2, "b", "PUB")], "id string, v string, w string"
+    ).write.parquet(pub + "__old")  # crash left only the backup
+    with open(f"{snap_dir}/snap1.csv", "w") as f:
+        f.write("id,v,w\n1,a,SNAP\n2,B,SNAP\n")
+
+    q = streaming_snapshot_merge(
+        spark,
+        snap_dir,
+        "id string, v string, w string",
+        pub,
+        ckpt,
+        id_col="id",
+        target_cols=["v"],
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    final = {r.id: (r.v, r.w) for r in spark.read.parquet(pub).collect()}
+    # id1 unchanged → published values (w='PUB') prove the backup was
+    # read; id2 changed → snapshot values
+    assert final == {"1": ("a", "PUB"), "2": ("B", "SNAP")}
+    assert not os.path.exists(pub + "__old")  # backup cleaned up
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --- schema registry ----------------------------------------------------
 
 

@@ -56,21 +56,42 @@ class ETLPipeline:
         spark: SparkSession,
         root: str,
         run_date: _dt.date | None = None,
+        drive=None,
+        drive_folders: dict[str, str] | None = None,
     ):
+        """``drive`` (a ``sources.gdrive.DriveClient``) + ``drive_folders``
+        ({layer: folder_id}) switch extraction to the reference's actual
+        I/O edge (EP1: Drive folder walk → newest CSV per entity); with
+        neither, ``root`` is a filesystem layout of the same shape."""
         self.spark = spark
         self.root = root
         self.run_date = run_date or _dt.date.today()  # run-constant (D4)
+        self.drive = drive
+        self.drive_folders = drive_folders or {}
         self.output: dict[tuple[str, str], DataFrame] = {}
 
     def extract(self, layer: str) -> dict[str, DataFrame]:
-        """Latest snapshot per entity in ``layer`` → permissive DF."""
-        listing = list_layer(self.spark, self.root, layer)
+        """Latest snapshot per entity in ``layer`` → permissive DF.
+
+        Same S7/S8 operators over either catalog: the listing DF comes
+        from the Drive API transport or os.scandir; `path` carries a
+        file id or a filesystem path respectively."""
+        if self.drive is not None and layer in self.drive_folders:
+            listing = self.drive.listing_df(
+                self.spark, self.drive_folders[layer], layer
+            )
+            reader = lambda r: self.drive.download_csv(  # noqa: E731
+                self.spark, r.path, skip_rows=SKIP_ROWS.get(r.entity, 0)
+            )
+        else:
+            listing = list_layer(self.spark, self.root, layer)
+            reader = lambda r: read_dialected_csv(  # noqa: E731
+                self.spark, r.path, skip_rows=SKIP_ROWS.get(r.entity, 0)
+            )
         out: dict[str, DataFrame] = {}
         for r in latest_files(listing).collect():
             try:
-                out[r.entity] = read_dialected_csv(
-                    self.spark, r.path, skip_rows=SKIP_ROWS.get(r.entity, 0)
-                )
+                out[r.entity] = reader(r)
             except Exception:  # noqa: BLE001 — reference logs & continues
                 log.exception("extract failed for %s/%s", layer, r.entity)
         return out
@@ -104,6 +125,22 @@ class ETLPipeline:
             results[(layer, entity)] = (
                 export_payload(df) if as_payload else path
             )
+        return results
+
+    def load_to_sheets(
+        self, sheets, spreadsheet_ids: dict[tuple[str, str], str]
+    ) -> dict[tuple[str, str], dict]:
+        """EP2's publish edge: write each transformed table to its
+        Google Sheet via clear+USER_ENTERED update (``sheets`` is a
+        ``sources.gdrive.SheetsClient``). Only tables present in both
+        ``output`` and ``spreadsheet_ids`` are written."""
+        results: dict[tuple[str, str], dict] = {}
+        for key, sheet_id in spreadsheet_ids.items():
+            df = self.output.get(key)
+            if df is None:
+                log.warning("no transformed output for %s", key)
+                continue
+            results[key] = sheets.write_df(df, sheet_id)
         return results
 
     def run(self, layers: tuple[str, ...] = ("raw",), out_dir: str | None = None):

@@ -1,0 +1,211 @@
+"""Drive/Sheets connector edge (EP1/EP2 parity) against fake
+in-memory transports mirroring the reference handler semantics:
+newest-first snapshot pick (gdrive_handler.py:169-217 +
+extraction_layer.py:35-36), dialected CSV download
+(gdrive_handler.py:220-260), ragged sheet read + clear-then-update
+write (gsheets_handler.py:81-171)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from fbs_data_pipelines_spark.sources.gdrive import (
+    CSV_MIME,
+    FOLDER_MIME,
+    DriveClient,
+    DriveTransport,
+    SheetsClient,
+    SheetsTransport,
+)
+
+
+class FakeDriveTransport(DriveTransport):
+    """In-memory Drive v3: files are dicts keyed by id; list_files
+    honors the same q-filters the reference builds (parent, name,
+    mimeType, trashed)."""
+
+    def __init__(self):
+        self.drives: list[dict] = []
+        self.files: dict[str, dict] = {}
+        self.blobs: dict[str, bytes] = {}
+
+    def add_drive(self, drive_id: str, name: str):
+        self.drives.append({"id": drive_id, "name": name})
+
+    def add_folder(self, file_id: str, name: str, parent: str):
+        self.files[file_id] = {
+            "id": file_id, "name": name, "mimeType": FOLDER_MIME,
+            "parents": [parent], "trashed": False,
+        }
+
+    def add_file(self, file_id, name, parent, content: bytes,
+                 created: str, mime=CSV_MIME, trashed=False):
+        self.files[file_id] = {
+            "id": file_id, "name": name, "mimeType": mime,
+            "parents": [parent], "createdTime": created,
+            "size": len(content), "trashed": trashed,
+        }
+        self.blobs[file_id] = content
+
+    def list_drives(self):
+        return list(self.drives)
+
+    def list_files(self, parent_id=None, name=None, mime_type=None):
+        out = []
+        for f in self.files.values():
+            if f.get("trashed"):
+                continue  # 'trashed = false' is always in the query
+            if parent_id is not None and parent_id not in f.get("parents", []):
+                continue
+            if name is not None and f["name"] != name:
+                continue
+            if mime_type is not None and f["mimeType"] != mime_type:
+                continue
+            out.append(dict(f))
+        return out
+
+    def download(self, file_id):
+        return self.blobs[file_id]
+
+
+class FakeSheetsTransport(SheetsTransport):
+    """In-memory Sheets v4 values endpoint; records the call order so
+    tests can assert the clear-before-update protocol."""
+
+    def __init__(self):
+        self.sheets: dict[tuple[str, str], list[list]] = {}
+        self.calls: list[tuple] = []
+
+    def get_values(self, spreadsheet_id, range_name):
+        self.calls.append(("get", spreadsheet_id, range_name))
+        return self.sheets.get((spreadsheet_id, range_name), [])
+
+    def clear_values(self, spreadsheet_id, range_name):
+        self.calls.append(("clear", spreadsheet_id, range_name))
+        self.sheets[(spreadsheet_id, range_name)] = []
+        return {"clearedRange": range_name}
+
+    def update_values(self, spreadsheet_id, range_name, values,
+                      value_input_option="USER_ENTERED"):
+        self.calls.append(
+            ("update", spreadsheet_id, range_name, value_input_option)
+        )
+        self.sheets[(spreadsheet_id, range_name)] = [list(r) for r in values]
+        return {"updatedCells": sum(len(r) for r in values)}
+
+
+CREDITOS_CSV = (
+    "JUNK;JUNK;JUNK\n"
+    "Crédito;TasaInterés;FechaIngreso;FechaSolicitud;"
+    "Fecha Acta Aprobación;FechaGiro;FechaInicio;FechaLegalización;"
+    "VencimientoCuota;Monto;Monto Aprobado;Saldo\n"
+    '1;"950847 %";01/03/2020;15/03/2020;16/03/2020;20.03.2020;'
+    '17/03/2020;18/03/2020;01/04/2020;"20648000,50";"1,99";"5,5"\n'
+).encode("latin-1")
+
+RADICADOS_CSV = (
+    "Radicado;Fecha Radicacion;Destino;Rpta\n"
+    "100;15/03/2020 10:30;jefe-GTICS-maria;1\n"
+).encode("latin-1")
+
+
+@pytest.fixture()
+def drive():
+    t = FakeDriveTransport()
+    t.add_drive("drv1", "FBS-DATA")
+    t.add_folder("f_root", "datalake", "drv1")
+    t.add_folder("f_raw", "raw", "f_root")
+    # two creditos snapshots — the newer one must win
+    t.add_file("c_old", "20240101_creditos.csv", "f_raw",
+               b"stale", "2024-01-01T10:00:00.000Z")
+    t.add_file("c_new", "20240201_creditos.csv", "f_raw",
+               CREDITOS_CSV, "2024-02-01T10:00:00.000Z")
+    t.add_file("r_1", "20240201_radicados.csv", "f_raw",
+               RADICADOS_CSV, "2024-02-01T11:00:00.000Z")
+    # trashed files never surface
+    t.add_file("gone", "20240301_creditos.csv", "f_raw",
+               b"x", "2024-03-01T10:00:00.000Z", trashed=True)
+    return DriveClient(t)
+
+
+def test_folder_walk_and_latest_pick(spark, drive):
+    assert drive.resolve_drive("FBS-DATA") == "drv1"
+    assert drive.resolve_drive("NOPE") is None
+    folder = drive.resolve_folder(["datalake", "raw"], root_id="drv1")
+    assert folder == "f_raw"
+    assert drive.resolve_folder(["datalake", "missing"], "drv1") is None
+
+    latest = {
+        r.entity: (r.path, r.created_time)
+        for r in drive.latest_per_entity(spark, folder, "raw").collect()
+    }
+    assert latest["creditos"][0] == "c_new"  # newest, trashed excluded
+    assert latest["creditos"][1] == dt.datetime(2024, 2, 1, 10, 0)
+    assert latest["radicados"][0] == "r_1"
+
+
+def test_download_csv_dialect(spark, drive):
+    df = drive.download_csv(spark, "c_new", skip_rows=1)
+    [row] = df.collect()
+    assert row["Crédito"] == "1"
+    assert row["Fecha Acta Aprobación"] == "16/03/2020"  # latin-1 header
+
+
+def test_ep1_end_to_end_over_drive_transport(spark, drive):
+    """The reference's EP1 (Drive extract → transform → load) against
+    the fake transport, producing the same modeled values as the
+    filesystem pipeline."""
+    from fbs_data_pipelines_spark.pipeline import ETLPipeline
+
+    folder = drive.resolve_folder(["datalake", "raw"], root_id="drv1")
+    pipe = ETLPipeline(
+        spark,
+        root="/nonexistent",
+        run_date=dt.date(2020, 4, 1),
+        drive=drive,
+        drive_folders={"raw": folder},
+    )
+    out = pipe.run(layers=("raw",))
+    assert set(out) == {("raw", "creditos"), ("raw", "radicados")}
+    [cred] = out[("raw", "creditos")].collect()
+    assert cred["TasaInterés"] == 0.0950847  # % strip + /1e7
+    assert cred["Monto"] == 20648000.5  # comma decimal
+    assert cred["FechaSolicitud"] == "2020-03-15"
+    [rad] = out[("raw", "radicados")].collect()
+    assert rad["cod_grupo_destino"] == "GTICS"
+
+
+def test_sheets_write_protocol_and_roundtrip(spark, drive):
+    from fbs_data_pipelines_spark.pipeline import ETLPipeline
+
+    folder = drive.resolve_folder(["datalake", "raw"], root_id="drv1")
+    pipe = ETLPipeline(
+        spark, root="/nonexistent", run_date=dt.date(2020, 4, 1),
+        drive=drive, drive_folders={"raw": folder},
+    )
+    pipe.run(layers=("raw",))
+
+    st = FakeSheetsTransport()
+    sheets = SheetsClient(st)
+    res = pipe.load_to_sheets(
+        sheets, {("raw", "radicados"): "sheet-rad"}
+    )
+    assert res[("raw", "radicados")]["updatedCells"] > 0
+    # clear-then-update, USER_ENTERED — the reference's write protocol
+    kinds = [c[0] for c in st.calls]
+    assert kinds == ["clear", "update"]
+    assert st.calls[1][3] == "USER_ENTERED"
+    payload = st.sheets[("sheet-rad", "Sheet1")]
+    assert payload[0][0] == "Radicado"  # header row first
+    assert len(payload) == 2
+
+    # read the sheet back through the S3 edge (ragged row padded)
+    st.sheets[("sheet-x", "Hoja1")] = [
+        ["a", "b", "c"], ["1", "2", "3"], ["4"],
+    ]
+    df = sheets.read_sheet(spark, "sheet-x", "Hoja1")
+    rows = df.collect()
+    assert df.columns == ["a", "b", "c"]
+    assert rows[1]["b"] is None  # short row padded with nulls

@@ -1154,6 +1154,96 @@ def q_window_range_30d(spark, sf_dir):
     )
 
 
+# --- corpus-quality / sampling / packing extension -----------------------
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality metrics + pass flag per document — pure
+    zero-shuffle array folds (operators/quality.py)."""
+    from fbs_data_pipelines_spark.operators.quality import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(d, "doc_id", "text")
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Duplicate-line/word fractions (repetition quality rules)."""
+    from fbs_data_pipelines_spark.operators.quality import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text")
+
+
+def q_top_ngram(spark, sf_dir):
+    """Most-frequent-bigram coverage per doc (templated-content
+    detector): explode → map-side-combined count → arg-min tie-break."""
+    from fbs_data_pipelines_spark.operators.quality import top_ngram_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngram_stats(d, "doc_id", "text", n=2)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact. Synthetic corpus has no PII, so the query
+    injects a deterministic email/IP/phone per doc (derived from
+    doc_id), then counts and scrubs — the oracle reproduces injection,
+    counts, and the redacted md5 exactly."""
+    from fbs_data_pipelines_spark.functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +57 601 555 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        *pii_counts("text"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum hash-mod sampling over orders
+    (portable md5 buckets — partitioning- and engine-independent)."""
+    from fbs_data_pipelines_spark.operators.sampling import stratified_sample
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return stratified_sample(
+        o,
+        "o_orderpriority",
+        {"1-URGENT": 0.5, "2-HIGH": 0.1},
+        key_col="o_orderkey",
+        default_fraction=0.02,
+    )
+
+
+def q_train_split(spark, sf_dir):
+    """Leakage-safe deterministic train/eval split by customer key."""
+    from fbs_data_pipelines_spark.operators.sampling import train_eval_split
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return train_eval_split(c, "c_custkey", eval_fraction=0.1)
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Next-fit sequence packing of documents into 256-token windows,
+    parallel across md5 buckets (applyInPandas per bucket; the oracle
+    replays the identical greedy rule as a recursive running sum)."""
+    from fbs_data_pipelines_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("ntok")
+    )
+    return pack_sequences(d, "doc_id", "ntok", capacity=256, num_buckets=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries, so the window below is curated to cover every
@@ -1247,6 +1337,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_agg": q_array_agg,
         "fuzzy_match": q_fuzzy_match,
         "regexp_extract": q_regexp_extract,
+        # --- corpus-quality / sampling / packing extension ------------
+        "gopher_quality": q_gopher_quality,
+        "repetition_stats": q_repetition_stats,
+        "top_ngram": q_top_ngram,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "train_split": q_train_split,
+        "sequence_packing": q_sequence_packing,
     }
 
 
@@ -2240,6 +2338,196 @@ def oracle_sql() -> dict[str, str]:
                CAST(16 + {_hexbyte(1)} % 64 AS INTEGER) AS height,
                round({_hexbyte(2)} / 255.0, 6) AS mean_luma
         FROM d
+    """
+
+    # --- corpus-quality / sampling / packing extension --------------------
+
+    _WORDS = f"list_filter(string_split({_NORM}, ' '), t -> t <> '')"
+    _LINES = (
+        "list_filter(list_transform(string_split(text, chr(10)), "
+        "l -> trim(l)), l -> l <> '')"
+    )
+    _GOPHER_SW = ", ".join(
+        f"'{w}'"
+        for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+
+    sql["gopher_quality"] = f"""
+        WITH w AS (
+            SELECT doc_id, text, {_WORDS} AS words, {_LINES} AS lines
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(words) AS n_words,
+                   CAST(list_sum(list_transform(words, x -> length(x)))
+                        AS DOUBLE) / greatest(len(words), 1) AS mean_wl,
+                   (length(text) - length(regexp_replace(text, '#', '', 'g'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.|…')))
+                       / CAST(greatest(len(words), 1) AS DOUBLE) AS sym_ratio,
+                   len(list_filter(lines, l -> regexp_matches(l, '^[-*•●▪]')))
+                       / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_frac,
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+                       / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_frac,
+                   len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                       / CAST(greatest(len(words), 1) AS DOUBLE) AS alpha_frac,
+                   len(list_filter([{_GOPHER_SW}],
+                       s -> list_contains(words, s))) AS sw_hits
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               floor(mean_wl * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+               floor(sym_ratio * 1000000.0 + 0.5) / 1000000.0 AS symbol_word_ratio,
+               floor(bullet_frac * 1000000.0 + 0.5) / 1000000.0 AS bullet_line_frac,
+               floor(ellipsis_frac * 1000000.0 + 0.5) / 1000000.0 AS ellipsis_line_frac,
+               floor(alpha_frac * 1000000.0 + 0.5) / 1000000.0 AS alpha_word_frac,
+               CAST(sw_hits AS BIGINT) AS stopword_hits,
+               (n_words >= 50 AND n_words <= 100000
+                AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+                AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                AND sw_hits >= 2) AS gopher_pass
+        FROM m
+    """
+
+    sql["repetition_stats"] = f"""
+        WITH w AS (
+            SELECT doc_id, {_WORDS} AS words, {_LINES} AS lines
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               floor((CASE WHEN len(lines) <= 0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(lines))
+                           / CAST(len(lines) AS DOUBLE) END)
+                     * 1000000.0 + 0.5) / 1000000.0 AS dup_line_frac,
+               CAST(len(words) AS BIGINT) AS n_words,
+               floor((CASE WHEN len(words) <= 0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(words))
+                           / CAST(len(words) AS DOUBLE) END)
+                     * 1000000.0 + 0.5) / 1000000.0 AS dup_word_frac
+        FROM w
+    """
+
+    sql["top_ngram"] = f"""
+        WITH w AS (
+            SELECT doc_id, {_WORDS} AS words FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(words) >= 2
+                          THEN list_transform(
+                              generate_series(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i + 1])
+                          ELSE [] END) AS gram
+            FROM w
+        ), c AS (
+            SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+        ), r AS (
+            SELECT doc_id, gram, cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, gram ASC) AS rn,
+                   sum(cnt) OVER (PARTITION BY doc_id) AS n_grams
+            FROM c
+        )
+        SELECT doc_id, gram AS top_gram,
+               CAST(cnt AS BIGINT) AS top_gram_count,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               floor(cnt / CAST(n_grams AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 AS top_gram_frac
+        FROM r WHERE rn = 1
+    """
+
+    _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    _PII_PHONE = "\\+\\d{1,3}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}"
+    sql["pii_scrub"] = f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com via 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR)
+                        || '.7 tel +57 601 555 '
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT)
+                   AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+                   AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+        FROM inj
+    """
+
+    # the portable md5 sample bucket: first 4 hex digits, base 16
+    def _hex4(expr: str) -> str:
+        digit = (
+            lambda i: f"(strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)"
+        )
+        return (
+            f"({digit(1)} * 4096 + {digit(2)} * 256 + {digit(3)} * 16 + {digit(4)})"
+        )
+
+    _B = 65536
+    _thr = {
+        "1-URGENT": int(0.5 * _B),
+        "2-HIGH": int(0.1 * _B),
+    }
+    sql["stratified_sample"] = f"""
+        SELECT o_orderkey, o_orderpriority
+        FROM orders
+        WHERE {_hex4("':' || CAST(o_orderkey AS VARCHAR)")} <
+              CASE o_orderpriority
+                   WHEN '1-URGENT' THEN {_thr['1-URGENT']}
+                   WHEN '2-HIGH' THEN {_thr['2-HIGH']}
+                   ELSE {int(0.02 * _B)} END
+    """
+
+    sql["train_split"] = f"""
+        SELECT c_custkey,
+               CASE WHEN {_hex4("'split:' || CAST(c_custkey AS VARCHAR)")}
+                         < {int(0.1 * _B)}
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM customer
+    """
+
+    # next-fit packing replayed as a recursive running sum per bucket
+    sql["sequence_packing"] = f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   {_hex4("':' || CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
+                   CASE WHEN {_NORM} = '' THEN 0
+                        ELSE len(string_split({_NORM}, ' ')) END AS n_tokens
+            FROM documents
+        ), src AS (
+            SELECT doc_id, bucket, n_tokens,
+                   row_number() OVER (PARTITION BY bucket
+                       ORDER BY doc_id) AS rn
+            FROM toks
+        ), packed(bucket, rn, doc_id, n_tokens, pack_id, used) AS (
+            SELECT bucket, rn, doc_id, n_tokens, 0, n_tokens
+            FROM src WHERE rn = 1
+            UNION ALL
+            SELECT s.bucket, s.rn, s.doc_id, s.n_tokens,
+                   CASE WHEN p.used + s.n_tokens > 256
+                        THEN p.pack_id + 1 ELSE p.pack_id END,
+                   CASE WHEN p.used + s.n_tokens > 256
+                        THEN s.n_tokens ELSE p.used + s.n_tokens END
+            FROM packed p
+            JOIN src s ON s.bucket = p.bucket AND s.rn = p.rn + 1
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(pack_id AS BIGINT) AS pack_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM packed
     """
 
     return sql

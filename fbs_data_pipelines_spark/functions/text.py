@@ -231,3 +231,36 @@ def rolling_fingerprint(
     return F.when(_col(c).isNull(), F.lit(None).cast("bigint")).otherwise(
         F.when(F.length(norm) == 0, F.lit(0).cast("bigint")).otherwise(folded)
     )
+
+
+# --- PII detection / redaction ------------------------------------------
+
+#: (name, pattern, replacement) in application order. Patterns use
+#: only the regex subset with identical semantics in Java (Spark) and
+#: RE2 (DuckDB): no backreferences, no lookaround. Email first so the
+#: IP pattern can't fire inside user@host strings later.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{4}", "<PHONE>"),
+]
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Scrub emails/IPv4s/phone numbers with typed placeholders —
+    chained regexp_replace (JVM-side, codegen'd; Spark replaces all
+    occurrences). The pre-training scrub every public-web corpus
+    needs before the text reaches a tokenizer."""
+    out = _col(c)
+    for _, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_counts(c: Column | str) -> list[Column]:
+    """Per-pattern match counts (aliased ``n_{name}``) for corpus
+    audit dashboards; zero shuffle."""
+    return [
+        F.regexp_count(_col(c), F.lit(pattern)).cast("long").alias(f"n_{name}")
+        for name, pattern, _ in PII_PATTERNS
+    ]

@@ -1,0 +1,81 @@
+"""Deterministic sampling for training-data pipelines.
+
+A 100 TB corpus pipeline needs samples that are (a) reproducible
+across runs and engines, (b) stable under re-partitioning, and
+(c) stratifiable per class. Random-number sampling
+(``df.sample``/``TABLESAMPLE``) is none of those — the selected set
+depends on partitioning and seed plumbing. The scale-correct tool is
+HASH-MOD sampling: a row is kept iff a hash of its key falls under
+the fraction threshold. Same key → same decision, on any engine, any
+partitioning, any day.
+
+The hash is the engine's portable convention (md5 hex substring —
+DuckDB computes it identically), NOT Spark's ``hash()``/``xxhash64``
+(engine-specific). ``salt`` decorrelates independent samples over the
+same keys (e.g. train/eval splits).
+
+All operators are narrow (zero shuffle): a filter the optimizer can
+push against the scan's other predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hash buckets for the keep-decision (4 hex digits = 65536 buckets;
+#: fraction resolution 1/65536 ≈ 0.0015%)
+BUCKETS = 65536
+
+
+def sample_bucket(key: Column | str, salt: str = "") -> Column:
+    """The row's deterministic bucket in [0, BUCKETS): first 4 hex
+    digits of md5(salt:key), base-16. Portable across engines."""
+    key_c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key_c.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, decided per-key (reproducible,
+    partition-independent). Keys are kept or dropped as a unit — the
+    right semantics for document/user-level sampling (no partial
+    entities in the sample)."""
+    return df.filter(sample_bucket(key_col, salt) < int(fraction * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum hash-mod sampling (e.g. downsample boilerplate web
+    text hard, keep books): ``fractions`` maps stratum value →
+    fraction; strata not listed get ``default_fraction``. The
+    threshold is a small when-chain (broadcast-free, codegen'd)."""
+    thr: Column = F.lit(int(default_fraction * BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * BUCKETS))
+        ).otherwise(thr)
+    return df.filter(sample_bucket(key_col, salt) < thr)
+
+
+def train_eval_split(
+    df: DataFrame, key_col: str, eval_fraction: float = 0.01, salt: str = "split"
+) -> DataFrame:
+    """Deterministic disjoint split: adds ``split`` = 'eval' for the
+    hash-mod slice, 'train' otherwise. One pass, no shuffle; the same
+    key always lands in the same side (leakage-safe by construction)."""
+    return df.withColumn(
+        "split",
+        F.when(
+            sample_bucket(key_col, salt) < int(eval_fraction * BUCKETS),
+            F.lit("eval"),
+        ).otherwise(F.lit("train")),
+    )

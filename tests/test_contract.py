@@ -16,8 +16,9 @@ QUERIES = entry_mod.queries()
 def test_oracles_map_to_queries():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(QUERIES)
-    # everything except the deliberately rows-only multimodal stub
-    assert set(QUERIES) - set(oracles) == {"multimodal_features"}
+    # every registered query is oracle-checked (the multimodal decode
+    # stub is sha256-deterministic, so even it has an exact oracle)
+    assert set(QUERIES) - set(oracles) == set()
 
 
 def test_entry_runs(spark):

@@ -683,8 +683,17 @@ def q_dedup_clusters(spark, sf_dir):
 
 def q_tfidf(spark, sf_dir):
     """TF-IDF per (doc, term): explode tokens → tf counts → doc-freq
-    join (broadcast: |vocab| ≪ corpus) → ln(N/df) weight. The corpus
-    size N is a 1-row agg joined as a broadcast scalar."""
+    via a count window over tok → ln(N/df) weight. The corpus size N
+    is a 1-row agg joined as a broadcast scalar.
+
+    The document frequency is a WINDOW over the tf result, not a
+    second aggregation branch: a branched plan re-executes the
+    tokenize+explode subtree (Spark re-aliases the self-referencing
+    branch, so exchange reuse can't kick in — observed 2× Generate in
+    the executed plan), and at 100 TB the tokenizer is the dominant
+    cost. Linear plan: scan → explode → tf shuffle → tok shuffle —
+    each stage runs exactly once."""
+    from pyspark.sql import Window as W
     from fbs_data_pipelines_spark.functions.text import tokens
 
     d = _t(spark, sf_dir, "documents")
@@ -693,11 +702,10 @@ def q_tfidf(spark, sf_dir):
         .filter(F.col("tok") != "")
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    with_df = tf.withColumn("df", F.count("*").over(W.partitionBy("tok")))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
     return (
-        tf.join(F.broadcast(dfreq), "tok")
-        .crossJoin(F.broadcast(n_docs))
+        with_df.crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "tok",

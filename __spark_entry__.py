@@ -603,15 +603,25 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
 def q_quality_pipeline(spark, sf_dir):
     """Composite training-data pipeline: quality filter + fingerprint
-    dedup (keep min doc_id per fingerprint) in one declarative plan."""
+    dedup (keep min doc_id per fingerprint) in one declarative plan.
+
+    The keeper selection is a min() WINDOW over fp, not a groupBy
+    branch joined back: the branched form re-executed the whole
+    score+fingerprint scan (2 FileScans in the executed plan), and at
+    100 TB the regexp scoring is the dominant cost. Linear plan: one
+    scan, one shuffle (the fp window)."""
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
         doc_fingerprint("text").alias("fp"),
         quality_score("text").alias("quality"),
     ).filter(F.col("quality") >= 0.5)
-    keeper = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    return keeper.join(scored, ["fp", "doc_id"]).select("doc_id", "fp", "quality")
+    keep = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        scored.withColumn("__keep", keep)
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select("doc_id", "fp", "quality")
+    )
 
 
 # --- embeddings ----------------------------------------------------------

@@ -232,8 +232,13 @@ def ngram_jaccard(
     sub-quadratic path.
 
     Returns (id_a, id_b, jaccard rounded 4dp)."""
+    from pyspark.storagelevel import StorageLevel
+
     sh = shingle_table(df, id_col, text_col, n)
     if max_df is not None:
+        # raw shingles feed BOTH the hot-shingle census and the
+        # filtered universe — materialize once, don't re-shingle
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("__df"))
@@ -241,6 +246,10 @@ def ngram_jaccard(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # the (filtered) shingle table has THREE consumers (sizes + both
+    # self-join sides); without persist the shingling subtree executes
+    # three times — at scale the explode is the dominant cost
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

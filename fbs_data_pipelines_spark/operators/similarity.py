@@ -202,17 +202,38 @@ def embedding_neardup_pairs(
     # fold instead of dot + two norm folds (3× fewer interpreted
     # lambda evaluations on the O(n²) exact path). Arithmetic is
     # identical: dot / (sqrt(ssa) * sqrt(ssb)) either way.
-    a = ensure_parallelism(
-        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    ).withColumn("__na", l2_norm("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")).withColumn(
-        "__nb", l2_norm("__vb")
-    )
     if use_lsh:
-        a = lsh_bucket(a, "__va", num_planes, dim)
-        b = lsh_bucket(b, "__vb", num_planes, dim)
+        # compute norm + hyperplane buckets ONCE and persist: both
+        # sides of the bucket self-join read the cached table instead
+        # of re-scanning and re-hashing the corpus (the plane dots are
+        # num_planes folds per vector — the heavy narrow work here)
+        from pyspark.storagelevel import StorageLevel
+
+        base = (
+            ensure_parallelism(
+                df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+            )
+            .withColumn("__n", l2_norm("__v"))
+        )
+        base = lsh_bucket(base, "__v", num_planes, dim).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        a = base.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"), "bucket",
+        )
+        b = base.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"), "bucket",
+        )
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
+        a = ensure_parallelism(
+            df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        ).withColumn("__na", l2_norm("__va"))
+        b = df.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        ).withColumn("__nb", l2_norm("__vb"))
         if max_exact_rows is not None:
             probe = df.select(id_col).limit(max_exact_rows + 1).count()
             if probe > max_exact_rows:

@@ -158,3 +158,33 @@ def stream_stream_interval_join(
         & (rt <= lt + F.expr(f"INTERVAL {within}"))
     )
     return l_wm.alias("l").join(r_wm.alias("r"), cond, "inner")
+
+
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming deduplication — the ingest-side exact-dedup twin of
+    the batch ``dedup_exact`` operator: drop re-deliveries of the same
+    key as events flow in.
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``:
+    state for a key is EVICTED once the watermark passes it, so state
+    size is bounded by (keys per watermark window), not by the whole
+    stream history — the only shape that survives an unbounded 100 TB
+    firehose. ``False`` falls back to global ``dropDuplicates`` (exact
+    across all time, state grows with distinct keys — batch parity
+    mode). On a batch DataFrame this degrades to plain dropDuplicates
+    (timestamp column included for the within-watermark variant so
+    batch and stream agree on the no-late-data case).
+    """
+    keys = list(key_cols)
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    wm = df.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)

@@ -16,6 +16,7 @@ from fbs_data_pipelines_spark.operators.multimodal import (
 )
 from fbs_data_pipelines_spark.schema.registry import ColumnSpec, DataDictionary
 from fbs_data_pipelines_spark.streaming.merge import (
+    streaming_dedup,
     streaming_snapshot_merge,
     windowed_event_rollup,
 )
@@ -136,6 +137,48 @@ def test_streaming_snapshot_merge_end_to_end(spark):
 
     final = {r.id: r.v for r in spark.read.parquet(pub).collect()}
     assert final == {"1": "a", "2": "B", "3": "c", "4": "d"}
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_dedup_drops_redeliveries(spark):
+    # rate-free deterministic stream: one CSV file with duplicate keys
+    tmp = tempfile.mkdtemp(prefix="sdedup_")
+    import os
+
+    os.makedirs(f"{tmp}/in")
+    with open(f"{tmp}/in/events.csv", "w") as f:
+        f.write(
+            "k,ts,v\n"
+            "a,2024-01-01 10:00:00,1\n"
+            "a,2024-01-01 10:05:00,2\n"  # re-delivery of key a
+            "b,2024-01-01 10:01:00,3\n"
+        )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v long")
+        .csv(f"{tmp}/in", header=True)
+    )
+    deduped = streaming_dedup(stream, ["k"], ts_col="ts", watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("sdedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        if q.isActive:
+            q.stop()
+    rows = spark.sql("SELECT k FROM sdedup_out").collect()
+    assert sorted(r.k for r in rows) == ["a", "b"]  # one row per key
+
+    # batch degrade: plain dropDuplicates semantics
+    bdf = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v long"
+    )
+    assert streaming_dedup(bdf, ["k"]).count() == 2
     shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -72,6 +72,10 @@ PRIORITY_LABELS = {
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp→string edges assume UTC (the oracle treats timestamps
+    # as naive); pin the session TZ so results don't depend on the
+    # host timezone of whatever SparkSession the driver hands us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS); vanilla Spark 4
         # sessions reject it (PARQUET_TYPE_ILLEGAL) unless nanosAsLong

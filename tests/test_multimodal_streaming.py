@@ -54,12 +54,88 @@ def test_extract_image_features_fake_deterministic(spark, media):
     assert 0.0 <= a[1]["mean_luma"] <= 1.0
 
 
-def test_extract_image_features_real_decode_stubbed(spark, media):
+def test_extract_image_features_real_decode_rejects_non_png(spark, media):
+    # the real kernel decodes PNG; non-image bytes fail inside the task
     with pytest.raises(Exception) as exc:
         extract_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, NotImplementedError
+    assert "not a PNG" in str(exc.value)
+
+
+def _png_encode(width, height, pixels, channels=3, filter_type=0):
+    """Minimal test-side PNG writer (filter 0 or 2), stdlib only."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * channels
+    raw = b""
+    prev = bytes(stride)
+    for y in range(height):
+        line = bytes(pixels[y * stride : (y + 1) * stride])
+        if filter_type == 0:
+            raw += b"\x00" + line
+        elif filter_type == 2:  # Up: store line - prev
+            raw += b"\x02" + bytes(
+                (line[x] - prev[x]) & 0xFF for x in range(stride)
+            )
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )
+
+
+def test_decode_png_golden_values(spark):
+    from fbs_data_pipelines_spark.operators.multimodal import decode_png
+
+    # 2x2 RGB: red, green, blue, white — Rec.601 luma known exactly
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    payload = _png_encode(2, 2, px)
+    w, h, luma = decode_png(payload)
+    assert (w, h) == (2, 2)
+    expect = (0.299 * (255 + 255) + 0.587 * (255 + 255) + 0.114 * (255 + 255)) / 4
+    assert luma == round(expect / 255.0, 6)
+
+    # same image stored with the Up filter decodes identically
+    assert decode_png(_png_encode(2, 2, px, filter_type=2)) == (w, h, luma)
+
+    # greyscale + RGBA channel layouts
+    grey = _png_encode(3, 1, bytes([0, 128, 255]), channels=1)
+    assert decode_png(grey) == (3, 1, round((0 + 128 + 255) / 3 / 255.0, 6))
+    rgba = _png_encode(1, 1, bytes([255, 0, 0, 9]), channels=4)
+    assert decode_png(rgba) == (1, 1, round(0.299, 6))
+
+    with pytest.raises(ValueError):
+        decode_png(b"definitely not a png")
+
+
+def test_extract_image_features_real_png_end_to_end(spark):
+    # the REAL kernel through the full mapInPandas pipeline
+    img1 = _png_encode(2, 2, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]))
+    img2 = _png_encode(1, 1, bytes([10, 20, 30]))
+    df = spark.createDataFrame(
+        [(1, img1), (2, img2)], "doc_id long, content binary"
+    )
+    out = {r.doc_id: r for r in extract_image_features(df, fake=False).collect()}
+    assert (out[1].width, out[1].height) == (2, 2)
+    assert (out[2].width, out[2].height) == (1, 1)
+    assert out[2].mean_luma == round(
+        (0.299 * 10 + 0.587 * 20 + 0.114 * 30) / 255.0, 6
+    )
+    assert out[1].n_bytes == len(img1)
+    assert out[1].content_sha == hashlib.sha256(img1).hexdigest()
 
 
 def test_frame_sample_plan(spark, media):

@@ -1266,6 +1266,21 @@ def q_sequence_packing(spark, sf_dir):
     return pack_sequences(d, "doc_id", "ntok", capacity=256, num_buckets=8)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Pretraining-hygiene decontamination: hold out a deterministic
+    5% eval slice of the corpus, then flag TRAIN documents sharing any
+    word 3-gram with the eval set (broadcast eval-shingle join — the
+    corpus side never shuffles)."""
+    from fbs_data_pipelines_spark.operators.dedup import decontaminate
+    from fbs_data_pipelines_spark.operators.sampling import sample_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    is_eval = sample_bucket("doc_id", salt="eval") < int(0.05 * 65536)
+    return decontaminate(
+        d.filter(~is_eval), d.filter(is_eval), "doc_id", "text", n=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries, so the window below is curated to cover every
@@ -1367,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "train_split": q_train_split,
         "sequence_packing": q_sequence_packing,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2550,6 +2566,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(pack_id AS BIGINT) AS pack_id,
                CAST(n_tokens AS BIGINT) AS n_tokens
         FROM packed
+    """
+
+    sql["decontaminate"] = f"""
+        WITH {_SHINGLES.lstrip()},
+        marked AS (
+            SELECT doc_id, shingle,
+                   {_hex4("'eval:' || CAST(doc_id AS VARCHAR)")}
+                       < {int(0.05 * 65536)} AS is_eval
+            FROM shingles
+        ),
+        ev AS (SELECT DISTINCT shingle FROM marked WHERE is_eval)
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM marked t JOIN ev USING (shingle)
+        WHERE NOT t.is_eval
+        GROUP BY t.doc_id
     """
 
     return sql

@@ -461,3 +461,32 @@ def dup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Train-vs-eval n-gram decontamination: training documents that
+    share at least one word n-gram with the evaluation set (the
+    standard pretraining-hygiene check — eval shingles leaking into
+    training data inflate benchmark scores).
+
+    Scale shape: the eval side collapses to its DISTINCT shingle set —
+    benchmarks are tiny relative to a 100 TB corpus, so it BROADCASTS;
+    the train side streams through a narrow shingle explode and a
+    broadcast hash join (no shuffle of the corpus). Returns
+    (id, n_hits) where n_hits = number of distinct contaminated
+    shingles in the training doc; anti-join the result against the
+    corpus to drop flagged docs.
+    """
+    tr = shingle_table(train, id_col, text_col, n)
+    ev = shingle_table(eval_df, id_col, text_col, n).select("shingle").distinct()
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )

@@ -115,6 +115,25 @@ def test_deterministic_sampling_is_stable_and_stratified(spark):
     assert 0.18 < evals / 2000 < 0.32
 
 
+def test_decontaminate_flags_ngram_overlap(spark):
+    from fbs_data_pipelines_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the secret benchmark answer is forty two exactly"),
+            (2, "completely unrelated text about cooking pasta dishes"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "what is the secret benchmark answer")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_hits for r in decontaminate(train, eval_df, "doc_id", "text").collect()}
+    # doc1 shares 'the secret benchmark' and 'secret benchmark answer'
+    assert out == {1: 2}
+
+
 def test_sequence_packing_respects_capacity(spark):
     rows = [(i, 60 + (i % 5) * 30) for i in range(100)]  # 60..180 tokens
     rows.append((1000, 900))  # oversized doc

@@ -41,9 +41,23 @@ def norm(v):
 def main() -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
-    from fbs_data_pipelines_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    if "--vanilla" in sys.argv:
+        # mimic the driver exactly: a default-config SparkSession
+        # (ANSI on, no legacy confs, host TZ) — the contract functions
+        # must set whatever runtime confs they need themselves
+        sys.argv.remove("--vanilla")
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from fbs_data_pipelines_spark.session import get_spark
+
+        spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -96,9 +96,21 @@ def canon_spark(dt: str) -> str:
 def main() -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
-    from fbs_data_pipelines_spark.session import get_spark
 
-    spark = get_spark(app_name="type-audit")
+    if "--vanilla" in sys.argv:
+        # driver-identical default session (ANSI on, no legacy confs)
+        sys.argv.remove("--vanilla")
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("type-audit-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from fbs_data_pipelines_spark.session import get_spark
+
+        spark = get_spark(app_name="type-audit")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

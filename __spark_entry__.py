@@ -1266,6 +1266,42 @@ def q_sequence_packing(spark, sf_dir):
     return pack_sequences(d, "doc_id", "ntok", capacity=256, num_buckets=8)
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Corpus report: per predicted language — doc count, token mass,
+    mean quality, quality-pass count. One tokenize pass (text_profile)
+    + one map-side-combined groupBy."""
+    from fbs_data_pipelines_spark.functions.text import text_profile
+
+    d = _t(spark, sf_dir, "documents")
+    prof = text_profile(d, "doc_id", "text")
+    return prof.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok_ws").cast("long").alias("total_tokens"),
+        round_half_up(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum((F.col("quality") >= 0.5).cast("long")).cast("long").alias(
+            "n_quality_pass"
+        ),
+    )
+
+
+def q_histogram(spark, sf_dir):
+    """Fixed-width value histogram (the profiling primitive): bin
+    l_extendedprice into 5000-wide buckets — one shuffle, partial
+    aggregation, skew-free keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = F.floor(F.col("l_extendedprice") / 5000).cast("long")
+    return (
+        li.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("bin_value"),
+        )
+        .select(
+            "bin", (F.col("bin") * 5000.0).alias("bin_lo"), "n", "bin_value"
+        )
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Pretraining-hygiene decontamination: hold out a deterministic
     5% eval slice of the corpus, then flag TRAIN documents sharing any
@@ -1383,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "sequence_packing": q_sequence_packing,
         "decontaminate": q_decontaminate,
+        "corpus_stats": q_corpus_stats,
+        "histogram": q_histogram,
     }
 
 
@@ -2581,6 +2619,31 @@ def oracle_sql() -> dict[str, str]:
         FROM marked t JOIN ev USING (shingle)
         WHERE NOT t.is_eval
         GROUP BY t.doc_id
+    """
+
+    sql["corpus_stats"] = _TEXT_BASE + f"""
+        , scored AS (
+            SELECT {_LANG_EXPR} AS lang_pred, ntok_ws,
+                   {_QUALITY_EXPR} AS quality
+            FROM toked
+        )
+        SELECT lang_pred,
+               count(*) AS n_docs,
+               CAST(sum(ntok_ws) AS BIGINT) AS total_tokens,
+               floor(avg(quality) * 1000000.0 + 0.5) / 1000000.0 AS avg_quality,
+               CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quality_pass
+        FROM scored GROUP BY lang_pred
+    """
+
+    sql["histogram"] = """
+        SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+               CAST(CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000.0
+                    AS DOUBLE) AS bin_lo,
+               count(*) AS n,
+               floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS bin_value
+        FROM lineitem
+        GROUP BY 1, 2
     """
 
     return sql

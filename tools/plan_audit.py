@@ -56,7 +56,10 @@ def main() -> None:
         "ann_topk", "windowed_rollup", "sessionize", "monthly_rollup",
         "asof_join", "scalar_subquery", "range_join", "window_range_30d",
         "dedup_clusters", "ann_ivf", "simhash_pairs", "cascading_rollup",
-        "array_ops", "tfidf",
+        "array_ops", "tfidf", "gopher_quality", "top_ngram", "pii_scrub",
+        "stratified_sample", "sequence_packing", "decontaminate",
+        "corpus_stats", "histogram", "quality_pipeline",
+        "embedding_neardup_lsh", "dedup_ngram_jaccard",
     }
     for name, fn in queries.items():
         if name not in only:

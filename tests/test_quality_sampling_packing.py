@@ -162,6 +162,51 @@ def test_sequence_packing_respects_capacity(spark):
     assert all(0 < r.fill for r in summary)
 
 
+def test_packing_invariants_property(spark):
+    """Property test: for arbitrary token-count corpora, next-fit
+    packing (a) assigns every doc exactly once, (b) never exceeds
+    capacity except for singleton oversized packs, (c) is dense per
+    bucket (pack ids 0..max with no gaps), and (d) respects doc-id
+    order within a bucket (pack_id is monotone in doc_id)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        toks=st.lists(
+            st.integers(min_value=1, max_value=400),
+            min_size=1,
+            max_size=60,
+        ),
+        capacity=st.integers(min_value=64, max_value=300),
+    )
+    def check(toks, capacity):
+        rows = [(i, t) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(rows, "doc_id long, ntok long")
+        out = pack_sequences(df, "doc_id", "ntok", capacity, num_buckets=3).collect()
+        assert sorted(r.doc_id for r in out) == sorted(i for i, _ in rows)
+        by_pack: dict = {}
+        by_bucket: dict = {}
+        for r in out:
+            by_pack.setdefault((r.bucket, r.pack_id), []).append(r)
+            by_bucket.setdefault(r.bucket, []).append(r)
+        for members in by_pack.values():
+            total = sum(m.n_tokens for m in members)
+            assert total <= capacity or len(members) == 1
+        for bucket, members in by_bucket.items():
+            ids = sorted(set(p for (_, p) in by_pack if _ == bucket))
+            assert ids == list(range(len(ids)))  # dense pack ids
+            members = sorted(members, key=lambda m: m.doc_id)
+            packs = [m.pack_id for m in members]
+            assert packs == sorted(packs)  # monotone in doc order
+
+    check()
+
+
 def test_packing_deterministic_across_partitioning(spark):
     df = spark.createDataFrame(
         [(i, 50 + i % 7 * 20) for i in range(300)], "doc_id long, ntok long"

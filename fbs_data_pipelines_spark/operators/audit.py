@@ -109,7 +109,10 @@ def merge_snapshot(
     cast all to string, union, sort by PK.
 
     At scale: the two joins shuffle on the PK once each; with a
-    lakehouse table format this whole function becomes MERGE INTO.
+    lakehouse table format this whole function becomes MERGE INTO —
+    ``sources/versioned.py`` implements that cutover
+    (``VersionedTable.merge``: this merge + atomic pointer commit,
+    snapshot isolation, time travel).
     ``rename_map`` reproduces the reference's published-side column
     rename (``fecha_solicitud`` → ``Fecha Radicacion``, :113).
     """

@@ -31,13 +31,20 @@ def streaming_snapshot_merge(
     checkpoint_dir: str,
     id_col: str,
     target_cols: Sequence[str],
+    versioned: bool = False,
 ) -> StreamingQuery:
     """File-arrival stream of snapshots → foreachBatch C2 merge.
 
     Each micro-batch plays the reference's get_table_updated against
-    the current published parquet and overwrites it — SCD-1 with
-    exactly-once per batch via the checkpoint. With a lakehouse format
-    the body becomes a single MERGE INTO.
+    the current published table — SCD-1 with exactly-once per batch
+    via the checkpoint.
+
+    ``versioned=True`` is the lakehouse cutover: the batch body
+    becomes one ``VersionedTable.merge`` (MERGE-shaped upsert with an
+    atomic pointer commit, snapshot isolation, and time travel —
+    ``sources/versioned.py``), replacing the rename dance entirely.
+    ``versioned=False`` keeps the plain-parquet publish with the
+    crash-safe backup swap below.
     """
 
     stream = (
@@ -45,6 +52,21 @@ def streaming_snapshot_merge(
         .option("maxFilesPerTrigger", 1)
         .csv(snapshot_dir, header=True)
     )
+
+    if versioned:
+        from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+
+        def merge_batch_versioned(batch_df: DataFrame, batch_id: int) -> None:
+            VersionedTable(batch_df.sparkSession, published_path).merge(
+                batch_df, id_col=id_col, target_cols=list(target_cols)
+            )
+
+        return (
+            stream.writeStream.foreachBatch(merge_batch_versioned)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession

@@ -1266,6 +1266,25 @@ def q_sequence_packing(spark, sf_dir):
     return pack_sequences(d, "doc_id", "ntok", capacity=256, num_buckets=8)
 
 
+def q_expectations(spark, sf_dir):
+    """Declarative data-quality contract compiled into ONE aggregation
+    pass (deequ-style): row checks as conditional sums, uniqueness as
+    count-minus-distinct, all in a single job."""
+    from fbs_data_pipelines_spark.operators import expectations as X
+
+    o = _t(spark, sf_dir, "orders")
+    return X.validate(
+        o,
+        [
+            X.not_null("o_custkey"),
+            X.unique("o_orderkey"),
+            X.in_set("o_orderstatus", ["O", "F", "P"]),
+            X.in_range("o_totalprice", 0, 200000),
+            X.matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+
+
 def q_corpus_stats(spark, sf_dir):
     """Corpus report: per predicted language — doc count, token mass,
     mean quality, quality-pass count. One tokenize pass (text_profile)
@@ -1421,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "corpus_stats": q_corpus_stats,
         "histogram": q_histogram,
+        "expectations": q_expectations,
     }
 
 
@@ -2634,6 +2654,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_quality_pass
         FROM scored GROUP BY lang_pred
+    """
+
+    sql["expectations"] = """
+        WITH agg AS (
+            SELECT
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c0,
+                CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS c1,
+                CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0 OR o_totalprice > 200000)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c4
+            FROM orders
+        )
+        SELECT u.check_name, u.violations, u.violations = 0 AS passed
+        FROM agg, LATERAL (VALUES
+            ('not_null(o_custkey)', c0),
+            ('unique(o_orderkey)', c1),
+            ('in_set(o_orderstatus)', c2),
+            ('in_range(o_totalprice,0,200000)', c3),
+            ('matches(o_orderpriority)', c4)
+        ) AS u(check_name, violations)
     """
 
     sql["histogram"] = """

@@ -1266,6 +1266,18 @@ def q_sequence_packing(spark, sf_dir):
     return pack_sequences(d, "doc_id", "ntok", capacity=256, num_buckets=8)
 
 
+def q_ann_ivf_nprobe(spark, sf_dir):
+    """IVF ANN with multi-probe (nprobe=3 of 8 lists): the recall dial
+    opened — scans ~3/8 of the corpus per query instead of 1/8."""
+    from fbs_data_pipelines_spark.operators.similarity import ann_ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_topk(e, queries, k=5, num_centroids=8, nprobe=3)
+
+
 def q_expectations(spark, sf_dir):
     """Declarative data-quality contract compiled into ONE aggregation
     pass (deequ-style): row checks as conditional sums, uniqueness as
@@ -1441,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "histogram": q_histogram,
         "expectations": q_expectations,
+        "ann_ivf_nprobe": q_ann_ivf_nprobe,
     }
 
 
@@ -2654,6 +2667,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_quality_pass
         FROM scored GROUP BY lang_pred
+    """
+
+    sql["ann_ivf_nprobe"] = """
+        WITH n AS (SELECT greatest(1, count(*) // 8) AS step FROM embeddings),
+        cents AS (
+            SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS centroid_id,
+                   embedding AS cvec
+            FROM embeddings, n WHERE vec_id % n.step = 0
+        ),
+        ranked AS (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                           c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        assign AS (
+            SELECT vec_id, embedding, centroid_id FROM ranked WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qemb, centroid_id
+            FROM ranked WHERE vec_id < 5 AND rn <= 3
+        ),
+        scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                q.qemb::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS sim
+            FROM assign a JOIN q USING (centroid_id)
+            WHERE a.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= 5
     """
 
     sql["expectations"] = """

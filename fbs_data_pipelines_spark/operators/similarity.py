@@ -289,23 +289,37 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine; ties →
-    lowest centroid_id). Broadcast the K centroids, score K per row
-    (narrow), argmax via max_by over a deterministic struct. Adds
-    ``centroid_id``."""
+    """Assign each vector to its ``n`` nearest centroids (max cosine;
+    ties → lowest centroid_id). Broadcast the K centroids, score K per
+    row (narrow). ``n=1`` (the inverted-file build) uses a max_by
+    aggregate — one shuffle, one row out per vector. ``n>1`` (query
+    multi-probe) ranks via a window and emits one row per probed
+    centroid. Adds ``centroid_id``."""
     scored = df.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("centroid_id"),
         cosine_similarity(vec_col, "centroid_vec").alias("__sim"),
     )
-    best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.col("centroid_id"), F.struct(F.col("__sim"), -F.col("centroid_id"))
-        ).alias("centroid_id")
+    if n == 1:
+        best = scored.groupBy(id_col).agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("__sim"), -F.col("centroid_id")),
+            ).alias("centroid_id")
+        )
+        return df.join(best, id_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
     )
-    return df.join(best, id_col)
+    picked = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .select(id_col, "centroid_id")
+    )
+    return df.join(picked, id_col)
 
 
 def ann_ivf_topk(
@@ -317,13 +331,17 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_rows: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are bucketed by nearest centroid
-    (the inverted file); each query probes ONLY its own centroid's
-    list (nprobe=1). Scanned fraction ≈ 1/num_centroids — the standard
-    recall/throughput dial (raise nprobe by unioning more centroid
-    lists). Same output shape as the exact path. ``n_rows`` (optional)
-    skips the centroid-sizing count when the corpus size is known."""
+    (the inverted file); each query probes its ``nprobe`` nearest
+    centroids' lists. Scanned fraction ≈ nprobe/num_centroids — the
+    standard recall/throughput dial; ``nprobe=num_centroids`` scans
+    everything and exactly reproduces the brute-force ranking (tested).
+    Corpus lists are disjoint (each vector lives in ONE list), so
+    multi-probe never produces duplicate candidates. Same output shape
+    as the exact path. ``n_rows`` (optional) skips the centroid-sizing
+    count when the corpus size is known."""
     # centroids feed two broadcast assigns; persist the k-row table so
     # the corpus isn't re-scanned to derive it for each branch
     cents = ivf_centroids(corpus, num_centroids, id_col, vec_col, n_rows).persist()
@@ -338,6 +356,7 @@ def ann_ivf_topk(
         cents,
         query_id_col,
         "__qvec",
+        n=nprobe,
     )
     from fbs_data_pipelines_spark.functions.vectors import dot_product, l2_norm
 

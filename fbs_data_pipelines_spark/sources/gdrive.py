@@ -238,15 +238,36 @@ class SheetsClient:
         spreadsheet_id: str,
         sheet_name: str = "Sheet1",
         clear_existing: bool = True,
+        chunk_rows: int = 10_000,
     ) -> dict:
         """Export-normalized [header]+rows payload → optional clear →
         USER_ENTERED update (write_dataframe_to_sheet,
         gsheets_handler.py:119-171). The collect is the contractual
         driver-bound K1 edge (capped upstream by export_payload for
-        pipeline loads)."""
-        payload = [list(df.columns)] + df_to_rows(normalize_for_export(df))[1:]
+        pipeline loads).
+
+        Large payloads are CHUNKED: the Sheets API rejects oversized
+        update bodies, so rows upload ``chunk_rows`` at a time into
+        successive ranges (header rides with the first chunk). Returns
+        the summed response (updatedCells across chunks)."""
+        rows = df_to_rows(normalize_for_export(df))[1:]
+        payload = [list(df.columns)] + rows
         if clear_existing:
             self.transport.clear_values(spreadsheet_id, sheet_name)
-        return self.transport.update_values(
-            spreadsheet_id, sheet_name, payload, value_input_option="USER_ENTERED"
-        )
+        if len(payload) <= chunk_rows:
+            return self.transport.update_values(
+                spreadsheet_id, sheet_name, payload,
+                value_input_option="USER_ENTERED",
+            )
+        total = 0
+        responses = []
+        for start in range(0, len(payload), chunk_rows):
+            chunk = payload[start : start + chunk_rows]
+            # A1-notation row offset: chunk i starts at row start+1
+            rng = f"{sheet_name}!A{start + 1}"
+            resp = self.transport.update_values(
+                spreadsheet_id, rng, chunk, value_input_option="USER_ENTERED"
+            )
+            responses.append(resp)
+            total += int(resp.get("updatedCells", 0))
+        return {"updatedCells": total, "chunks": len(responses)}

@@ -209,3 +209,19 @@ def test_sheets_write_protocol_and_roundtrip(spark, drive):
     rows = df.collect()
     assert df.columns == ["a", "b", "c"]
     assert rows[1]["b"] is None  # short row padded with nulls
+
+
+def test_sheets_chunked_upload(spark):
+    st = FakeSheetsTransport()
+    sheets = SheetsClient(st)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(25)], "id long, v string"
+    )
+    resp = sheets.write_df(df, "big-sheet", chunk_rows=10)
+    # 26 payload rows (header + 25) → 3 chunks at successive offsets
+    assert resp["chunks"] == 3
+    updates = [c for c in st.calls if c[0] == "update"]
+    assert [c[2] for c in updates] == [
+        "Sheet1!A1", "Sheet1!A11", "Sheet1!A21",
+    ]
+    assert resp["updatedCells"] == 26 * 2

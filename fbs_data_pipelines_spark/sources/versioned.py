@@ -64,9 +64,17 @@ class VersionedTable:
 
     # -- pointer protocol ----------------------------------------------
     def latest_version(self) -> int | None:
-        """Resolve the commit pointer; None for an empty table."""
+        """Resolve the commit pointer; None for an empty table.
+
+        A missing pointer on a table WITH complete version directories
+        means a crash landed inside the pointer-swap window —
+        auto-recover to the highest complete snapshot rather than
+        silently treating the table as empty (which would let a
+        subsequent merge() discard all history from its input)."""
         ptr = self._p("_latest")
         if not self._fs.exists(ptr):
+            if self._fs.exists(self._p("data")):
+                return self.recover()
             return None
         stream = self._fs.open(ptr)
         try:

@@ -86,12 +86,13 @@ def test_recover_rebuilds_lost_pointer(spark, table_path):
     t = VersionedTable(spark, table_path)
     t.commit(_df(spark, [("1", "a", "x")]))
     t.commit(_df(spark, [("1", "b", "x")]))
-    # crash inside the commit window: pointer file lost entirely
+    # crash inside the commit window: pointer file lost entirely —
+    # the next pointer resolution AUTO-recovers to the highest
+    # complete snapshot (a data-bearing table never reads as empty)
     import os
 
     os.remove(f"{table_path}/_latest")
-    assert t.latest_version() is None
-    assert t.recover() == 2  # highest COMPLETE snapshot wins
+    assert t.latest_version() == 2
     assert [r.v for r in t.read().collect()] == ["b"]
 
 

@@ -1278,6 +1278,41 @@ def q_ann_ivf_nprobe(spark, sf_dir):
     return ann_ivf_topk(e, queries, k=5, num_centroids=8, nprobe=3)
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end curation pipeline as ONE lazy plan: Gopher quality
+    gate (bounds tuned to this corpus: shorter docs allowed, stopword
+    probe off — the synthetic vocabulary lacks the probe words) →
+    exact-dedup keeper (min doc_id per normalized-content hash) →
+    deterministic 50% sample. The composition Catalyst sees whole —
+    filters fuse, the only shuffle is the dedup groupBy; the sample
+    is a pushed-down narrow filter."""
+    from fbs_data_pipelines_spark.operators.quality import gopher_quality_flags
+    from fbs_data_pipelines_spark.operators.sampling import sample_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    passed = (
+        gopher_quality_flags(
+            d, "doc_id", "text",
+            bounds={"min_words": 30, "min_stopword_hits": 0},
+        )
+        .filter(F.col("gopher_pass"))
+        .select("doc_id")
+        .join(d, "doc_id")
+    )
+    keepers = (
+        passed.select(
+            "doc_id", F.md5(normalize_text("text")).alias("__h")
+        )
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sampled = keepers.filter(
+        sample_bucket("doc_id", salt="curate") < int(0.5 * 65536)
+    )
+    return sampled
+
+
 def q_expectations(spark, sf_dir):
     """Declarative data-quality contract compiled into ONE aggregation
     pass (deequ-style): row checks as conditional sums, uniqueness as
@@ -1454,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "expectations": q_expectations,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -2667,6 +2703,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_quality_pass
         FROM scored GROUP BY lang_pred
+    """
+
+    # the tuned gate compares the gopher subquery's ROUNDED metrics;
+    # at 6dp with per-doc denominators < 100 a raw value can only sit
+    # within 5e-7 of these thresholds by equaling them exactly, so the
+    # rounded and raw comparisons provably agree
+    sql["corpus_curation"] = f"""
+        WITH gq AS ({sql["gopher_quality"]}),
+        passed AS (
+            SELECT d.doc_id, d.text
+            FROM documents d
+            JOIN gq ON gq.doc_id = d.doc_id
+            WHERE gq.n_words >= 30 AND gq.n_words <= 100000
+              AND gq.mean_word_len >= 3.0 AND gq.mean_word_len <= 10.0
+              AND gq.symbol_word_ratio <= 0.1
+              AND gq.bullet_line_frac <= 0.9
+              AND gq.ellipsis_line_frac <= 0.3
+              AND gq.alpha_word_frac >= 0.8
+        ),
+        hashed AS (
+            SELECT doc_id, md5({_NORM}) AS h FROM passed
+        ),
+        keepers AS (
+            SELECT min(doc_id) AS doc_id FROM hashed GROUP BY h
+        )
+        SELECT doc_id FROM keepers
+        WHERE {_hex4("'curate:' || CAST(doc_id AS VARCHAR)")} < {int(0.5 * 65536)}
     """
 
     sql["ann_ivf_nprobe"] = """

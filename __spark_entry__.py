@@ -568,10 +568,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     cutoff engaged (max_df=50): hot boilerplate shingles are dropped
     before the self-join so one ubiquitous phrase can't fan out O(df²)
     candidate pairs. The oracle applies the identical cutoff."""
+    from fbs_data_pipelines_spark.caching import carry_cache
+
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard(d, "doc_id", "text", n=3, max_df=50).filter(
-        F.col("jaccard") >= 0.5
-    )
+    pairs = ngram_jaccard(d, "doc_id", "text", n=3, max_df=50)
+    return carry_cache(pairs.filter(F.col("jaccard") >= 0.5), pairs)
 
 
 def q_simhash(spark, sf_dir):
@@ -690,9 +691,13 @@ def q_dedup_clusters(spark, sf_dir):
     min-label propagation; oracle = recursive CTE)."""
     from fbs_data_pipelines_spark.operators.dedup import dup_clusters
 
+    from fbs_data_pipelines_spark.caching import carry_cache
+
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
-    return dup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    return carry_cache(
+        dup_clusters(pairs).withColumnRenamed("id", "doc_id"), pairs
+    )
 
 
 def q_tfidf(spark, sf_dir):

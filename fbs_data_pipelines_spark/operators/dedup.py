@@ -123,7 +123,12 @@ def minhash_lsh_pairs(
     hashes) → self-join per band bucket (candidates) → verify with
     exact shingle-set Jaccard → filter ≥ threshold. Returns
     (id_a, id_b, jaccard) with id_a < id_b, rounded to 4dp.
+
+    Cached intermediates are scope-attached to the result — call
+    ``caching.release_cache(result)`` after consuming it.
     """
+    from fbs_data_pipelines_spark.caching import CacheScope
+
     rows_per_band = num_hashes // bands
 
     # The shingle table feeds BOTH the signature pass and the verify
@@ -133,18 +138,14 @@ def minhash_lsh_pairs(
     # both ≪ input size). On a cluster the same role is played by a
     # shuffle-materialized temp or exchange reuse; MEMORY_AND_DISK
     # spills safely if a 100 TB corpus makes sh large.
-    from pyspark.storagelevel import StorageLevel
-
-    sh = shingle_table(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    scope = CacheScope()
+    sh = scope.persist(shingle_table(df, id_col, text_col, n))
     # fuse the per-doc shingle-set size into the signature aggregate:
     # one pass over sh produces signatures AND the |A| sizes the
     # Jaccard verification needs (saves a second full groupBy scan)
-    sig = (
+    sig = scope.persist(
         sh.groupBy(id_col)
         .agg(*_minhash_aggs(num_hashes), F.count("*").alias("sz"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     band_cols = []
@@ -204,7 +205,9 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    return scope.attach(
+        jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    )
 
 
 def ngram_jaccard(
@@ -231,14 +234,18 @@ def ngram_jaccard(
     ``max_df`` set (e.g. 1000); MinHash-LSH remains the preferred
     sub-quadratic path.
 
-    Returns (id_a, id_b, jaccard rounded 4dp)."""
-    from pyspark.storagelevel import StorageLevel
+    Cached intermediates are scope-attached to the result — call
+    ``caching.release_cache(result)`` after consuming it.
 
+    Returns (id_a, id_b, jaccard rounded 4dp)."""
+    from fbs_data_pipelines_spark.caching import CacheScope
+
+    scope = CacheScope()
     sh = shingle_table(df, id_col, text_col, n)
     if max_df is not None:
         # raw shingles feed BOTH the hot-shingle census and the
         # filtered universe — materialize once, don't re-shingle
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = scope.persist(sh)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("__df"))
@@ -249,7 +256,7 @@ def ngram_jaccard(
     # the (filtered) shingle table has THREE consumers (sizes + both
     # self-join sides); without persist the shingling subtree executes
     # three times — at scale the explode is the dominant cost
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = scope.persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -260,7 +267,7 @@ def ngram_jaccard(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    return scope.attach(
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .select(
@@ -359,14 +366,17 @@ def simhash_pairs(
     Candidate generation: split the signature into ``chunks`` equal
     bit-ranges; by pigeonhole, pairs within hamming ≤ chunks-1 share
     at least one chunk — self-join per chunk bucket, then exact
-    hamming verify via bit_count(xor). Returns (id_a, id_b, hamming).
+    hamming verify via bit_count(xor). Returns (id_a, id_b, hamming);
+    cached intermediates are scope-attached to the result — call
+    ``caching.release_cache(result)`` after consuming it.
     """
-    from pyspark.storagelevel import StorageLevel
+    from fbs_data_pipelines_spark.caching import CacheScope
 
     # persist: the signature subtree (interpreted higher-order lambdas
     # over token arrays — the expensive part) feeds BOTH sides of the
     # bucket self-join; without materialization it computes twice
-    sig = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    scope = CacheScope()
+    sig = scope.persist(simhash(df, id_col, text_col, bits))
     chunk_bits = bits // chunks
     # chunk extraction MUST be integer bit arithmetic: double division
     # (x / 2^45) loses mantissa precision for x > 2^53 and silently
@@ -402,7 +412,7 @@ def simhash_pairs(
     # that already passed — orders of magnitude fewer rows than
     # deduping every (pair × shared-chunk) candidate row first
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    return scope.attach(
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.cast("long").alias("hamming"))

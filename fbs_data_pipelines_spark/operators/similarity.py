@@ -202,22 +202,24 @@ def embedding_neardup_pairs(
     # fold instead of dot + two norm folds (3× fewer interpreted
     # lambda evaluations on the O(n²) exact path). Arithmetic is
     # identical: dot / (sqrt(ssa) * sqrt(ssb)) either way.
+    scope = None
     if use_lsh:
         # compute norm + hyperplane buckets ONCE and persist: both
         # sides of the bucket self-join read the cached table instead
         # of re-scanning and re-hashing the corpus (the plane dots are
-        # num_planes folds per vector — the heavy narrow work here)
-        from pyspark.storagelevel import StorageLevel
+        # num_planes folds per vector — the heavy narrow work here).
+        # The cache is scope-attached to the result — call
+        # caching.release_cache(result) after consuming it.
+        from fbs_data_pipelines_spark.caching import CacheScope
 
+        scope = CacheScope()
         base = (
             ensure_parallelism(
                 df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
             )
             .withColumn("__n", l2_norm("__v"))
         )
-        base = lsh_bucket(base, "__v", num_planes, dim).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        base = scope.persist(lsh_bucket(base, "__v", num_planes, dim))
         a = base.select(
             F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
             F.col("__n").alias("__na"), "bucket",
@@ -248,10 +250,11 @@ def embedding_neardup_pairs(
     sim = F.when(denom == 0, F.lit(None)).otherwise(
         dot_product("__va", "__vb") / denom
     )
-    return (
+    out = (
         pairs.select("id_a", "id_b", round_half_up(sim, 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+    return scope.attach(out) if scope is not None else out
 
 
 def ivf_centroids(
@@ -343,8 +346,12 @@ def ann_ivf_topk(
     as the exact path. ``n_rows`` (optional) skips the centroid-sizing
     count when the corpus size is known."""
     # centroids feed two broadcast assigns; persist the k-row table so
-    # the corpus isn't re-scanned to derive it for each branch
-    cents = ivf_centroids(corpus, num_centroids, id_col, vec_col, n_rows).persist()
+    # the corpus isn't re-scanned to derive it for each branch (cache
+    # is scope-attached to the result — release_cache after consuming)
+    from fbs_data_pipelines_spark.caching import CacheScope
+
+    scope = CacheScope()
+    cents = scope.persist(ivf_centroids(corpus, num_centroids, id_col, vec_col, n_rows))
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
         cents,
@@ -379,7 +386,7 @@ def ann_ivf_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    return scope.attach(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "sim", "rank")

@@ -25,6 +25,7 @@ from __future__ import annotations
 import csv
 import datetime as _dt
 import io
+import logging
 import os
 import tempfile
 from abc import ABC, abstractmethod
@@ -45,6 +46,8 @@ from fbs_data_pipelines_spark.sources.rows import (
     ragged_row_rate,
     rows_to_df,
 )
+
+logger = logging.getLogger(__name__)
 
 CSV_MIME = "text/csv"
 FOLDER_MIME = "application/vnd.google-apps.folder"
@@ -228,8 +231,18 @@ class SheetsClient:
         if not values:
             raise ValueError(f"sheet {spreadsheet_id}!{range_name} is empty")
         header, data = values[0], values[1:]
-        if ragged_row_rate(data, len(header)) < 1.0:
-            data = pad_rows(data, len(header))
+        # pad unconditionally — O(n) and idempotent, so a ragged row
+        # the 20-row sample misses can never reach the constructor
+        # unpadded; ragged_row_rate stays a reported QA metric only
+        # (mirroring the reference's separate sampling-vs-padding
+        # roles, gsheets_handler.py:104-111)
+        rate = ragged_row_rate(data, len(header))
+        if rate < 1.0:
+            logger.warning(
+                "sheet %s!%s: sampled ragged-row match rate %.2f",
+                spreadsheet_id, range_name, rate,
+            )
+        data = pad_rows(data, len(header))
         return rows_to_df(spark, header, data)
 
     def write_df(

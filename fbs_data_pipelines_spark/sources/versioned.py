@@ -181,8 +181,10 @@ class VersionedTable:
         """Drop all but the newest ``keep_last`` versions (never the
         live one). Returns the versions removed."""
         live = self.latest_version()
-        hist = [v for v in self.history() if v != live]
-        removable = hist[:-keep_last] if keep_last > 0 else hist
+        hist = self.history()
+        keep = set(hist[-keep_last:]) if keep_last > 0 else set()
+        keep.add(live)
+        removable = [v for v in hist if v not in keep]
         for v in removable:
             self._fs.delete(self._p(f"data/v{v}"), True)
         return removable

@@ -23,6 +23,49 @@ from fbs_data_pipelines_spark.functions.cleaning import round_half_up
 from fbs_data_pipelines_spark.operators.audit import merge_snapshot
 
 
+def _swap_publish(spark, published_path: str, crash_after=None) -> None:
+    """Atomically-enough publish of ``<published>__staging`` over
+    ``published_path`` via rename, keeping a ``__old`` backup so a
+    crash at ANY step leaves a complete copy of the previous table
+    under either dst or bak (staging already holds the new one).
+
+    Step order matters: if a prior crash left the table ONLY under
+    bak, restore it to dst first — deleting bak while dst is absent
+    would destroy the sole surviving copy. The caller materialized
+    the staging write before calling, so the restored files are no
+    longer read by any live plan.
+
+    ``crash_after(step_name)`` is a test-only fault-injection hook
+    called after each step; raising from it simulates a crash there.
+    """
+    base = published_path.rstrip("/")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(base + "__staging"), conf
+    )
+    dst = jvm.org.apache.hadoop.fs.Path(base)
+    bak = jvm.org.apache.hadoop.fs.Path(base + "__old")
+    staging = jvm.org.apache.hadoop.fs.Path(base + "__staging")
+
+    def _step(name: str) -> None:
+        if crash_after is not None:
+            crash_after(name)
+
+    if not fs.exists(dst) and fs.exists(bak):
+        fs.rename(bak, dst)
+        _step("restore")
+    fs.delete(bak, True)  # stale backup from a crash after publish
+    _step("delete_stale_bak")
+    if fs.exists(dst):
+        fs.rename(dst, bak)
+        _step("retire_dst")
+    fs.rename(staging, dst)
+    _step("publish")
+    fs.delete(bak, True)
+    _step("cleanup")
+
+
 def streaming_snapshot_merge(
     spark: SparkSession,
     snapshot_dir: str,
@@ -71,6 +114,7 @@ def streaming_snapshot_merge(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
         backup_path = published_path.rstrip("/") + "__old"
+        tmp_path = published_path.rstrip("/") + "__staging"
         # a crash between the two publish renames below leaves the
         # table only under __old — recover from it on replay so the
         # checkpoint's exactly-once contract holds (previously a
@@ -95,24 +139,8 @@ def streaming_snapshot_merge(
         # driver), then swap via the Hadoop FS API (portable across
         # local/HDFS/S3A). The staging write MATERIALIZES the merge
         # before any rename touches the published copy.
-        tmp_path = published_path.rstrip("/") + "__staging"
         merged.write.mode("overwrite").parquet(tmp_path)
-        jvm = spark_b._jvm
-        conf = spark_b._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-            jvm.java.net.URI.create(tmp_path), conf
-        )
-        dst = jvm.org.apache.hadoop.fs.Path(published_path)
-        bak = jvm.org.apache.hadoop.fs.Path(backup_path)
-        staging = jvm.org.apache.hadoop.fs.Path(tmp_path)
-        # crash-ordering: at every point either dst or bak holds a
-        # complete copy of the previous table, and staging already
-        # holds the new one.
-        fs.delete(bak, True)  # stale backup from a crash after publish
-        if fs.exists(dst):
-            fs.rename(dst, bak)
-        fs.rename(staging, dst)
-        fs.delete(bak, True)
+        _swap_publish(spark_b, published_path)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

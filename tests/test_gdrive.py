@@ -211,6 +211,21 @@ def test_sheets_write_protocol_and_roundtrip(spark, drive):
     assert rows[1]["b"] is None  # short row padded with nulls
 
 
+def test_sheets_padding_is_unconditional(spark):
+    # one ragged row among many uniform ones: the 20-row QA sample can
+    # miss it, so padding must NOT be gated on the sampled rate — any
+    # ragged row reaching rows_to_df unpadded would fail or misalign
+    st = FakeSheetsTransport()
+    sheets = SheetsClient(st)
+    data = [["a", "b", "c"]] + [[str(i), "x", "y"] for i in range(200)]
+    data[137] = ["137"]  # the needle the sample will usually miss
+    st.sheets[("sheet-r", "Hoja1")] = data
+    df = sheets.read_sheet(spark, "sheet-r", "Hoja1")
+    row = df.filter(df["a"] == "137").collect()[0]
+    assert (row["b"], row["c"]) == (None, None)
+    assert df.count() == 200
+
+
 def test_sheets_chunked_upload(spark):
     st = FakeSheetsTransport()
     sheets = SheetsClient(st)

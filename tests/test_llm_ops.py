@@ -172,6 +172,30 @@ def test_ngram_jaccard_max_df_kills_hot_shingle_fanout(spark):
     assert got[(1, 2)] == round(3 / 5, 4)
 
 
+def test_release_cache_frees_operator_persists(spark):
+    # scoped persists must not outlive consumption: after
+    # release_cache the session's CacheManager is empty again, so
+    # repeated operator calls can't accumulate executor storage
+    from fbs_data_pipelines_spark.caching import release_cache
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()  # isolate from other tests' leftovers
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    for call in (
+        lambda: minhash_lsh_pairs(df, "doc_id", "text", num_hashes=4, bands=4),
+        lambda: ngram_jaccard(df, "doc_id", "text", n=3, max_df=10),
+        lambda: simhash_pairs(df, "doc_id", "text", max_hamming=60),
+    ):
+        out = call()
+        out.collect()
+        assert not cm.isEmpty()  # persist was live during consumption
+        release_cache(out)
+        assert cm.isEmpty(), "operator left cached tables behind"
+    release_cache(df)  # no-op on unscoped DataFrames
+
+
 def test_minhash_lsh_finds_planted_neardup(spark, docs):
     # rows_per_band=1 → candidate iff ANY of the 8 minhashes collide;
     # for J=7/9 that is 1-(2/9)^8 ≈ certain even with only 8 hashes

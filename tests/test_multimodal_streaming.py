@@ -302,6 +302,71 @@ def test_streaming_merge_recovers_from_mid_swap_crash(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.parametrize(
+    "start_state, crash_step",
+    [
+        # normal publish: prior table under dst
+        ("dst", "delete_stale_bak"),
+        ("dst", "retire_dst"),
+        ("dst", "publish"),
+        ("dst", "cleanup"),
+        # replay-after-crash: prior table ONLY under __old (the
+        # scenario where the pre-fix swap could delete the sole copy)
+        ("bak", "restore"),
+        ("bak", "delete_stale_bak"),
+        ("bak", "retire_dst"),
+        ("bak", "publish"),
+    ],
+)
+def test_swap_publish_survives_crash_at_every_step(spark, start_state, crash_step):
+    from fbs_data_pipelines_spark.streaming.merge import _swap_publish
+
+    tmp = tempfile.mkdtemp(prefix="swap_crash_")
+    pub = f"{tmp}/published"
+    prior = spark.createDataFrame([(1, "OLD")], "id long, v string")
+    new = spark.createDataFrame([(1, "NEW")], "id long, v string")
+    prior.write.parquet(pub if start_state == "dst" else pub + "__old")
+    new.write.parquet(pub + "__staging")
+
+    class Boom(Exception):
+        pass
+
+    def crash_after(step):
+        if step == crash_step:
+            raise Boom(step)
+
+    with pytest.raises(Boom):
+        _swap_publish(spark, pub, crash_after=crash_after)
+
+    # invariant: a COMPLETE copy survives — the new table if the
+    # publish rename landed, else the prior table under dst or bak
+    survivors = {}
+    for suffix in ("", "__old"):
+        try:
+            rows = spark.read.parquet(pub + suffix).collect()
+            survivors[suffix or "dst"] = {r.v for r in rows}
+        except Exception:
+            pass
+    assert survivors, f"no readable copy after crash at {crash_step}"
+    if crash_step in ("publish", "cleanup"):
+        assert survivors.get("dst") == {"NEW"}
+    else:
+        assert {"OLD"} in survivors.values()
+
+    # replay: re-stage the new table (merge_batch recomputes it from
+    # whichever copy survived) and re-run the swap to completion
+    import shutil as _sh
+
+    _sh.rmtree(pub + "__staging", ignore_errors=True)
+    new.write.parquet(pub + "__staging")
+    _swap_publish(spark, pub)
+    assert {r.v for r in spark.read.parquet(pub).collect()} == {"NEW"}
+    import os
+
+    assert not os.path.exists(pub + "__old")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --- schema registry ----------------------------------------------------
 
 

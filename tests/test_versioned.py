@@ -138,7 +138,10 @@ def test_vacuum_keeps_live_and_recent(spark, table_path):
     for i in range(5):
         t.commit(_df(spark, [("1", f"v{i}", "x")]))
     removed = t.vacuum(keep_last=2)
-    assert removed == [1, 2]
-    assert t.history() == [3, 4, 5]
+    assert removed == [1, 2, 3]  # keep_last counts the live version too
+    assert t.history() == [4, 5]
     assert [r.v for r in t.read().collect()] == ["v4"]
-    assert [r.v for r in t.read(version=3).collect()] == ["v2"]
+    assert [r.v for r in t.read(version=4).collect()] == ["v3"]
+    # keep_last=1 retains only the live version
+    assert t.vacuum(keep_last=1) == [4]
+    assert t.history() == [5]

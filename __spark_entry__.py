@@ -702,29 +702,37 @@ def q_dedup_clusters(spark, sf_dir):
 
 def q_tfidf(spark, sf_dir):
     """TF-IDF per (doc, term): explode tokens → tf counts → doc-freq
-    via a count window over tok → ln(N/df) weight. The corpus size N
-    is a 1-row agg joined as a broadcast scalar.
+    as an AGGREGATION over the persisted tf intermediate, joined back.
+    The corpus size N is a 1-row agg joined as a broadcast scalar.
 
-    The document frequency is a WINDOW over the tf result, not a
-    second aggregation branch: a branched plan re-executes the
-    tokenize+explode subtree (Spark re-aliases the self-referencing
-    branch, so exchange reuse can't kick in — observed 2× Generate in
-    the executed plan), and at 100 TB the tokenizer is the dominant
-    cost. Linear plan: scan → explode → tf shuffle → tok shuffle —
-    each stage runs exactly once."""
-    from pyspark.sql import Window as W
+    Document frequency must NOT be `count(*) over (partition by tok)`:
+    token frequency is Zipfian, so that window shuffles the full tf
+    table on the token and lands EVERY occurrence of a stopword-grade
+    token in one window partition — AQE cannot split window skew, and
+    at 100 TB that partition is the job. The aggregation form is
+    map-side combined (its output is vocabulary-sized), and the join
+    back broadcasts while the vocabulary fits an executor (else drop
+    the hint: a shuffle join AQE *can* skew-split). Persisting tf
+    keeps the tokenize+explode subtree executing ONCE — the property
+    the window linearization had — without inheriting its skew; the
+    cache is scope-attached, release_cache after consuming."""
+    from fbs_data_pipelines_spark.caching import CacheScope
     from fbs_data_pipelines_spark.functions.text import tokens
 
+    scope = CacheScope()
     d = _t(spark, sf_dir, "documents")
     tok = (
         d.select(F.col("doc_id"), F.explode(tokens("text")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    with_df = tf.withColumn("df", F.count("*").over(W.partitionBy("tok")))
+    tf = scope.persist(
+        tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
-    return (
-        with_df.crossJoin(F.broadcast(n_docs))
+    return scope.attach(
+        tf.join(F.broadcast(df_tbl), "tok")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "tok",
@@ -1388,37 +1396,106 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_streaming_merge(spark, sf_dir):
+    """End-to-end exactly-once streaming upsert: the C2 merge driven
+    through Structured Streaming's ``foreachBatch`` into a
+    ``VersionedTable`` (atomic pointer commit), then the published
+    state read back. Semantics are identical to ``merge_upsert`` on
+    the same subset, so the oracle is the same SQL replay — this row
+    gives the streaming/exactly-once machinery a hard oracle signal
+    instead of only batch-twin coverage.
+
+    Flow: v1 = published subset committed batch-side; one snapshot
+    micro-batch arrives via the CSV file source (the reference's
+    snapshot shape); foreachBatch merges and commits v2. tmp and
+    checkpoint dirs are recreated per run (idempotent re-runs); the
+    merge plan itself is distributed end to end — the driver only
+    orchestrates paths."""
+    import os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+    from fbs_data_pipelines_spark.streaming.merge import (
+        streaming_snapshot_merge,
+    )
+
+    base = os.path.join(
+        _tf.gettempdir(),
+        f"fbs_q_streaming_merge_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    snap_dir = os.path.join(base, "snaps")
+    pub = os.path.join(base, "pub")
+    ckpt = os.path.join(base, "ckpt")
+
+    subset = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+    published = subset.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    VersionedTable(spark, pub).commit(published)
+    snapshot = subset.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 0,
+            round_half_up(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit("X-RUSH"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    snapshot.write.option("header", True).csv(snap_dir)
+
+    q = streaming_snapshot_merge(
+        spark,
+        snap_dir,
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+        pub,
+        ckpt,
+        id_col="o_orderkey",
+        target_cols=["o_totalprice", "o_orderpriority"],
+        versioned=True,
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+    return VersionedTable(spark, pub).read()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries, so the window below is curated to cover every
     # distinct operator family (SURVEY §2 rows + the custom flagship
     # operators: asof/range joins, dedup clustering, banded simhash,
-    # LSH near-dup, cascading rollup, IVF ANN, tf-idf, grouped OLS).
-    # Entries after the fold are variants whose mechanism is already
-    # exercised by an in-window sibling (e.g. `lookup_join` ~ `map_join`,
-    # `cube` ~ `rollup`+`grouping_sets`) — all still oracle-checked by
-    # tools/check_oracle.py locally.
+    # LSH near-dup, cascading rollup, IVF ANN, tf-idf, grouped OLS,
+    # and the round-2 LLM-pipeline additions: Gopher quality, PII
+    # scrub, deterministic sampling, sequence packing, decontamination,
+    # expectations, curation composite, multi-probe IVF, streaming
+    # merge). Entries after the fold are variants whose mechanism is
+    # already exercised by an in-window sibling (`semi_join`/
+    # `anti_join` ~ `merge_upsert`'s C2 internals, `session_window` ~
+    # `sessionize`, `simhash` ~ `simhash_pairs`, `ann_lsh` ~ `ann_ivf`
+    # + `embedding_neardup_lsh`, `lookup_join` ~ `map_join`, `cube` ~
+    # `rollup`) — all still oracle-checked by tools/check_oracle.py
+    # locally.
     return {
         # --- reference-core relational surface (SURVEY §2) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
         "compound_filter": q_compound_filter,
-        "distinct": q_distinct,
         "join_suffix": q_join_suffix,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "map_join": q_map_join,
         "union_all": q_union_all,
         "sort_limit": q_sort_limit,
         "latest_snapshot": q_latest_snapshot,
         "string_funcs": q_string_funcs,
         "split_unnest": q_split_unnest,
-        "empty_to_null": q_empty_to_null,
         "date_parse": q_date_parse,
         "datediff": q_datediff,
         "conditional": q_conditional,
         "try_cast": q_try_cast,
-        "decimal_comma": q_decimal_comma,
         "cast_all_string": q_cast_all_string,
         "audit_log": q_audit_log,
         "merge_upsert": q_merge_upsert,
@@ -1426,14 +1503,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_having": q_groupby_having,
         "window_rank": q_window_rank,
         "rollup": q_rollup,
-        "grouping_sets": q_grouping_sets,
         "pivot": q_pivot,
         "cascading_rollup": q_cascading_rollup,
         "grouped_ols": q_grouped_ols,
-        # --- events / streaming twins ---------------------------------
+        # --- events / streaming ---------------------------------------
         "windowed_rollup": q_windowed_rollup,
         "sessionize": q_sessionize,
-        "session_window": q_session_window,
+        "streaming_merge": q_streaming_merge,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         # --- LLM-pipeline operators -----------------------------------
@@ -1444,17 +1520,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "multimodal_features": q_multimodal_features,
+        # --- corpus-quality / sampling / packing flagships ------------
+        "gopher_quality": q_gopher_quality,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "sequence_packing": q_sequence_packing,
+        "decontaminate": q_decontaminate,
+        "expectations": q_expectations,
+        "corpus_curation": q_corpus_curation,
         # --- SQL front door / big joins -------------------------------
         "join_5way": q_join_5way,
         "sql_exists": q_sql_exists,
         # ==== driver gate window ends here (50 entries) ===============
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "distinct": q_distinct,
+        "empty_to_null": q_empty_to_null,
+        "decimal_comma": q_decimal_comma,
+        "grouping_sets": q_grouping_sets,
+        "session_window": q_session_window,
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
         "lookup_join": q_lookup_join,
         "scalar_subquery": q_scalar_subquery,
         "multi_join_topn": q_multi_join_topn,
@@ -1481,20 +1573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_agg": q_array_agg,
         "fuzzy_match": q_fuzzy_match,
         "regexp_extract": q_regexp_extract,
-        # --- corpus-quality / sampling / packing extension ------------
-        "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
         "top_ngram": q_top_ngram,
-        "pii_scrub": q_pii_scrub,
-        "stratified_sample": q_stratified_sample,
         "train_split": q_train_split,
-        "sequence_packing": q_sequence_packing,
-        "decontaminate": q_decontaminate,
         "corpus_stats": q_corpus_stats,
         "histogram": q_histogram,
-        "expectations": q_expectations,
-        "ann_ivf_nprobe": q_ann_ivf_nprobe,
-        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -1802,6 +1885,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(o_totalprice AS VARCHAR),
                CAST(o_orderpriority AS VARCHAR)
         FROM snapshot WHERE o_orderkey NOT IN (SELECT o_orderkey FROM unchanged)
+    """
+
+    # streaming_merge replays merge_upsert's C2 semantics restricted to
+    # the o_custkey<=20 subset (the streamed snapshot is derived with
+    # the same deterministic perturbation)
+    sql["streaming_merge"] = """
+        WITH subset AS (SELECT * FROM orders WHERE o_custkey <= 20),
+        snapshot AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 0
+                        THEN floor((o_totalprice * 1.1) * 100.0 + 0.5) / 100.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   CASE WHEN o_orderkey % 100 = 0 THEN 'X-RUSH'
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM subset
+        ),
+        unchanged AS (
+            SELECT DISTINCT p.o_orderkey
+            FROM subset p JOIN snapshot s USING (o_orderkey)
+            WHERE NOT (p.o_totalprice <> s.o_totalprice)
+              AND NOT (p.o_orderpriority <> s.o_orderpriority)
+        )
+        SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+               CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+               CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
+        FROM subset WHERE o_orderkey IN (SELECT o_orderkey FROM unchanged)
+        UNION ALL
+        SELECT CAST(o_orderkey AS VARCHAR),
+               CAST(o_totalprice AS VARCHAR),
+               CAST(o_orderpriority AS VARCHAR)
+        FROM snapshot
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM unchanged)
     """
 
     sql["groupby_having"] = """

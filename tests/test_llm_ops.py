@@ -172,6 +172,24 @@ def test_ngram_jaccard_max_df_kills_hot_shingle_fanout(spark):
     assert got[(1, 2)] == round(3 / 5, 4)
 
 
+def test_tfidf_plan_no_token_window_single_tokenize(spark):
+    # the df side must be an aggregation joined back, never
+    # `count(*) over (partition by tok)` — Zipfian token frequency
+    # makes that window unsplittable skew at scale. And the
+    # tokenize+explode subtree must execute exactly once (persisted
+    # tf), not once per df/tf branch.
+    import __spark_entry__ as e
+    from fbs_data_pipelines_spark.caching import release_cache
+
+    df = e.queries()["tfidf"](spark, "/root/testdata/sf0.001")
+    df.collect()  # finalize the AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan_final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in plan_final
+    assert plan_final.count("Generate explode") <= 1
+    release_cache(df)
+
+
 def test_release_cache_frees_operator_persists(spark):
     # scoped persists must not outlive consumption: after
     # release_cache the session's CacheManager is empty again, so

@@ -5,13 +5,14 @@ metadata struct; transforms run as Arrow-batched pandas functions over
 ``mapInPandas`` so each task decodes a batch at a time without ever
 materializing the corpus on the driver.
 
-Decode kernels: ``decode_png`` is a REAL pure-stdlib PNG decoder
-(struct + zlib — works with no image libraries installed); formats
-that need external codecs (JPEG, audio, video) are represented by the
-deterministic sha256-derived fake decode, which also keeps the whole
-pipeline oracle-checkable. A production deployment dispatches on magic
-bytes to PIL/ffmpeg inside the same kernel; schema, partitioning, UDF
-signature, and batch shape are identical.
+Decode kernels: ``decode_png``, ``decode_bmp`` and ``decode_wav`` are
+REAL pure-stdlib decoders (struct + zlib — work with no media
+libraries installed); ``decode_media`` dispatches between them on
+magic bytes, with formats that need external codecs (JPEG, MP4)
+routed to the deterministic sha256-derived fake decode, which also
+keeps the whole pipeline oracle-checkable. A production deployment
+plugs PIL/ffmpeg into exactly that dispatch seam; schema,
+partitioning, UDF signature, and batch shape are identical.
 """
 
 from __future__ import annotations
@@ -158,6 +159,212 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         bs = sum(out[2::channels])
         luma = (0.299 * rs + 0.587 * gs + 0.114 * bs) / n
     return width, height, round(luma / 255.0, 6)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """REAL image decode for BMP — pure stdlib struct: parses the
+    BITMAPFILEHEADER + BITMAPINFOHEADER, walks the (bottom-up or
+    top-down) pixel array, and returns (width, height, mean_luma)
+    with Rec.601 luma rounded 6dp. Supports uncompressed 24/32-bit
+    BGR(A) and 8-bit greyscale-palette — the common uncompressed
+    shapes. Raises ValueError on non-BMP bytes, NotImplementedError
+    on compressed/exotic variants (RLE, 16-bit, core headers)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP")
+    pixel_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs unsupported")
+    width, height_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0 or bpp not in (8, 24, 32):
+        raise NotImplementedError(f"BMP compression={compression} bpp={bpp}")
+    height = abs(height_raw)
+    top_down = height_raw < 0
+    if width <= 0 or height == 0:
+        raise ValueError("bad BMP dimensions")
+    channels = bpp // 8
+    stride = (width * channels + 3) & ~3  # rows pad to 4 bytes
+    if len(payload) < pixel_off + stride * height:
+        raise ValueError("truncated BMP pixel array")
+
+    palette = None
+    if bpp == 8:
+        # palette sits between header and pixels: BGRX quads
+        pal_off = 14 + hdr_size
+        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+        raw_pal = payload[pal_off : pal_off + 4 * n_colors]
+        palette = [
+            0.299 * raw_pal[i + 2] + 0.587 * raw_pal[i + 1] + 0.114 * raw_pal[i]
+            for i in range(0, len(raw_pal), 4)
+        ]
+
+    total = 0.0
+    for row in range(height):
+        y = row if top_down else height - 1 - row
+        base = pixel_off + y * stride
+        line = payload[base : base + width * channels]
+        if bpp == 8:
+            total += sum(palette[v] for v in line)
+        else:
+            # BGR(A) order
+            bs = sum(line[0::channels])
+            gs = sum(line[1::channels])
+            rs = sum(line[2::channels])
+            total += 0.299 * rs + 0.587 * gs + 0.114 * bs
+    luma = total / (width * height)
+    return width, height, round(luma / 255.0, 6)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, float]:
+    """REAL audio decode for WAV — pure stdlib struct: parses the
+    RIFF/WAVE chunk list (fmt + data), and returns
+    (n_channels, n_frames, mean_abs_amplitude) with amplitude
+    normalized to [0, 1] and rounded 6dp — the audio analogue of the
+    image kernels' (width, height, mean_luma) triple, so one dispatch
+    kernel can emit a uniform feature row. Supports PCM 8/16-bit.
+    Raises ValueError on non-WAV bytes, NotImplementedError on
+    non-PCM encodings (float32, ADPCM, …)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    audio_format, n_channels, _rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"WAV format={audio_format} bits={bits}")
+    bytes_per = bits // 8
+    n_frames = len(data) // (bytes_per * n_channels)
+    n_samples = n_frames * n_channels
+    if n_samples == 0:
+        return n_channels, 0, 0.0
+    if bits == 8:
+        # unsigned 8-bit PCM centered at 128
+        total = sum(abs(v - 128) for v in data[: n_samples])
+        level = total / n_samples / 127.0
+    else:
+        vals = struct.unpack(f"<{n_samples}h", data[: n_samples * 2])
+        level = sum(abs(v) for v in vals) / n_samples / 32767.0
+    return n_channels, n_frames, round(level, 6)
+
+
+#: magic-byte table for the dispatch kernel, ordered by specificity
+_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "image", "png"),
+    (b"BM", "image", "bmp"),
+    (b"RIFF", "audio", "wav"),  # refined by the WAVE tag in sniff
+    (b"\xff\xd8\xff", "image", "jpeg"),
+    (b"\x00\x00\x00", "video", "mp4"),  # ftyp box length prefix
+)
+
+
+def sniff_format(payload: bytes) -> tuple[str, str]:
+    """(media_type, format) from magic bytes; ('unknown','bin') when
+    nothing matches. RIFF is only 'wav' when the WAVE form tag
+    follows (AVI shares the container)."""
+    for magic, mtype, fmt in _MAGIC:
+        if payload[: len(magic)] == magic:
+            if fmt == "wav" and payload[8:12] != b"WAVE":
+                return ("video", "avi") if payload[8:12] == b"AVI " else (
+                    "unknown", "riff"
+                )
+            return mtype, fmt
+    return "unknown", "bin"
+
+
+def decode_media(payload: bytes) -> tuple[str, str, int, int, float]:
+    """One decode entry point for mixed-format corpora: dispatch on
+    magic bytes to the REAL stdlib kernels (PNG, BMP, WAV) and to the
+    deterministic stub for codec-bound formats (JPEG, MP4, unknown —
+    the seam where a production deployment plugs PIL/ffmpeg; see
+    module docstring). Returns (media_type, format, dim_x, dim_y,
+    level): images use (width, height, mean_luma), audio uses
+    (n_channels, n_frames, mean_abs_amplitude). A payload whose real
+    decode fails mid-stream (truncated/exotic) falls back to the stub
+    with format suffixed '!err' so corrupt media is countable
+    downstream instead of killing the task."""
+    mtype, fmt = sniff_format(payload)
+    try:
+        if fmt == "png":
+            w, h, v = decode_png(payload)
+        elif fmt == "bmp":
+            w, h, v = decode_bmp(payload)
+        elif fmt == "wav":
+            w, h, v = decode_wav(payload)
+        else:
+            w, h, v = _fake_decode(payload)
+    except Exception:
+        # corrupt/truncated media breaks in arbitrary ways
+        # (struct.error, zlib.error, index math) — never the task
+        w, h, v = _fake_decode(payload)
+        fmt = fmt + "!err"
+    return mtype, fmt, w, h, v
+
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha", T.StringType()),
+        T.StructField("dim_x", T.IntegerType()),
+        T.StructField("dim_y", T.IntegerType()),
+        T.StructField("level", T.DoubleType()),
+    ]
+)
+
+
+def extract_media_features(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """Mixed-format batch feature extraction: ONE ``mapInPandas``
+    kernel, magic-byte dispatch per payload (``decode_media``). Same
+    Arrow batch shape and partition parallelism as the single-format
+    kernel; the output adds (media_type, format) so downstream
+    filters can route by modality."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf[binary_col]]
+            decoded = [decode_media(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "media_type": [t for t, _, _, _, _ in decoded],
+                    "format": [f for _, f, _, _, _ in decoded],
+                    "n_bytes": [len(p) for p in payloads],
+                    "content_sha": [
+                        hashlib.sha256(p).hexdigest() for p in payloads
+                    ],
+                    "dim_x": [x for _, _, x, _, _ in decoded],
+                    "dim_y": [y for _, _, _, y, _ in decoded],
+                    "level": [v for _, _, _, _, v in decoded],
+                },
+                columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel, schema=MEDIA_FEATURE_SCHEMA
+    )
 
 
 def extract_image_features(

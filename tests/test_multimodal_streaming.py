@@ -97,6 +97,124 @@ def _png_encode(width, height, pixels, channels=3, filter_type=0):
     )
 
 
+def _bmp_encode(width, height, bgr_rows, bpp=24, top_down=False):
+    """Minimal test-side BMP writer: uncompressed, BITMAPINFOHEADER.
+    ``bgr_rows`` is the pixel array in IMAGE order (top row first);
+    rows are written bottom-up unless top_down."""
+    import struct
+
+    channels = bpp // 8
+    stride = (width * channels + 3) & ~3
+    rows = [
+        bytes(bgr_rows[y * width * channels : (y + 1) * width * channels]).ljust(
+            stride, b"\x00"
+        )
+        for y in range(height)
+    ]
+    if not top_down:
+        rows = rows[::-1]
+    pixels = b"".join(rows)
+    hdr_h = height if not top_down else -height
+    info = struct.pack("<IiiHHIIiiII", 40, width, hdr_h, 1, bpp, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+    off = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    return file_hdr + info + pixels
+
+
+def _wav_encode(samples, n_channels=1, rate=8000, bits=16):
+    """Minimal test-side WAV writer (PCM)."""
+    import struct
+
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes(samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, rate,
+        rate * n_channels * bits // 8, n_channels * bits // 8, bits,
+    )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_bmp_golden_values():
+    from fbs_data_pipelines_spark.operators.multimodal import decode_bmp
+
+    # 2x1 BGR: pure red then pure white (written bottom-up with pad)
+    px = bytes([0, 0, 255, 255, 255, 255])
+    w, h, luma = decode_bmp(_bmp_encode(2, 1, px))
+    assert (w, h) == (2, 1)
+    assert luma == round((0.299 * 255 + 255.0) / 2 / 255.0, 6)
+    # top-down negative-height variant decodes identically
+    assert decode_bmp(_bmp_encode(2, 1, px, top_down=True)) == (w, h, luma)
+    # 32-bit BGRA: alpha ignored
+    px32 = bytes([255, 0, 0, 77])  # pure blue
+    assert decode_bmp(_bmp_encode(1, 1, px32, bpp=32)) == (
+        1, 1, round(0.114, 6)
+    )
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap")
+
+
+def test_decode_wav_golden_values():
+    from fbs_data_pipelines_spark.operators.multimodal import decode_wav
+
+    ch, frames, level = decode_wav(_wav_encode([0, 16384, -16384, 32767]))
+    assert (ch, frames) == (1, 4)
+    assert level == round((0 + 16384 + 16384 + 32767) / 4 / 32767.0, 6)
+    # stereo: frames = samples / channels
+    ch, frames, _ = decode_wav(_wav_encode([0, 0, 100, -100], n_channels=2))
+    assert (ch, frames) == (2, 2)
+    # 8-bit unsigned centered at 128
+    ch, frames, level = decode_wav(_wav_encode([128, 255], bits=8))
+    assert (ch, frames) == (1, 2)
+    assert level == round((0 + 127) / 2 / 127.0, 6)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_extract_media_features_mixed_batch(spark):
+    # ONE kernel, magic-byte dispatch: PNG + BMP + WAV decode for
+    # real, JPEG-ish and unknown payloads route to the stub, corrupt
+    # PNG falls back with '!err' instead of killing the task
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        _fake_decode,
+        extract_media_features,
+    )
+
+    png = _png_encode(2, 2, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]))
+    bmp = _bmp_encode(2, 1, bytes([0, 0, 255, 255, 255, 255]))
+    wav = _wav_encode([0, 16384, -16384, 32767])
+    jpg = b"\xff\xd8\xff\xe0" + b"\x42" * 64
+    junk = b"neither fish nor fowl"
+    bad_png = png[:20]  # magic ok, truncated body
+    df = spark.createDataFrame(
+        [(1, png), (2, bmp), (3, wav), (4, jpg), (5, junk), (6, bad_png)],
+        "doc_id long, content binary",
+    )
+    out = {r.doc_id: r for r in extract_media_features(df).collect()}
+    assert (out[1].media_type, out[1].format, out[1].dim_x, out[1].dim_y) == (
+        "image", "png", 2, 2
+    )
+    assert (out[2].media_type, out[2].format, out[2].dim_x, out[2].dim_y) == (
+        "image", "bmp", 2, 1
+    )
+    assert (out[3].media_type, out[3].format, out[3].dim_x, out[3].dim_y) == (
+        "audio", "wav", 1, 4
+    )
+    fw, fh, fv = _fake_decode(jpg)
+    assert (out[4].format, out[4].dim_x, out[4].dim_y, out[4].level) == (
+        "jpeg", fw, fh, fv
+    )
+    assert (out[5].media_type, out[5].format) == ("unknown", "bin")
+    assert out[6].format == "png!err"
+    assert out[6].dim_x == _fake_decode(bad_png)[0]
+
+
 def test_decode_png_golden_values(spark):
     from fbs_data_pipelines_spark.operators.multimodal import decode_png
 

@@ -8,8 +8,8 @@ transactional layer those operators cut over to — the same core ideas
 as public lakehouse formats (Delta/Iceberg), reduced to what the
 engine needs:
 
-- **immutable version directories**: every commit writes a fresh
-  ``data/v{N}`` parquet snapshot; nothing is modified in place;
+- **immutable version directories**: every commit writes fresh
+  parquet under ``data/v{N}``; nothing is modified in place;
 - **atomic commit**: a version becomes visible only when the 1-file
   ``_latest`` pointer is atomically replaced (Hadoop ``rename`` —
   portable across local/HDFS; object stores swap in their atomic
@@ -17,19 +17,34 @@ engine needs:
   live and the half-written directory invisible — readers can never
   observe a partial table;
 - **snapshot isolation**: readers resolve the pointer once and then
-  read an immutable directory — concurrent commits can't shear a
-  scan;
+  read immutable directories — concurrent commits can't shear a scan;
 - **time travel**: ``read(version=N)`` reads any retained version;
 - **MERGE-shaped upsert**: ``merge()`` runs the engine's C2
   join-merge against the current snapshot and commits the result as
   a new version — exactly the "becomes MERGE INTO with a lakehouse
   format" cutover, with history kept.
 
-At 100 TB the per-version full rewrite is the same cost the in-place
-merge already paid (the merge output IS the table); a production
-format adds file-level manifests so unchanged files are re-referenced
-instead of rewritten — the commit protocol here is unchanged by that
-optimization.
+Two storage modes, chosen at table creation:
+
+**Full-snapshot mode** (default, ``id_col=None``): every commit
+rewrites the whole table into ``data/v{N}``. Simple, schema-free,
+right for small published tables (the reference's Sheets-sized
+layer).
+
+**Bucketed incremental mode** (``id_col=...``): rows are
+hash-partitioned into ``n_buckets`` PK buckets (deterministic md5
+bucketing — stable across sessions and engines). Each version writes
+ONLY the buckets its merge touched; a JSON manifest
+(``manifests/v{N}.json``) maps every bucket to the version directory
+holding its live files, so unchanged buckets are re-referenced, not
+rewritten — a merge of k rows costs O(k + dirty-bucket data), not
+O(table). This is the file-level-manifest optimization a production
+format applies to the identical commit protocol; at 100 TB use
+thousands of buckets so a bucket ≈ one executor-sized file set.
+Bucketed tables normalize all columns to string at the first commit:
+the C2 merge output is all-string by contract (reference
+``get_table_updated``, log_handler.py:119-125), and a stable schema
+is what lets old clean buckets union with newly merged ones.
 """
 
 from __future__ import annotations
@@ -38,14 +53,24 @@ import json
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fbs_data_pipelines_spark.operators.audit import merge_snapshot
+
+#: partition column used for the bucketed layout (never user-visible)
+_BUCKET = "__bucket"
 
 
 class VersionedTable:
     """A pointer-committed, versioned parquet table."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str | None = None,
+        n_buckets: int = 16,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         jvm = spark._jvm
@@ -54,6 +79,16 @@ class VersionedTable:
         self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
             jvm.java.net.URI.create(self.path), conf
         )
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+        self._columns: list[str] | None = None
+        # an existing table's layout wins over constructor args — the
+        # mode is a property of the data on disk, not of the caller
+        meta = self._read_json("_table.json")
+        if meta is not None:
+            self.id_col = meta.get("id_col")
+            self.n_buckets = meta.get("n_buckets") or n_buckets
+            self._columns = meta.get("columns")
 
     # -- paths ----------------------------------------------------------
     def _p(self, rel: str):
@@ -61,6 +96,25 @@ class VersionedTable:
 
     def _data_dir(self, version: int) -> str:
         return f"{self.path}/data/v{version}"
+
+    # -- small JSON files over the Hadoop FS ----------------------------
+    def _read_json(self, rel: str) -> dict | None:
+        p = self._p(rel)
+        if not self._fs.exists(p):
+            return None
+        stream = self._fs.open(p)
+        try:
+            raw = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        return json.loads(raw.decode("utf-8"))
+
+    def _write_json(self, rel: str, obj: dict) -> None:
+        out = self._fs.create(self._p(rel), True)
+        try:
+            out.write(bytearray(json.dumps(obj).encode()))
+        finally:
+            out.close()
 
     # -- pointer protocol ----------------------------------------------
     def latest_version(self) -> int | None:
@@ -76,12 +130,7 @@ class VersionedTable:
             if self._fs.exists(self._p("data")):
                 return self.recover()
             return None
-        stream = self._fs.open(ptr)
-        try:
-            raw = bytes(stream.readAllBytes())
-        finally:
-            stream.close()
-        return int(json.loads(raw.decode("utf-8"))["version"])
+        return int(self._read_json("_latest")["version"])
 
     def _commit_pointer(self, version: int) -> None:
         """Atomically publish ``version``: write the new pointer to a
@@ -89,7 +138,7 @@ class VersionedTable:
         atomically on a posix FS; on HDFS we delete+rename inside the
         commit window, during which the previous DATA remains intact —
         a crash loses only the pointer file, and ``recover()`` can
-        restore it from the highest complete version directory)."""
+        restore it from the highest complete version)."""
         tmp = self._p(f"_latest.tmp.{version}")
         out = self._fs.create(tmp, True)
         try:
@@ -104,71 +153,23 @@ class VersionedTable:
         if not self._fs.rename(tmp, ptr):
             raise IOError(f"pointer commit failed for version {version}")
 
-    def recover(self) -> int | None:
-        """Rebuild a lost pointer (crash inside the commit window) by
-        pointing at the highest version directory with a parquet
-        ``_SUCCESS`` marker — i.e. the last COMPLETE snapshot."""
-        data_root = self._p("data")
-        if not self._fs.exists(data_root):
-            return None
-        best = None
-        for st in self._fs.listStatus(data_root):
-            name = st.getPath().getName()
-            if not name.startswith("v"):
-                continue
-            v = int(name[1:])
-            if self._fs.exists(
-                self._jvm.org.apache.hadoop.fs.Path(
-                    st.getPath(), "_SUCCESS"
-                )
-            ):
-                best = v if best is None else max(best, v)
-        if best is not None:
-            self._commit_pointer(best)
-        return best
-
-    # -- read / write ---------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (time travel with ``version``). Resolves the
-        pointer ONCE — the returned DataFrame scans an immutable
-        directory, so later commits cannot shear it."""
-        v = self.latest_version() if version is None else version
-        if v is None:
-            raise FileNotFoundError(f"versioned table {self.path} is empty")
-        return self.spark.read.parquet(self._data_dir(v))
-
-    def commit(self, df: DataFrame) -> int:
-        """Write ``df`` as the next version and publish it. The data
-        write is distributed and fully materialized (with parquet's
-        ``_SUCCESS`` marker) BEFORE the pointer moves."""
-        current = self.latest_version()
-        v = 1 if current is None else current + 1
-        df.write.mode("overwrite").parquet(self._data_dir(v))
-        self._commit_pointer(v)
-        return v
-
-    def merge(
-        self, snapshot: DataFrame, id_col: str, target_cols: Sequence[str]
-    ) -> int:
-        """MERGE-shaped upsert: play the engine's C2 join-merge against
-        the current version, commit the result as a new version. With
-        an empty table the snapshot itself becomes v1. History is
-        retained — ``read(version=...)`` sees every prior state."""
-        current = self.latest_version()
-        if current is None:
-            return self.commit(snapshot)
-        merged = merge_snapshot(
-            self.read(current), snapshot, id_col=id_col,
-            target_cols=list(target_cols),
-        )
-        return self.commit(merged)
-
-    def history(self) -> list[int]:
-        """Committed versions, oldest first (complete snapshots only)."""
+    def _complete_versions(self) -> list[int]:
+        """Version numbers with a complete snapshot on disk: bucketed
+        mode requires the manifest (written after the data); plain
+        mode requires parquet's ``_SUCCESS`` marker."""
+        out = []
+        if self.id_col is not None:
+            root = self._p("manifests")
+            if not self._fs.exists(root):
+                return []
+            for st in self._fs.listStatus(root):
+                name = st.getPath().getName()
+                if name.startswith("v") and name.endswith(".json"):
+                    out.append(int(name[1:-5]))
+            return sorted(out)
         data_root = self._p("data")
         if not self._fs.exists(data_root):
             return []
-        out = []
         for st in self._fs.listStatus(data_root):
             name = st.getPath().getName()
             if name.startswith("v") and self._fs.exists(
@@ -177,14 +178,226 @@ class VersionedTable:
                 out.append(int(name[1:]))
         return sorted(out)
 
+    def recover(self) -> int | None:
+        """Rebuild a lost pointer (crash inside the commit window) by
+        pointing at the last COMPLETE snapshot."""
+        versions = self._complete_versions()
+        if not versions:
+            return None
+        best = versions[-1]
+        self._commit_pointer(best)
+        return best
+
+    # -- bucketing ------------------------------------------------------
+    def _bucket_expr(self):
+        """Deterministic PK bucket: first 8 hex digits of
+        md5(pk-as-string) mod n_buckets. Content-derived (no engine
+        hash()), so the assignment is stable across Spark versions,
+        sessions, and partition layouts."""
+        h = F.conv(
+            F.substring(F.md5(F.col(self.id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        return F.pmod(h, F.lit(self.n_buckets)).cast("int")
+
+    def _write_buckets(self, df: DataFrame, version: int) -> None:
+        (
+            df.withColumn(_BUCKET, self._bucket_expr())
+            .repartition(_BUCKET)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(self._data_dir(version))
+        )
+
+    def _buckets_in_dir(self, version: int) -> list[int]:
+        out = []
+        for st in self._fs.listStatus(self._p(f"data/v{version}")):
+            name = st.getPath().getName()
+            if name.startswith(f"{_BUCKET}="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def _read_manifest(self, version: int) -> dict:
+        m = self._read_json(f"manifests/v{version}.json")
+        if m is None:
+            raise FileNotFoundError(
+                f"no manifest for version {version} of {self.path}"
+            )
+        return m
+
+    def _read_bucket_dirs(self, bucket_to_dir: dict[str, str]) -> DataFrame:
+        """Union the live files of the given buckets, grouped by the
+        version directory that holds them (one scan per directory,
+        basePath keeps partition discovery consistent)."""
+        by_dir: dict[str, list[str]] = {}
+        for b, d in bucket_to_dir.items():
+            by_dir.setdefault(d, []).append(b)
+        parts = []
+        for d, bs in sorted(by_dir.items()):
+            full = f"{self.path}/{d}"
+            paths = [f"{full}/{_BUCKET}={b}" for b in sorted(bs, key=int)]
+            parts.append(
+                self.spark.read.option("basePath", full).parquet(*paths)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        cols = self._columns or [c for c in out.columns if c != _BUCKET]
+        return out.select(*cols)
+
+    # -- read / write ---------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (time travel with ``version``). Resolves the
+        pointer ONCE — the returned DataFrame scans immutable
+        directories, so later commits cannot shear it."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"versioned table {self.path} is empty")
+        if self.id_col is not None:
+            return self._read_bucket_dirs(self._read_manifest(v)["buckets"])
+        return self.spark.read.parquet(self._data_dir(v))
+
+    def _write_table_meta(self, df: DataFrame) -> None:
+        if self._read_json("_table.json") is None:
+            self._columns = list(df.columns)
+            self._write_json(
+                "_table.json",
+                {
+                    "id_col": self.id_col,
+                    "n_buckets": self.n_buckets if self.id_col else None,
+                    "columns": self._columns if self.id_col else None,
+                },
+            )
+
+    def commit(self, df: DataFrame) -> int:
+        """Write ``df`` as the next version and publish it. The data
+        write is distributed and fully materialized (with parquet's
+        ``_SUCCESS`` marker) BEFORE the pointer moves; in bucketed
+        mode the manifest is written after the data and before the
+        pointer, so a manifest's existence implies complete data."""
+        current = self.latest_version()
+        v = 1 if current is None else current + 1
+        if self.id_col is not None:
+            # stable all-string schema — see module docstring
+            df = df.select(
+                [F.col(c).cast("string").alias(c) for c in df.columns]
+            )
+            self._write_table_meta(df)
+            self._write_buckets(df, v)
+            buckets = {str(b): f"data/v{v}" for b in self._buckets_in_dir(v)}
+            self._write_json(f"manifests/v{v}.json", {"buckets": buckets})
+        else:
+            self._write_table_meta(df)
+            df.write.mode("overwrite").parquet(self._data_dir(v))
+        self._commit_pointer(v)
+        return v
+
+    def merge(
+        self,
+        snapshot: DataFrame,
+        id_col: str | None = None,
+        target_cols: Sequence[str] = (),
+    ) -> int:
+        """MERGE-shaped upsert: play the engine's C2 join-merge against
+        the current version, commit the result as a new version. With
+        an empty table the snapshot itself becomes v1. History is
+        retained — ``read(version=...)`` sees every prior state.
+
+        Semantics differ by mode, matching each mode's input shape:
+        plain mode replays the reference's C2 merge, where the
+        snapshot is a FULL snapshot and therefore authoritative —
+        published rows absent from it are dropped. Bucketed mode
+        takes DELTA-shaped snapshots (that's what makes partial
+        rewrites possible), so it is a true MERGE INTO upsert:
+        matched-and-changed rows update, unmatched snapshot rows
+        insert, and published rows the delta never mentions survive —
+        inside dirty buckets via an extra anti-join union, outside
+        them by re-referencing the untouched files in the new
+        manifest at zero I/O cost."""
+        id_col = id_col or self.id_col
+        if id_col is None:
+            raise ValueError("merge() needs id_col (table or argument)")
+        current = self.latest_version()
+        if current is None:
+            return self.commit(snapshot)
+        if self.id_col is None:
+            merged = merge_snapshot(
+                self.read(current), snapshot, id_col=id_col,
+                target_cols=list(target_cols),
+            )
+            return self.commit(merged)
+
+        snap = snapshot.select(
+            [F.col(c).cast("string").alias(c) for c in snapshot.columns]
+        )
+        bucketed = snap.withColumn(_BUCKET, self._bucket_expr()).persist()
+        try:
+            dirty = sorted(
+                r[_BUCKET]
+                for r in bucketed.select(_BUCKET).distinct().collect()
+            )
+            manifest = self._read_manifest(current)["buckets"]
+            existing_dirty = {
+                b: d for b, d in manifest.items() if int(b) in set(dirty)
+            }
+            if existing_dirty:
+                current_rows = self._read_bucket_dirs(existing_dirty)
+                delta = bucketed.drop(_BUCKET)
+                # C2 keeps only unchanged-matched published rows (the
+                # snapshot is authoritative there); a delta upsert must
+                # ALSO keep published rows the delta never mentions
+                merged = merge_snapshot(
+                    current_rows, delta,
+                    id_col=id_col, target_cols=list(target_cols),
+                ).unionByName(
+                    current_rows.join(
+                        delta.select(id_col), id_col, "left_anti"
+                    )
+                )
+            else:
+                merged = bucketed.drop(_BUCKET)
+            v = current + 1
+            self._write_buckets(merged.select(*self._columns), v)
+            new_manifest = dict(manifest)
+            for b in self._buckets_in_dir(v):
+                new_manifest[str(b)] = f"data/v{v}"
+            self._write_json(f"manifests/v{v}.json", {"buckets": new_manifest})
+            self._commit_pointer(v)
+            return v
+        finally:
+            bucketed.unpersist()
+
+    def history(self) -> list[int]:
+        """Committed versions, oldest first (complete snapshots only)."""
+        return self._complete_versions()
+
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (never the
-        live one). Returns the versions removed."""
+        live one). Returns the versions whose snapshots were removed.
+
+        In bucketed mode a version DIRECTORY may still be referenced
+        by a retained manifest (clean buckets point at old dirs), so
+        only directories referenced by no retained manifest are
+        deleted; the dropped versions' manifests go away either way,
+        which is what retires them from ``history()``/time travel."""
         live = self.latest_version()
         hist = self.history()
         keep = set(hist[-keep_last:]) if keep_last > 0 else set()
         keep.add(live)
         removable = [v for v in hist if v not in keep]
+        if self.id_col is not None:
+            referenced: set[str] = set()
+            for v in keep:
+                if v is None:
+                    continue
+                referenced.update(self._read_manifest(v)["buckets"].values())
+            for v in removable:
+                self._fs.delete(self._p(f"manifests/v{v}.json"), False)
+            # a dropped version's dir survives while any kept manifest
+            # still references it
+            for v in removable:
+                if f"data/v{v}" not in referenced:
+                    self._fs.delete(self._p(f"data/v{v}"), True)
+            return removable
         for v in removable:
             self._fs.delete(self._p(f"data/v{v}"), True)
         return removable

@@ -133,6 +133,75 @@ def test_streaming_merge_versioned_cutover(spark, table_path):
     shutil.rmtree(root, ignore_errors=True)
 
 
+def test_bucketed_merge_rewrites_only_dirty_buckets(spark, table_path):
+    import os
+
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=8)
+    rows = [(str(i), f"v{i}", "x") for i in range(200)]
+    t.commit(_df(spark, rows))
+    v1_buckets = set(os.listdir(f"{table_path}/data/v1"))
+    assert len([d for d in v1_buckets if d.startswith("__bucket=")]) == 8
+
+    # upsert ONE row: the new version directory must contain exactly
+    # the one dirty bucket — O(k/bucket) rewrite, not O(table)
+    t.merge(_df(spark, [("7", "CHANGED", "x")]), target_cols=["v"])
+    v2_dirs = [
+        d for d in os.listdir(f"{table_path}/data/v2")
+        if d.startswith("__bucket=")
+    ]
+    assert len(v2_dirs) == 1
+
+    # manifest re-references the 7 clean buckets from v1
+    import json
+
+    m = json.load(open(f"{table_path}/manifests/v2.json"))
+    dirs = sorted(set(m["buckets"].values()))
+    assert dirs == ["data/v1", "data/v2"]
+    assert sum(1 for d in m["buckets"].values() if d == "data/v2") == 1
+
+    # correctness: the merge applied, everything else intact
+    out = {r.id: r.v for r in t.read().collect()}
+    assert out["7"] == "CHANGED"
+    assert out["8"] == "v8"
+    assert len(out) == 200
+    # time travel still sees the pre-merge value
+    assert {r.id: r.v for r in t.read(version=1).collect()}["7"] == "v7"
+
+
+def test_bucketed_mode_persists_in_table_meta(spark, table_path):
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    t.commit(_df(spark, [("1", "a", "x"), ("2", "b", "x")]))
+    # reopen WITHOUT layout args: the on-disk meta must win
+    t2 = VersionedTable(spark, table_path)
+    assert (t2.id_col, t2.n_buckets) == ("id", 4)
+    t2.merge(_df(spark, [("3", "c", "x")]), target_cols=["v"])
+    assert {r.id for r in t2.read().collect()} == {"1", "2", "3"}
+    assert t2.history() == [1, 2]
+    # insert-only merge into brand-new buckets keeps old rows
+    assert {r.id for r in t2.read(version=1).collect()} == {"1", "2"}
+
+
+def test_bucketed_vacuum_keeps_referenced_dirs(spark, table_path):
+    import os
+
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=8)
+    t.commit(_df(spark, [(str(i), f"v{i}", "x") for i in range(100)]))
+    t.merge(_df(spark, [("1", "A", "x")]), target_cols=["v"])
+    t.merge(_df(spark, [("2", "B", "x")]), target_cols=["v"])
+    removed = t.vacuum(keep_last=1)
+    assert removed == [1, 2]
+    assert t.history() == [3]
+    # v1's DIRECTORY must survive: the live manifest still references
+    # its clean buckets — only its manifest entry is retired
+    assert os.path.isdir(f"{table_path}/data/v1")
+    assert not os.path.exists(f"{table_path}/manifests/v1.json")
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
+    out = {r.id: r.v for r in t.read().collect()}
+    assert (out["1"], out["2"], out["3"]) == ("A", "B", "v3")
+    assert len(out) == 100
+
+
 def test_vacuum_keeps_live_and_recent(spark, table_path):
     t = VersionedTable(spark, table_path)
     for i in range(5):

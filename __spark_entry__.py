@@ -279,6 +279,19 @@ def q_latest_snapshot(spark, sf_dir):
     )
 
 
+def q_latest_snapshot_agg(spark, sf_dir):
+    """Skew-hardened twin of latest_snapshot: two-phase max_by
+    aggregation (map-side partial combine) instead of a row_number
+    window — the plan that survives Zipfian keys. Same oracle shape."""
+    from fbs_data_pipelines_spark.operators.joins import latest_snapshot_agg
+
+    e = _t(spark, sf_dir, "events")
+    latest = latest_snapshot_agg(e, ["user_id"], "event_id")
+    return latest.select(
+        "user_id", "event_id", "event_type", _ts_s("ts").alias("ts_s")
+    )
+
+
 def q_string_funcs(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     return p.select(
@@ -654,8 +667,6 @@ def q_ann_topk(spark, sf_dir):
     )
     return ann_topk_bruteforce(e, queries, k=5)
 
-
-# --- no-oracle queries (approximate / pandas-UDF plumbing) ----------------
 
 def q_ann_lsh(spark, sf_dir):
     from fbs_data_pipelines_spark.operators.similarity import ann_lsh_topk
@@ -1541,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "distinct": q_distinct,
+        "latest_snapshot_agg": q_latest_snapshot_agg,
         "empty_to_null": q_empty_to_null,
         "decimal_comma": q_decimal_comma,
         "grouping_sets": q_grouping_sets,
@@ -1762,6 +1774,10 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
             PARTITION BY user_id ORDER BY event_id DESC) = 1
     """
+
+    # max_by twin — event_id is unique per user, so the aggregation
+    # winner equals the window winner deterministically
+    sql["latest_snapshot_agg"] = sql["latest_snapshot"]
 
     sql["string_funcs"] = """
         SELECT p_partkey,

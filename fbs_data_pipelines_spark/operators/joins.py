@@ -155,8 +155,10 @@ def latest_snapshot(
     """Newest row per key (S8/O2 generalized: sort-by-createdTime-desc
     take-first, /root/reference/src/extraction_layer.py:35-36).
 
-    row_number over a window — one shuffle on ``partition_by``; at
-    scale prefer pre-partitioned input or a max-timestamp semi-join.
+    row_number over a window — one shuffle on ``partition_by``; fine
+    while keys are high-cardinality and balanced. For low-cardinality
+    or Zipfian keys use ``latest_snapshot_agg`` (two-phase max_by) —
+    window skew is unsplittable, aggregation skew combines map-side.
     """
     from pyspark.sql import Window
 
@@ -168,6 +170,46 @@ def latest_snapshot(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def latest_snapshot_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-hardened newest-row-per-key: ``max_by`` AGGREGATION
+    instead of a row_number window.
+
+    The window form shuffles EVERY row of a key into one task and
+    sorts there; with low-cardinality or Zipfian keys that task is the
+    job, and AQE cannot split window skew. An aggregate runs in two
+    phases: partial max_by inside each input partition (the hot key
+    collapses to one row per upstream partition BEFORE the shuffle),
+    then a final merge — shuffled volume is keys × upstream-partition
+    count, independent of per-key row counts. Same S8/O2 semantics
+    (newest file wins, /root/reference/src/extraction_layer.py:35-36).
+
+    ``max_by`` picks an arbitrary winner among order ties; pass
+    ``tiebreak`` columns (compared descending, after ``order_col``) to
+    make the winner deterministic — the struct comparison is
+    lexicographic, so (order_col, *tiebreak) must uniquely identify a
+    row for exact parity with ``latest_snapshot``'s sort."""
+    keys = list(partition_by)
+    others = [c for c in df.columns if c not in keys]
+    order_expr = (
+        F.struct(F.col(order_col), *[F.col(c) for c in tiebreak])
+        if tiebreak
+        else F.col(order_col)
+    )
+    packed = df.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in others]), order_expr
+        ).alias("__row")
+    )
+    return packed.select(
+        *keys, *[F.col("__row").getField(c).alias(c) for c in others]
     )
 
 

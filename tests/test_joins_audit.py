@@ -111,6 +111,45 @@ def test_latest_snapshot(spark):
     assert out == {"creditos": "new.csv", "radicados": "only.csv"}
 
 
+def test_latest_snapshot_agg_matches_window_form(spark):
+    import random
+
+    from fbs_data_pipelines_spark.operators.joins import latest_snapshot_agg
+
+    rng = random.Random(42)
+    # Zipfian-ish: one hot key with most rows, unique timestamps
+    rows = [
+        ("hot" if rng.random() < 0.8 else f"k{rng.randint(0, 5)}",
+         dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), f"f{i}.csv")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["entity", "created", "name"])
+    want = {
+        (r["entity"], r["created"], r["name"])
+        for r in latest_snapshot(df, ["entity"], "created").collect()
+    }
+    agg = latest_snapshot_agg(df, ["entity"], "created")
+    got = {(r["entity"], r["created"], r["name"]) for r in agg.collect()}
+    assert got == want
+    assert agg.columns == df.columns
+
+    # the whole point: two-phase aggregation (map-side partial), no
+    # Window operator anywhere in the executed plan
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "partial_max_by" in final or "partial" in final.lower()
+
+    # deterministic tie-breaking: equal timestamps resolved by name
+    ties = spark.createDataFrame(
+        [("e", dt.datetime(2024, 1, 1), "a.csv"),
+         ("e", dt.datetime(2024, 1, 1), "b.csv")],
+        ["entity", "created", "name"],
+    )
+    [r] = latest_snapshot_agg(ties, ["entity"], "created", tiebreak=["name"]).collect()
+    assert r["name"] == "b.csv"
+
+
 def test_asof_join(spark):
     import datetime as dt
 

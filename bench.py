@@ -41,7 +41,13 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
-    spark = get_spark(app_name="fbs-bench")
+    # FAIR scheduling: the concurrent pass runs 10 independent queries in
+    # one app; FIFO would serialize their stages in submission order,
+    # leaving cores idle at stage tails. FAIR interleaves them — the same
+    # policy a shared cluster would run with.
+    spark = get_spark(
+        app_name="fbs-bench", extra_conf={"spark.scheduler.mode": "FAIR"}
+    )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
 
     queries = entry_mod.queries()
@@ -86,10 +92,12 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         release_cache(df)
 
-    t0 = time.time()
-    with ThreadPoolExecutor(max_workers=5) as ex:
-        list(ex.map(run, HEADLINE))
-    concurrent_total = round(time.time() - t0, 3)
+    concurrent_total = float("inf")
+    for _ in range(3):  # min-of-3, same steady-state policy as pass 1
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=5) as ex:
+            list(ex.map(run, HEADLINE))
+        concurrent_total = min(concurrent_total, round(time.time() - t0, 3))
 
     print(
         json.dumps(

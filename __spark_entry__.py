@@ -1475,6 +1475,60 @@ def q_streaming_merge(spark, sf_dir):
     return VersionedTable(spark, pub).read()
 
 
+# --- shuffle-reduction levers (skew salting, runtime bloom) --------------
+
+def q_salted_join(spark, sf_dir):
+    """Skew-proof equi-join: lineitem×supplier through the explicit
+    salting lever (operators/partitioning.py). Result is EXACTLY the
+    plain join — salt only routes rows; the oracle is the plain SQL
+    join. At 100 TB this is the escape hatch when one hot key
+    overwhelms even AQE's skew splitting."""
+    from fbs_data_pipelines_spark.operators.partitioning import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, sup, "l_suppkey", num_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_bloom_join(spark, sf_dir):
+    """Semi-join reduction join: lineitem×(selective orders) through
+    bloom_filtered_join. The session enables Catalyst's runtime
+    Bloom-filter injection (InjectRuntimeFilter); at production scan
+    sizes the lineitem side is pre-filtered by a bloom over the
+    filtered orders keys BEFORE the shuffle. Results are exactly the
+    plain join's at any scale — the bloom's false positives die in the
+    join — so the oracle is plain SQL."""
+    from fbs_data_pipelines_spark.operators.partitioning import (
+        bloom_filtered_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    return (
+        bloom_filtered_join(
+            li, big_orders, li.l_orderkey == big_orders.o_orderkey
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            round_half_up(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries, so the window below is curated to cover every
@@ -1590,6 +1644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "corpus_stats": q_corpus_stats,
         "histogram": q_histogram,
+        "salted_join": q_salted_join,
+        "bloom_join": q_bloom_join,
     }
 
 
@@ -2939,6 +2995,25 @@ def oracle_sql() -> dict[str, str]:
                floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS bin_value
         FROM lineitem
         GROUP BY 1, 2
+    """
+
+    # salting / bloom reduction only change the physical route of rows,
+    # never the result — the oracles are the plain joins
+    sql["salted_join"] = """
+        SELECT s_nationkey,
+               count(*) AS n_items,
+               floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    """
+
+    sql["bloom_join"] = """
+        SELECT o_orderstatus,
+               count(*) AS n_items,
+               floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS total_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 400000
+        GROUP BY o_orderstatus
     """
 
     return sql

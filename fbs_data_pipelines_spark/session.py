@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom filters (off by default in OSS Spark): inject a
+        # might-contain predicate on the big side of a shuffle join when
+        # the other side carries a selective filter. Never changes
+        # results; default thresholds (creation side ≤10MB post-filter,
+        # application side ≥10GB scan) mean it only fires at the scale
+        # where the saved shuffle I/O dwarfs the bloom build.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -250,6 +250,45 @@ def test_salted_join_matches_plain_join(spark):
     assert plain == salted and len(plain) > 0
 
 
+def test_runtime_bloom_filter_injected_and_exact(spark, sf_dir):
+    """Inside runtime_bloom_scope a selective dim side injects a
+    might_contain predicate into the fact scan (semi-join reduction:
+    fact rows drop BEFORE the shuffle), and the result is exactly the
+    plain join's."""
+    from fbs_data_pipelines_spark.operators.partitioning import (
+        bloom_filtered_join,
+        runtime_bloom_scope,
+    )
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_totalprice > 400000"
+    )
+    plain = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    expect = sorted((r.o_orderstatus, r["count"]) for r in plain.collect())
+
+    with runtime_bloom_scope(spark):
+        j = bloom_filtered_join(
+            lineitem, orders, lineitem.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderstatus").count()
+        got = sorted((r.o_orderstatus, r["count"]) for r in j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan or "bloom" in plan.lower()
+    assert got == expect and len(got) > 0
+    # scope restored the session confs
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        != "1KB"
+    )
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """Co-located bucketed tables join with zero Exchange — the
     write-once-shuffle-never contract for 100 TB fact tables."""

@@ -1529,6 +1529,38 @@ def q_bloom_join(spark, sf_dir):
     )
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order clustered write + pruned read-back: lineitem is laid
+    out by the Morton code of (l_orderkey, l_partkey) so filters on
+    EITHER dimension skip most files (sources/layout.py; the
+    data-skipping win is asserted in tests/test_layout.py). Layout
+    never changes data — the oracle is the plain filter+agg."""
+    import os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from fbs_data_pipelines_spark.sources.layout import zorder_write
+
+    path = os.path.join(
+        _tf.gettempdir(),
+        f"fbs_q_zorder_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _sh.rmtree(path, ignore_errors=True)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    zorder_write(li, ["l_orderkey", "l_partkey"], path, n_files=8)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("l_partkey") <= 200)
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries, so the window below is curated to cover every
@@ -1646,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "salted_join": q_salted_join,
         "bloom_join": q_bloom_join,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -3014,6 +3047,16 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000
         GROUP BY o_orderstatus
+    """
+
+    # z-order is a physical layout — data round-trips unchanged
+    sql["zorder_layout"] = """
+        SELECT l_partkey,
+               count(*) AS n,
+               floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM lineitem
+        WHERE l_partkey <= 200
+        GROUP BY l_partkey
     """
 
     return sql

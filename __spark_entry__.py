@@ -1529,6 +1529,34 @@ def q_bloom_join(spark, sf_dir):
     )
 
 
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental materialized rollup (operators/incremental.py):
+    80% of orders is the already-materialized partial state, the other
+    20% arrives as a delta and is folded in by a groups-sized merge —
+    no rescan of the base. The final state must equal the full
+    aggregate, which is exactly the oracle."""
+    from fbs_data_pipelines_spark.operators.incremental import (
+        finalize,
+        incremental_rollup,
+    )
+
+    keys = ["o_orderstatus", "o_orderpriority"]
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 5 != 0)
+    delta = o.filter(F.col("o_orderkey") % 5 == 0)
+    state = incremental_rollup(None, base, keys, ["o_totalprice"])
+    state = incremental_rollup(state, delta, keys, ["o_totalprice"])
+    fin = finalize(state, ["o_totalprice"])
+    return fin.select(
+        *keys,
+        "n_rows",
+        round_half_up(F.col("sum_o_totalprice"), 2).alias("sum_price"),
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+        round_half_up(F.col("avg_o_totalprice"), 4).alias("avg_price"),
+    )
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order clustered write + pruned read-back: lineitem is laid
     out by the Morton code of (l_orderkey, l_partkey) so filters on
@@ -1679,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bloom_join": q_bloom_join,
         "zorder_layout": q_zorder_layout,
+        "incremental_rollup": q_incremental_rollup,
     }
 
 
@@ -3047,6 +3076,18 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000
         GROUP BY o_orderstatus
+    """
+
+    # the incrementally-maintained state must equal the full aggregate
+    sql["incremental_rollup"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_rows,
+               floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price,
+               floor(avg(o_totalprice) * 10000.0 + 0.5) / 10000.0 AS avg_price
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
     """
 
     # z-order is a physical layout — data round-trips unchanged

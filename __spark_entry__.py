@@ -1529,6 +1529,28 @@ def q_bloom_join(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/graph.py) over the
+    bipartite customer↔supplier graph induced by orders⋈lineitem —
+    the iterative-dataflow flagship. 5 iterations, deterministic, so
+    the oracle is the same recurrence unrolled in plain SQL."""
+    from fbs_data_pipelines_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + 1000000).alias("dst"),
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, n_iter=5)
+    return pr.select(
+        "id", round_half_up(F.col("rank"), 6).alias("pagerank")
+    )
+
+
 def q_incremental_rollup(spark, sf_dir):
     """Incremental materialized rollup (operators/incremental.py):
     80% of orders is the already-materialized partial state, the other
@@ -1708,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "zorder_layout": q_zorder_layout,
         "incremental_rollup": q_incremental_rollup,
+        "pagerank": q_pagerank,
     }
 
 
@@ -3076,6 +3099,42 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000
         GROUP BY o_orderstatus
+    """
+
+    # PageRank: the same fixed recurrence unrolled — pr0..pr5 chained
+    # CTEs, each one iteration of rank = 0.15 + 0.85 * Σ rank/outdeg
+    _pr_iters = "".join(
+        f""",
+        pr{i} AS (
+            SELECT n.id,
+                   0.15 + 0.85 * coalesce(sum(p.pr / od.outdeg), 0) AS pr
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.id
+            LEFT JOIN pr{i - 1} p ON p.id = e.src
+            LEFT JOIN outdeg od ON od.src = e.src
+            GROUP BY n.id
+        )"""
+        for i in range(1, 6)
+    )
+    sql["pagerank"] = f"""
+        WITH pairs AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                            CAST(l_suppkey AS BIGINT) + 1000000 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+            SELECT src, dst FROM pairs
+            UNION
+            SELECT dst, src FROM pairs
+        ),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        nodes AS (
+            SELECT DISTINCT src AS id FROM edges
+            UNION SELECT DISTINCT dst FROM edges
+        ),
+        pr0 AS (SELECT id, 1.0 AS pr FROM nodes){_pr_iters}
+        SELECT id, floor(pr * 1000000.0 + 0.5) / 1000000.0 AS pagerank
+        FROM pr5
     """
 
     # the incrementally-maintained state must equal the full aggregate

@@ -1529,6 +1529,26 @@ def q_bloom_join(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Grouped HyperLogLog distinct estimate (operators/sketches.py)
+    next to the exact count. The sketch is built from engine-portable
+    primitives (md5 / hex / bin), so the DuckDB oracle computes the
+    IDENTICAL registers and estimate — an approximate algorithm under
+    an exact cross-engine check."""
+    from fbs_data_pipelines_spark.operators.sketches import approx_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    approx = approx_distinct(li, ["l_returnflag"], "l_partkey")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        round_half_up(F.col("approx_distinct"), 4).alias("approx_distinct"),
+        "exact_distinct",
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (operators/graph.py) over the
     bipartite customer↔supplier graph induced by orders⋈lineitem —
@@ -1731,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "incremental_rollup": q_incremental_rollup,
         "pagerank": q_pagerank,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -3099,6 +3120,50 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000
         GROUP BY o_orderstatus
+    """
+
+    # HyperLogLog mirrored register-for-register: md5 hex[0:3] picks
+    # the bucket, hex[3:15] feeds rho via bin() bit-length, then the
+    # standard alpha correction + linear-counting small-range branch.
+    # Constants written as the same expressions Python evaluates so
+    # the IEEE doubles agree bit-for-bit.
+    sql["hll_distinct"] = """
+        WITH hashed AS (
+            SELECT l_returnflag, l_partkey,
+                   md5(CAST(l_partkey AS VARCHAR)) AS h
+            FROM lineitem WHERE l_partkey IS NOT NULL
+        ), regs AS (
+            SELECT l_returnflag,
+                   ('0x' || substr(h, 1, 3))::BIGINT AS bucket,
+                   max(CASE WHEN ('0x' || substr(h, 4, 12))::BIGINT = 0 THEN 49
+                            ELSE 49 - length(bin(('0x' || substr(h, 4, 12))::BIGINT))
+                       END) AS max_rho
+            FROM hashed GROUP BY 1, 2
+        ), packed AS (
+            SELECT l_returnflag,
+                   count(*) AS present,
+                   sum(power(2.0, -max_rho)) AS sum_pow
+            FROM regs GROUP BY 1
+        ), est AS (
+            SELECT l_returnflag, present,
+                   (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                       / (sum_pow + (4096.0 - present)) AS raw
+            FROM packed
+        ), approx AS (
+            SELECT l_returnflag,
+                   CASE WHEN raw <= 2.5 * 4096.0 AND (4096.0 - present) > 0
+                        THEN 4096.0 * ln(4096.0 / (4096.0 - present))
+                        ELSE raw END AS approx_distinct
+            FROM est
+        )
+        SELECT a.l_returnflag,
+               floor(a.approx_distinct * 10000.0 + 0.5) / 10000.0 AS approx_distinct,
+               e.exact_distinct
+        FROM approx a
+        JOIN (
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+            FROM lineitem GROUP BY 1
+        ) e USING (l_returnflag)
     """
 
     # PageRank: the same fixed recurrence unrolled — pr0..pr5 chained

@@ -366,6 +366,41 @@ class VersionedTable:
         finally:
             bucketed.unpersist()
 
+    def compact(self, n_files: int | None = None) -> int:
+        """OPTIMIZE: rewrite the live snapshot as one fresh version.
+
+        After many delta merges a bucketed table's live buckets point
+        at many historical version directories, each holding small
+        files — every read pays one scan per referenced directory and
+        the file-count tax grows with merge count. Compaction reads
+        the live snapshot, rewrites every bucket into a single new
+        directory (one file per bucket — the bucket-partitioned write
+        puts each bucket in exactly one task), and commits it through
+        the normal manifest+pointer protocol: readers are never
+        sheared, history and time travel are preserved, and once
+        retained manifests stop referencing the old directories,
+        ``vacuum()`` reclaims them.
+
+        Plain mode coalesces the snapshot to ``n_files`` (default: the
+        current partition count — pass 1 for a Sheets-sized table).
+        """
+        current = self.latest_version()
+        if current is None:
+            raise FileNotFoundError(
+                f"versioned table {self.path} is empty"
+            )
+        live = self.read(current)
+        if self.id_col is None:
+            if n_files is not None:
+                live = live.coalesce(n_files)
+            return self.commit(live)
+        v = current + 1
+        self._write_buckets(live.select(*self._columns), v)
+        buckets = {str(b): f"data/v{v}" for b in self._buckets_in_dir(v)}
+        self._write_json(f"manifests/v{v}.json", {"buckets": buckets})
+        self._commit_pointer(v)
+        return v
+
     def history(self) -> list[int]:
         """Committed versions, oldest first (complete snapshots only)."""
         return self._complete_versions()

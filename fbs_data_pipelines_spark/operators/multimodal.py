@@ -5,10 +5,11 @@ metadata struct; transforms run as Arrow-batched pandas functions over
 ``mapInPandas`` so each task decodes a batch at a time without ever
 materializing the corpus on the driver.
 
-Decode kernels: ``decode_png``, ``decode_bmp`` and ``decode_wav`` are
-REAL pure-stdlib decoders (struct + zlib — work with no media
-libraries installed); ``decode_media`` dispatches between them on
-magic bytes, with formats that need external codecs (JPEG, MP4)
+Decode kernels: ``decode_png``, ``decode_bmp``, ``decode_gif``,
+``decode_ppm`` and ``decode_wav`` are REAL pure-stdlib decoders
+(struct + zlib + a self-contained GIF-LZW inflater — work with no
+media libraries installed); ``decode_media`` dispatches between them
+on magic bytes, with formats that need external codecs (JPEG, MP4)
 routed to the deterministic sha256-derived fake decode, which also
 keeps the whole pipeline oracle-checkable. A production deployment
 plugs PIL/ffmpeg into exactly that dispatch seam; schema,
@@ -221,6 +222,162 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
     return width, height, round(luma / 255.0, 6)
 
 
+def _gif_lzw(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW decode (LSB-first bitstream, CLEAR/END codes,
+    code width growing to 12 bits) — the one compression every GIF
+    carries, per the GIF89a spec appendix."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    code_size = min_code_size + 1
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = dict(base)
+                code_size = min_code_size + 1
+                next_code = end + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK special case
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, float]:
+    """REAL image decode for GIF — pure Python LZW (no external
+    codec): parses the logical screen descriptor and color tables,
+    skips extension blocks, inflates the FIRST frame's LZW-compressed
+    index stream, and returns (width, height, mean_luma) with Rec.601
+    luma over the palette-mapped pixels, rounded 6dp. Raises
+    ValueError on non-GIF bytes, NotImplementedError on interlaced
+    frames (the progressive-render variant a PIL kernel would cover).
+    """
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    scr_w, scr_h, packed, _bg, _aspect = struct.unpack(
+        "<HHBBB", payload[6:13]
+    )
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = payload[pos : pos + n]
+        pos += n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor — decode this frame
+            _left, _top, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                pal = payload[pos : pos + n]
+                pos += n
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF frames")
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw(min_code, bytes(lzw))[: w * h]
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            luma_pal = [
+                0.299 * pal[3 * i] + 0.587 * pal[3 * i + 1] + 0.114 * pal[3 * i + 2]
+                for i in range(len(pal) // 3)
+            ]
+            luma = sum(luma_pal[v] for v in idx) / (w * h)
+            return scr_w or w, scr_h or h, round(luma / 255.0, 6)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """REAL image decode for binary PPM/PGM (netpbm P6/P5) — the
+    plainest raster format there is: an ASCII header (magic, width,
+    height, maxval, with '#' comments) followed by the raw raster.
+    Returns (width, height, mean_luma): PGM averages the grey plane,
+    PPM applies Rec.601, both normalized by maxval and rounded 6dp.
+    Raises ValueError on other netpbm variants (ASCII P1-P3) and
+    maxval > 255 (16-bit rasters)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    # header tokens: magic, width, height, maxval; '#' starts a comment
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos] not in (10, 13):
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+    pos += 1  # the single whitespace after maxval
+    if len(tokens) < 3:
+        raise ValueError("truncated netpbm header")
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm rasters unsupported")
+    channels = 3 if payload[:2] == b"P6" else 1
+    need = width * height * channels
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated netpbm raster")
+    if channels == 1:
+        luma = sum(raster) / (width * height)
+    else:
+        rs = sum(raster[0::3])
+        gs = sum(raster[1::3])
+        bs = sum(raster[2::3])
+        luma = (0.299 * rs + 0.587 * gs + 0.114 * bs) / (width * height)
+    return width, height, round(luma / maxval, 6)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, float]:
     """REAL audio decode for WAV — pure stdlib struct: parses the
     RIFF/WAVE chunk list (fmt + data), and returns
@@ -269,6 +426,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, float]:
 #: magic-byte table for the dispatch kernel, ordered by specificity
 _MAGIC = (
     (b"\x89PNG\r\n\x1a\n", "image", "png"),
+    (b"GIF87a", "image", "gif"),
+    (b"GIF89a", "image", "gif"),
+    (b"P5", "image", "pgm"),
+    (b"P6", "image", "ppm"),
     (b"BM", "image", "bmp"),
     (b"RIFF", "audio", "wav"),  # refined by the WAVE tag in sniff
     (b"\xff\xd8\xff", "image", "jpeg"),
@@ -305,6 +466,10 @@ def decode_media(payload: bytes) -> tuple[str, str, int, int, float]:
     try:
         if fmt == "png":
             w, h, v = decode_png(payload)
+        elif fmt == "gif":
+            w, h, v = decode_gif(payload)
+        elif fmt in ("ppm", "pgm"):
+            w, h, v = decode_ppm(payload)
         elif fmt == "bmp":
             w, h, v = decode_bmp(payload)
         elif fmt == "wav":

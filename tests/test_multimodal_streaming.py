@@ -767,3 +767,115 @@ def test_audit_from_registry(spark, dictionary):
     assert len(rows) == 1 and rows[0]["Credito"] == "C1"
     assert rows[0]["FechaGiro_antiguo"] == "2019-12-31"
     assert rows[0]["FechaGiro_nuevo"] == "2020-01-01"
+
+
+def _gif_encode(width, height, palette, indices):
+    """Minimal spec-valid GIF89a writer for goldens: global color
+    table, one frame, LZW emitting CLEAR before every pixel code so
+    the dictionary never grows (legal, if inefficient)."""
+    import struct
+
+    depth = max(1, (len(palette) - 1).bit_length())
+    field = depth - 1
+    n_entries = 2 << field
+    min_code = max(2, depth)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+
+    acc = nbits = 0
+    data = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for idx in indices:
+        emit(idx)
+        emit(clear)
+    emit(end)
+    if nbits:
+        data.append(acc & 0xFF)
+
+    gct = bytearray()
+    for rgb in list(palette) + [(0, 0, 0)] * (n_entries - len(palette)):
+        gct += bytes(rgb)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | field, 0, 0)
+    out += gct
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_golden_values():
+    from fbs_data_pipelines_spark.operators.multimodal import decode_gif
+
+    # 2x2 using a 4-color palette: red, green, blue, white — same
+    # Rec.601 luma as the PNG golden
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    payload = _gif_encode(2, 2, pal, [0, 1, 2, 3])
+    w, h, luma = decode_gif(payload)
+    expect = (0.299 * (255 + 255) + 0.587 * (255 + 255) + 0.114 * (255 + 255)) / 4
+    assert (w, h, luma) == (2, 2, round(expect / 255.0, 6))
+
+    # an extension block before the frame is skipped cleanly
+    ext = payload[:13 + 12] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + payload[13 + 12:]
+    assert decode_gif(ext) == (w, h, luma)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF89a_truncated")
+    with _pytest.raises(ValueError):
+        decode_gif(b"not a gif at all!!")
+
+
+def test_decode_ppm_golden_values():
+    from fbs_data_pipelines_spark.operators.multimodal import decode_ppm
+
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    ppm = b"P6\n# golden comment\n2 2\n255\n" + px
+    expect = (0.299 * (255 + 255) + 0.587 * (255 + 255) + 0.114 * (255 + 255)) / 4
+    assert decode_ppm(ppm) == (2, 2, round(expect / 255.0, 6))
+
+    pgm = b"P5 3 1 255 " + bytes([0, 128, 255])
+    assert decode_ppm(pgm) == (3, 1, round((0 + 128 + 255) / 3 / 255.0, 6))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n1 2 3")  # ASCII variant unsupported
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n" + px[:5])  # truncated raster
+
+
+def test_mixed_batch_includes_gif_and_ppm(spark):
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    pal = [(255, 255, 255), (0, 0, 0)]
+    gif = _gif_encode(2, 1, pal, [0, 1])
+    ppm = b"P6\n1 1\n255\n" + bytes([255, 255, 255])
+    pgm = b"P5\n2 1\n255\n" + bytes([0, 255])
+    df = spark.createDataFrame(
+        [(1, gif), (2, ppm), (3, pgm)], "doc_id long, content binary"
+    )
+    out = {r.doc_id: r for r in extract_media_features(df).collect()}
+    assert (out[1].media_type, out[1].format, out[1].dim_x, out[1].dim_y) == (
+        "image", "gif", 2, 1
+    )
+    assert out[1].level == round(0.5, 6)
+    assert (out[2].format, out[2].level) == ("ppm", 1.0)
+    assert (out[3].format, out[3].dim_x, out[3].level) == ("pgm", 2, 0.5)

@@ -1637,16 +1637,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # distinct operator family (SURVEY §2 rows + the custom flagship
     # operators: asof/range joins, dedup clustering, banded simhash,
     # LSH near-dup, cascading rollup, IVF ANN, tf-idf, grouped OLS,
-    # and the round-2 LLM-pipeline additions: Gopher quality, PII
-    # scrub, deterministic sampling, sequence packing, decontamination,
-    # expectations, curation composite, multi-probe IVF, streaming
-    # merge). Entries after the fold are variants whose mechanism is
-    # already exercised by an in-window sibling (`semi_join`/
-    # `anti_join` ~ `merge_upsert`'s C2 internals, `session_window` ~
-    # `sessionize`, `simhash` ~ `simhash_pairs`, `ann_lsh` ~ `ann_ivf`
-    # + `embedding_neardup_lsh`, `lookup_join` ~ `map_join`, `cube` ~
-    # `rollup`) — all still oracle-checked by tools/check_oracle.py
-    # locally.
+    # the round-2 LLM-pipeline additions — Gopher quality, PII scrub,
+    # deterministic sampling, sequence packing, decontamination,
+    # expectations, curation composite, streaming merge — and the
+    # round-3 computation families: incremental aggregate maintenance,
+    # iterative PageRank, the cross-engine-exact HLL sketch). Entries
+    # after the fold are variants whose mechanism is already exercised
+    # by an in-window sibling (`semi_join`/`anti_join` ~
+    # `merge_upsert`'s C2 internals, `session_window` ~ `sessionize`,
+    # `simhash` ~ `simhash_pairs`, `ann_ivf` ~ `ann_ivf_nprobe`
+    # (nprobe=K ≡ brute force, proven in tests), `union_all` +
+    # `cast_all_string` ~ `merge_upsert`'s unionByName/all-string
+    # contract, `lookup_join` ~ `map_join`, `cube` ~ `rollup`,
+    # `salted_join`/`bloom_join`/`zorder_layout` ~ result-identical
+    # physical levers over in-window join/agg families, with their
+    # scale behavior asserted by plan tests) — all still
+    # oracle-checked by tools/check_oracle.py locally.
     return {
         # --- reference-core relational surface (SURVEY §2) ------------
         "pricing_summary": q_pricing_summary,
@@ -1654,7 +1660,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_filter": q_compound_filter,
         "join_suffix": q_join_suffix,
         "map_join": q_map_join,
-        "union_all": q_union_all,
         "sort_limit": q_sort_limit,
         "latest_snapshot": q_latest_snapshot,
         "string_funcs": q_string_funcs,
@@ -1663,7 +1668,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datediff": q_datediff,
         "conditional": q_conditional,
         "try_cast": q_try_cast,
-        "cast_all_string": q_cast_all_string,
         "audit_log": q_audit_log,
         "merge_upsert": q_merge_upsert,
         # --- aggregation / window extension ---------------------------
@@ -1690,7 +1694,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_topk": q_ann_topk,
-        "ann_ivf": q_ann_ivf,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "multimodal_features": q_multimodal_features,
         # --- corpus-quality / sampling / packing flagships ------------
@@ -1701,10 +1704,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "expectations": q_expectations,
         "corpus_curation": q_corpus_curation,
+        # --- round-3 computation families ------------------------------
+        "incremental_rollup": q_incremental_rollup,
+        "pagerank": q_pagerank,
+        "hll_distinct": q_hll_distinct,
         # --- SQL front door / big joins -------------------------------
         "join_5way": q_join_5way,
         "sql_exists": q_sql_exists,
         # ==== driver gate window ends here (50 entries) ===============
+        "union_all": q_union_all,
+        "cast_all_string": q_cast_all_string,
+        "ann_ivf": q_ann_ivf,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "distinct": q_distinct,
@@ -1749,9 +1759,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bloom_join": q_bloom_join,
         "zorder_layout": q_zorder_layout,
-        "incremental_rollup": q_incremental_rollup,
-        "pagerank": q_pagerank,
-        "hll_distinct": q_hll_distinct,
     }
 
 

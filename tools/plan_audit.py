@@ -60,6 +60,8 @@ def main() -> None:
         "stratified_sample", "sequence_packing", "decontaminate",
         "corpus_stats", "histogram", "quality_pipeline",
         "embedding_neardup_lsh", "dedup_ngram_jaccard",
+        "salted_join", "bloom_join", "incremental_rollup", "pagerank",
+        "hll_distinct",
     }
     for name, fn in queries.items():
         if name not in only:

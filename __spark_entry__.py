@@ -1529,6 +1529,34 @@ def q_bloom_join(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel view→click→purchase with a 7-day
+    window anchored at each user's first view (operators/events.py,
+    windowFunnel semantics). The oracle replays the same
+    min-ts join chain as SQL CTEs."""
+    from fbs_data_pipelines_spark.operators.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev, ["view", "click", "purchase"], window_seconds=7 * 86400
+    )
+
+
+def q_retention(spark, sf_dir):
+    """Weekly retention triangle over events: cohort = Monday week of
+    a user's first event, activity bucketed by whole weeks since that
+    first event (operators/events.py)."""
+    from fbs_data_pipelines_spark.operators.events import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    r = retention_cohorts(ev)
+    return r.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     """Grouped HyperLogLog distinct estimate (operators/sketches.py)
     next to the exact count. The sketch is built from engine-portable
@@ -1759,6 +1787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bloom_join": q_bloom_join,
         "zorder_layout": q_zorder_layout,
+        "funnel": q_funnel,
+        "retention": q_retention,
     }
 
 
@@ -3127,6 +3157,44 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000
         GROUP BY o_orderstatus
+    """
+
+    # funnel: the same ordered min-ts join chain as CTEs, window
+    # anchored at each user's step-1 time
+    sql["funnel"] = """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+            SELECT e.user_id, s1.t1, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL '604800 seconds'
+            GROUP BY 1, 2
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              AND e.ts <= s2.t1 + INTERVAL '604800 seconds'
+            GROUP BY 1
+        )
+        SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', count(*) FROM s2
+        UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    """
+
+    sql["retention"] = """
+        WITH firsts AS (
+            SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+        )
+        SELECT strftime(CAST(date_trunc('week', f.first_ts) AS DATE),
+                        '%Y-%m-%d') AS cohort_week,
+               CAST(floor(date_diff('day', CAST(f.first_ts AS DATE),
+                                    CAST(e.ts AS DATE)) / 7.0)
+                    AS BIGINT) AS week_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
     """
 
     # HyperLogLog mirrored register-for-register: md5 hex[0:3] picks

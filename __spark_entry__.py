@@ -1529,6 +1529,30 @@ def q_bloom_join(spark, sf_dir):
     )
 
 
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch point-frequency estimates next to exact
+    counts (operators/sketches.py). Like the HLL query, the sketch is
+    md5-portable, so the DuckDB oracle rebuilds the identical counter
+    table and minimums — approximate answers, exact verification."""
+    from fbs_data_pipelines_spark.operators.sketches import (
+        cms_lookup,
+        cms_state,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    state = cms_state(li, "l_suppkey")
+    keys = li.select("l_suppkey").distinct().filter(F.col("l_suppkey") <= 25)
+    est = cms_lookup(state, keys, "l_suppkey")
+    exact = (
+        li.filter(F.col("l_suppkey") <= 25)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, "l_suppkey").select(
+        "l_suppkey", "approx_count", "exact_count"
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Ordered conversion funnel view→click→purchase with a 7-day
     window anchored at each user's first view (operators/events.py,
@@ -1789,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "funnel": q_funnel,
         "retention": q_retention,
+        "cms_counts": q_cms_counts,
     }
 
 
@@ -3157,6 +3182,41 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000
         GROUP BY o_orderstatus
+    """
+
+    # count-min sketch mirrored counter-for-counter: row-salted md5
+    # buckets, sum per counter, min over the d rows per probed key
+    sql["cms_counts"] = """
+        WITH hash_rows AS (SELECT r FROM (VALUES (0),(1),(2),(3)) t(r)),
+        state AS (
+            SELECT r AS hash_row,
+                   ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                        CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                       % 1024 AS bucket,
+                   count(*) AS cnt
+            FROM lineitem CROSS JOIN hash_rows
+            WHERE l_suppkey IS NOT NULL
+            GROUP BY 1, 2
+        ), keys AS (
+            SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey <= 25
+        ), probes AS (
+            SELECT k.l_suppkey, r AS hash_row,
+                   ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                        CAST(k.l_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                       % 1024 AS bucket
+            FROM keys k CROSS JOIN hash_rows
+        ), est AS (
+            SELECT p.l_suppkey,
+                   min(coalesce(s.cnt, 0)) AS approx_count
+            FROM probes p
+            LEFT JOIN state s USING (hash_row, bucket)
+            GROUP BY 1
+        )
+        SELECT e.l_suppkey, e.approx_count, x.exact_count
+        FROM est e JOIN (
+            SELECT l_suppkey, count(*) AS exact_count
+            FROM lineitem WHERE l_suppkey <= 25 GROUP BY 1
+        ) x USING (l_suppkey)
     """
 
     # funnel: the same ordered min-ts join chain as CTEs, window

@@ -123,3 +123,89 @@ def approx_distinct(
 def expected_rel_error() -> float:
     """Theoretical standard error of the configuration: 1.04/√m."""
     return 1.04 / math.sqrt(_M)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the frequency-estimate sibling of HLL: same
+# engine-portable md5 construction, state mergeable by union+SUM per
+# counter, point estimates by min over the d hash rows. Estimates
+# never undercount; overcount is bounded by e·N/w with probability
+# 1 − e^(−d) (Cormode & Muthukrishnan, 2005).
+# ---------------------------------------------------------------------------
+
+#: d independent hash rows × w counters (w from 3 hex chars, mod _CMS_W)
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _cms_bucket(col: Column, row: int) -> Column:
+    """Counter index for hash row ``row``: an md5 keyed by the row id,
+    folded to [0, w) — the salting trick the MinHash family uses for
+    independent hash functions."""
+    h = F.md5(F.concat_ws(":", F.lit(str(row)), col.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(_CMS_W)
+    )
+
+
+def cms_state(df: DataFrame, col: str) -> DataFrame:
+    """Count-min state: (hash_row, bucket, cnt), ≤ d·w rows total.
+
+    One explode by d (tiny constant) and one map-side-combined
+    aggregate — the counter table is sketch-sized regardless of input.
+    """
+    c = F.col(col)
+    rows = df.filter(c.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("hash_row"),
+                        _cms_bucket(c, r).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+    )
+    return (
+        rows.select("rb.hash_row", "rb.bucket")
+        .groupBy("hash_row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two counter tables: union + per-counter sum."""
+    return (
+        a.unionByName(b)
+        .groupBy("hash_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_lookup(state: DataFrame, keys: DataFrame, col: str) -> DataFrame:
+    """Point frequency estimates for every row of ``keys``:
+    (col, approx_count) with approx = min over the d hash rows.
+    The d-row counter probe broadcasts the sketch — the keys side
+    streams, nothing sketch-related shuffles."""
+    c = F.col(col)
+    probes = keys.select(
+        c,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("hash_row"),
+                        _cms_bucket(c, r).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select(c, "rb.hash_row", "rb.bucket")
+    return (
+        probes.join(F.broadcast(state), ["hash_row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("approx_count"))
+    )

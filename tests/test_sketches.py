@@ -59,3 +59,64 @@ def test_state_is_bounded_and_null_safe(spark):
     est = {r.g: r.approx_distinct for r in hll_estimate(st, ["g"]).collect()}
     for g in (0, 1, 2):
         assert est[g] == pytest.approx(10000 / 3, rel=5 * expected_rel_error())
+
+
+def test_cms_never_undercounts_and_is_tight(spark, sf_dir):
+    from fbs_data_pipelines_spark.operators.sketches import (
+        cms_lookup,
+        cms_state,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r.l_suppkey: r.n
+        for r in li.groupBy("l_suppkey").agg(F.count("*").alias("n")).collect()
+    }
+    keys = li.select("l_suppkey").distinct()
+    st = cms_state(li, "l_suppkey")
+    got = {
+        r.l_suppkey: r.approx_count
+        for r in cms_lookup(st, keys, "l_suppkey").collect()
+    }
+    n_total = sum(exact.values())
+    for k, e in exact.items():
+        assert got[k] >= e  # one-sided error by construction
+        assert got[k] <= e + 3 * n_total / 1024  # ~e*N/w bound, slack 3x
+
+
+def test_cms_merge_equals_single_pass(spark, sf_dir):
+    from fbs_data_pipelines_spark.operators.sketches import (
+        cms_lookup,
+        cms_merge,
+        cms_state,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    halves = [li.filter(F.col("l_orderkey") % 2 == i) for i in range(2)]
+    merged_state = cms_merge(
+        cms_state(halves[0], "l_suppkey"), cms_state(halves[1], "l_suppkey")
+    )
+    keys = li.select("l_suppkey").distinct()
+    a = {
+        r.l_suppkey: r.approx_count
+        for r in cms_lookup(merged_state, keys, "l_suppkey").collect()
+    }
+    b = {
+        r.l_suppkey: r.approx_count
+        for r in cms_lookup(cms_state(li, "l_suppkey"), keys, "l_suppkey").collect()
+    }
+    assert a == b
+
+
+def test_cms_absent_key_estimates_small(spark):
+    from fbs_data_pipelines_spark.operators.sketches import (
+        cms_lookup,
+        cms_state,
+    )
+
+    df = spark.createDataFrame([(i % 50,) for i in range(5000)], "v long")
+    st = cms_state(df, "v")
+    missing = spark.createDataFrame([(999999,)], "v long")
+    est = cms_lookup(st, missing, "v").collect()[0].approx_count
+    # collisions can only contribute e*N/w-ish mass
+    assert est <= 3 * 5000 / 1024

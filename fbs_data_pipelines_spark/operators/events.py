@@ -42,9 +42,17 @@ def funnel(
     ``n_users`` at step i counts users with a qualifying ordered
     chain through steps 1..i; it is non-increasing by construction.
     """
+    from fbs_data_pipelines_spark.caching import CacheScope
+
     if not steps:
         raise ValueError("funnel needs at least one step")
     u, t = F.col(user_col), F.col(ts_col)
+    # each stage feeds BOTH the next stage's join and its own count
+    # row, and the final union would otherwise re-execute stage i for
+    # every later step (k scans of the event table instead of one
+    # chain) — persist the users-sized stage tables, scope-attached to
+    # the result for release_cache()
+    scope = CacheScope()
     stages: list[DataFrame] = []
     cur: DataFrame | None = None
     for i, step in enumerate(steps):
@@ -66,6 +74,7 @@ def funnel(
             cur = q.groupBy("u", "t_anchor").agg(
                 F.min("ts").alias("t_cur")
             )
+        cur = scope.persist(cur)
         stages.append(
             cur.agg(F.count("*").alias("n_users")).select(
                 F.lit(i + 1).alias("step_idx"),
@@ -73,7 +82,7 @@ def funnel(
                 F.col("n_users"),
             )
         )
-    return reduce(lambda a, b: a.unionByName(b), stages)
+    return scope.attach(reduce(lambda a, b: a.unionByName(b), stages))
 
 
 def retention_cohorts(

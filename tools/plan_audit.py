@@ -61,7 +61,7 @@ def main() -> None:
         "corpus_stats", "histogram", "quality_pipeline",
         "embedding_neardup_lsh", "dedup_ngram_jaccard",
         "salted_join", "bloom_join", "incremental_rollup", "pagerank",
-        "hll_distinct",
+        "hll_distinct", "cms_counts", "funnel", "retention",
     }
     for name, fn in queries.items():
         if name not in only:

@@ -1529,6 +1529,65 @@ def q_bloom_join(spark, sf_dir):
     )
 
 
+def q_streaming_rollup(spark, sf_dir):
+    """Streaming delta maintenance end-to-end: orders arrive as two
+    CSV micro-batches, each folds its partial aggregate into a
+    VersionedTable state (streaming/merge.py
+    streaming_incremental_rollup — batch ids recorded transactionally
+    so crash replays can't double-count). The final state must equal
+    the full aggregate, which is the oracle."""
+    import os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+    from fbs_data_pipelines_spark.streaming.merge import (
+        streaming_incremental_rollup,
+    )
+
+    base = os.path.join(
+        _tf.gettempdir(),
+        f"fbs_q_streaming_rollup_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "batches")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    for i in range(2):
+        (
+            o.filter(F.col("o_orderkey") % 2 == i)
+            .coalesce(1)
+            .write.mode("append")
+            .option("header", True)
+            .csv(src)
+        )
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .csv(src, header=True)
+    )
+    q = streaming_incremental_rollup(
+        stream, ["o_orderstatus"], ["o_totalprice"], state, ckpt
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+    st = VersionedTable(spark, state).read()
+    return st.select(
+        "o_orderstatus",
+        "n_rows",
+        round_half_up(F.col("sum_o_totalprice"), 2).alias("sum_price"),
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+    )
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch point-frequency estimates next to exact
     counts (operators/sketches.py). Like the HLL query, the sketch is
@@ -1814,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "cms_counts": q_cms_counts,
+        "streaming_rollup": q_streaming_rollup,
     }
 
 
@@ -3181,6 +3241,17 @@ def oracle_sql() -> dict[str, str]:
                floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS total_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000
+        GROUP BY o_orderstatus
+    """
+
+    # the streamed-in state must equal the full aggregate
+    sql["streaming_rollup"] = """
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders
         GROUP BY o_orderstatus
     """
 

@@ -268,14 +268,29 @@ class VersionedTable:
                 },
             )
 
-    def commit(self, df: DataFrame) -> int:
+    def commit_info(self, version: int) -> dict | None:
+        """Caller-supplied metadata recorded with ``commit(...,
+        commit_meta=)`` — e.g. the streaming batch id that produced
+        the version (exactly-once replay detection)."""
+        return self._read_json(f"commits/v{version}.json")
+
+    def commit(self, df: DataFrame, commit_meta: dict | None = None) -> int:
         """Write ``df`` as the next version and publish it. The data
         write is distributed and fully materialized (with parquet's
         ``_SUCCESS`` marker) BEFORE the pointer moves; in bucketed
         mode the manifest is written after the data and before the
-        pointer, so a manifest's existence implies complete data."""
+        pointer, so a manifest's existence implies complete data.
+
+        ``commit_meta`` is written BEFORE the data, so every version
+        that counts as complete (and is therefore reachable by
+        ``recover()`` after a crash inside the pointer window) carries
+        its metadata — a non-idempotent caller (streaming aggregate
+        folds) can trust ``commit_info(live)`` to decide whether a
+        replayed batch was already applied."""
         current = self.latest_version()
         v = 1 if current is None else current + 1
+        if commit_meta is not None:
+            self._write_json(f"commits/v{v}.json", commit_meta)
         if self.id_col is not None:
             # stable all-string schema — see module docstring
             df = df.select(
@@ -401,6 +416,54 @@ class VersionedTable:
         self._commit_pointer(v)
         return v
 
+    def diff(
+        self, from_version: int, to_version: int, id_col: str | None = None
+    ) -> DataFrame:
+        """Change-data feed between two committed versions.
+
+        Returns the newer version's columns plus ``_change``
+        (``insert`` / ``delete`` / ``update``); unchanged rows are
+        omitted. For deletes the row carries the OLD values (there is
+        no new row to show). One full-outer join on the PK — both
+        sides are snapshot reads of immutable directories, so the
+        result is stable no matter what commits later.
+        """
+        id_col = id_col or self.id_col
+        if id_col is None:
+            raise ValueError("diff() needs id_col (table or argument)")
+        old = self.read(from_version)
+        new = self.read(to_version)
+        cols = [c for c in new.columns if c != id_col]
+        # presence flags via sentinels that survive all-null rows
+        o = old.select(
+            F.col(id_col),
+            *[F.col(c).alias(f"__old_{c}") for c in cols],
+            F.lit(True).alias("__in_old"),
+        )
+        n = new.select(F.col(id_col), *cols, F.lit(True).alias("__in_new"))
+        joined = n.join(o, id_col, "full_outer")
+        changed = F.lit(False)
+        for c in cols:
+            changed = changed | ~(
+                F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+            )
+        change = (
+            F.when(F.col("__in_old").isNull(), F.lit("insert"))
+            .when(F.col("__in_new").isNull(), F.lit("delete"))
+            .when(changed, F.lit("update"))
+        )
+        out_cols = [
+            F.when(F.col("__in_new").isNull(), F.col(f"__old_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in cols
+        ]
+        return (
+            joined.withColumn("_change", change)
+            .filter(F.col("_change").isNotNull())
+            .select(F.col(id_col), *out_cols, "_change")
+        )
+
     def history(self) -> list[int]:
         """Committed versions, oldest first (complete snapshots only)."""
         return self._complete_versions()
@@ -435,4 +498,5 @@ class VersionedTable:
             return removable
         for v in removable:
             self._fs.delete(self._p(f"data/v{v}"), True)
+            self._fs.delete(self._p(f"commits/v{v}.json"), False)
         return removable

@@ -238,3 +238,54 @@ def streaming_dedup(
     if within_watermark:
         return wm.dropDuplicatesWithinWatermark(keys)
     return wm.dropDuplicates(keys)
+
+
+def streaming_incremental_rollup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    measures: Sequence[str],
+    state_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming delta maintenance of a materialized rollup: each
+    micro-batch's partial aggregate folds into a ``VersionedTable``
+    holding the mergeable state (``operators/incremental.py``) — the
+    telemetry pattern for a long-running ingest (per-source row
+    counts, value sums, min/max freshness) kept queryable at
+    groups-size cost, never re-scanning history.
+
+    Exactly-once: a COUNT/SUM fold is not idempotent, so replaying a
+    micro-batch after a crash would double-count — unlike the
+    MERGE-shaped snapshot upsert above, which replays harmlessly. The
+    batch id is therefore recorded transactionally with every commit
+    (``commit_meta``, written before the data so even a
+    pointer-recovery version carries it); a replayed batch sees its
+    own id on the live version and skips.
+    """
+    from fbs_data_pipelines_spark.operators.incremental import (
+        incremental_rollup,
+    )
+    from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+
+    key_list, measure_list = list(keys), list(measures)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = VersionedTable(batch_df.sparkSession, state_path)
+        live = t.latest_version()
+        state = None
+        if live is not None:
+            info = t.commit_info(live) or {}
+            if info.get("batch_id", -1) >= batch_id:
+                return  # crash-replay of an already-folded batch
+            state = t.read(live)
+        new_state = incremental_rollup(
+            state, batch_df, key_list, measure_list
+        )
+        t.commit(new_state, commit_meta={"batch_id": batch_id})
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -260,3 +260,70 @@ def test_compact_plain_mode_coalesces(spark, table_path):
     v = t.compact(n_files=1)
     assert len(glob.glob(f"{table_path}/data/v{v}/*.parquet")) == 1
     assert {r.id for r in t.read().collect()} == {str(i) for i in range(50)}
+
+
+def test_diff_change_feed(spark, table_path):
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    t.commit(_df(spark, [("1", "a", "x"), ("2", "b", "x"), ("3", "c", "x")]))
+    # v2: update 1, insert 4, 2 and 3 unchanged
+    t.merge(_df(spark, [("1", "A", "x"), ("4", "d", "x")]), target_cols=["v"])
+    d = {r.id: r._change for r in t.diff(1, 2).collect()}
+    assert d == {"1": "update", "4": "insert"}
+    # deletes appear when diffing BACKWARD (v2 -> v1) as inserts, and
+    # forward from a version that lost rows as deletes: plain-mode
+    # tables can lose rows on authoritative snapshot merges
+    back = {r.id: r._change for r in t.diff(2, 1).collect()}
+    assert back == {"1": "update", "4": "delete"}
+    row4 = {r.id: r.v for r in t.diff(2, 1).collect() if r.id == "4"}
+    assert row4["4"] == "d"  # deletes carry the old values
+
+
+def test_streaming_incremental_rollup_exactly_once(spark, table_path):
+    import os
+
+    from fbs_data_pipelines_spark.streaming.merge import (
+        streaming_incremental_rollup,
+    )
+
+    base = os.path.dirname(table_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.csv"), "w") as f:
+        f.write("k,v\na,1.0\na,3.0\nb,10.0\n")
+    with open(os.path.join(src, "b2.csv"), "w") as f:
+        f.write("k,v\na,5.0\nc,-2.0\n")
+
+    def run(ckpt_name):
+        stream = (
+            spark.readStream.schema("k string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .csv(src, header=True)
+        )
+        q = streaming_incremental_rollup(
+            stream, ["k"], ["v"], table_path, os.path.join(base, ckpt_name)
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    t = VersionedTable(spark, table_path)
+    state = {
+        r.k: (r.n_rows, r.sum_v, r.min_v, r.max_v)
+        for r in t.read().collect()
+    }
+    assert state == {
+        "a": (3, 9.0, 1.0, 5.0),
+        "b": (1, 10.0, 10.0, 10.0),
+        "c": (1, -2.0, -2.0, -2.0),
+    }
+    v_after = t.latest_version()
+    assert t.commit_info(v_after) == {"batch_id": 1}
+
+    # full replay (fresh checkpoint ⇒ batch ids restart at 0): every
+    # batch sees an already-applied id on the live version and skips —
+    # no double counting, no new versions
+    run("ckpt2")
+    t2 = VersionedTable(spark, table_path)
+    assert t2.latest_version() == v_after
+    assert {
+        r.k: (r.n_rows, r.sum_v) for r in t2.read().collect()
+    } == {"a": (3, 9.0), "b": (1, 10.0), "c": (1, -2.0)}

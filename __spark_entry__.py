@@ -1529,6 +1529,18 @@ def q_bloom_join(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (operators/packing.py): documents cut
+    into 32-token windows with 8-token overlap — packing's complement
+    for docs LONGER than the window. Narrow plan (tokenize → explode
+    → slice, zero shuffles, asserted in tests); the oracle replays the
+    same slicing with list functions."""
+    from fbs_data_pipelines_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
 def q_streaming_rollup(spark, sf_dir):
     """Streaming delta maintenance end-to-end: orders arrive as two
     CSV micro-batches, each folds its partial aggregate into a
@@ -1874,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "cms_counts": q_cms_counts,
         "streaming_rollup": q_streaming_rollup,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -3242,6 +3255,28 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000
         GROUP BY o_orderstatus
+    """
+
+    # chunking mirrored with list functions: stride 24, window 32
+    sql["chunk_documents"] = f"""
+        WITH words AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS w
+            FROM documents
+            WHERE {_NORM} <> ''
+        ), sized AS (
+            SELECT doc_id, w,
+                   greatest(1, CAST(ceil((len(w) - 8) / 24.0) AS BIGINT))
+                       AS n_chunks
+            FROM words
+        )
+        SELECT doc_id,
+               ci AS chunk_idx,
+               array_to_string(list_slice(w, ci * 24 + 1, ci * 24 + 32), ' ')
+                   AS chunk_text,
+               CAST(len(list_slice(w, ci * 24 + 1, ci * 24 + 32)) AS BIGINT)
+                   AS n_tokens
+        FROM sized
+        CROSS JOIN unnest(generate_series(0, n_chunks - 1)) AS t(ci)
     """
 
     # the streamed-in state must equal the full aggregate

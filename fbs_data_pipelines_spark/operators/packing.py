@@ -97,3 +97,66 @@ def pack_summary(packed: DataFrame, capacity: int) -> DataFrame:
             round_half_up(F.col("pack_tokens") / F.lit(float(capacity)), 6),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the context-
+    window chunking step of a training/RAG pipeline (packing's
+    complement: packing concatenates short docs up to the window,
+    chunking cuts long docs down to it).
+
+    Returns (id, chunk_idx, chunk_text, n_tokens): stride =
+    chunk_tokens − overlap, the last chunk keeps whatever remains
+    (≤ chunk_tokens), and every document emits at least one chunk.
+    Pure JVM expressions — tokenize once, explode a chunk-index
+    sequence, slice the token array per chunk; the explode is narrow
+    (no shuffle), so the operator streams at scan speed no matter the
+    corpus size. Documents whose normalized text is empty produce no
+    chunks (nothing to window).
+    """
+    from fbs_data_pipelines_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = (
+        df.filter(normalize_text(F.col(text_col)) != "")
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .withColumn(
+            "__n_chunks",
+            F.greatest(
+                F.lit(1),
+                F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(float(stride))),
+            ),
+        )
+    )
+    chunk = F.slice(
+        F.col("__toks"), (F.col("chunk_idx") * stride + 1).cast("int"), chunk_tokens
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("__n_chunks") - 1
+                )
+            ).alias("chunk_idx"),
+            "__toks",
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+        )
+    )

@@ -222,3 +222,46 @@ def test_packing_deterministic_across_partitioning(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from fbs_data_pipelines_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "one two"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=4, overlap=1
+        ).collect()
+    )
+    assert rows == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),  # stride 3: last token re-appears
+        (1, 2, "w6 w7 w8 w9", 4),
+        (2, 0, "one two", 2),  # short doc: one chunk, no padding
+    ]
+    # every token of the source is covered by some chunk
+    covered = set()
+    for _, _, t, _ in rows[:3]:
+        covered.update(t.split())
+    assert covered == {f"w{i}" for i in range(10)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_is_narrow(spark, sf_dir):
+    from fbs_data_pipelines_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final  # tokenize+explode+slice, no shuffle

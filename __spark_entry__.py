@@ -1754,6 +1754,87 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
+def q_kmeans(spark, sf_dir):
+    """Fixed-iteration Lloyd k-means over the embeddings table
+    (operators/clustering.py) — the centroid-producing complement of
+    ann_ivf: centroids are driver state entering the plan as
+    literals, so assignment is a narrow zero-shuffle map and each
+    update is ONE map-side-combined shuffle with k·dim output rows.
+    Deterministic (rank-of-id init, first-min tie-break, 3 fixed
+    iterations), so the oracle is the same recurrence unrolled as
+    chained SQL CTEs in long (vec_id, pos, val) form."""
+    from fbs_data_pipelines_spark.operators.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    km = kmeans(emb, "vec_id", "embedding", k=8, n_iter=3)
+    return km.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        round_half_up(F.col("dist2"), 6).alias("dist2"),
+    )
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity scoring (operators/lm.py):
+    train add-alpha-smoothed bigram counts on the corpus in one
+    map-side-combined shuffle, then score every doc by mean negative
+    log-prob via a broadcast join of the vocabulary-sized model. The
+    whole operator is engine-native aggregation — the oracle replays
+    the identical counts and smoothing in SQL."""
+    from fbs_data_pipelines_spark.operators.lm import (
+        bigram_lm_train,
+        lm_perplexity,
+        vocabulary_size,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = bigram_lm_train(docs, "text")
+    v = vocabulary_size(docs, "text")
+    out = lm_perplexity(docs, "doc_id", "text", model, v, alpha=0.5)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        round_half_up(F.col("log_ppl"), 6).alias("log_ppl"),
+    )
+
+
+def q_budget_sample(spark, sf_dir):
+    """Token-budget mixture sampling (operators/sampling.py): draw
+    docs per source in deterministic md5 order until each source's
+    token budget is hit — row-exact across engines because the order
+    key and the token counter are both portable expressions. ONE
+    window shuffle; the pre-shrink guidance for giant strata is in
+    the operator docstring."""
+    from fbs_data_pipelines_spark.operators.sampling import budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.withColumn("n_tok", whitespace_token_count(F.col("text")))
+    out = budget_sample(
+        sized,
+        "source",
+        {"src0": 800, "src1": 400, "src3": 1200},
+        key_col="doc_id",
+        size_col="n_tok",
+    )
+    return out.select("doc_id", "source", "n_tok")
+
+
+def q_token_entropy(spark, sf_dir):
+    """Shannon entropy of each doc's token distribution
+    (functions/text.py token_entropy): the information-density
+    quality signal that catches keyword-stuffed spam. Explode + two
+    doc-keyed map-side-combined aggregations sharing one exchange."""
+    from fbs_data_pipelines_spark.functions.text import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_entropy(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        round_half_up(F.col("entropy"), 6).alias("entropy"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries, so the window below is curated to cover every
@@ -1764,14 +1845,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deterministic sampling, sequence packing, decontamination,
     # expectations, curation composite, streaming merge — and the
     # round-3 computation families: incremental aggregate maintenance,
-    # iterative PageRank, the cross-engine-exact HLL sketch). Entries
-    # after the fold are variants whose mechanism is already exercised
-    # by an in-window sibling (`semi_join`/`anti_join` ~
-    # `merge_upsert`'s C2 internals, `session_window` ~ `sessionize`,
-    # `simhash` ~ `simhash_pairs`, `ann_ivf` ~ `ann_ivf_nprobe`
-    # (nprobe=K ≡ brute force, proven in tests), `union_all` +
-    # `cast_all_string` ~ `merge_upsert`'s unionByName/all-string
-    # contract, `lookup_join` ~ `map_join`, `cube` ~ `rollup`,
+    # iterative PageRank, the cross-engine-exact HLL sketch, Lloyd
+    # k-means, bigram-LM perplexity scoring). Entries after the fold
+    # are variants whose mechanism is already exercised by an
+    # in-window sibling (`semi_join`/`anti_join` ~ `merge_upsert`'s
+    # C2 internals, `session_window` ~ `sessionize`, `simhash` ~
+    # `simhash_pairs`, `ann_ivf` ~ `ann_ivf_nprobe` (nprobe=K ≡ brute
+    # force, proven in tests), `union_all` + `cast_all_string` ~
+    # `merge_upsert`'s unionByName/all-string contract, `lookup_join`
+    # ~ `map_join`, `cube` ~ `rollup`, `datediff` ~ `conditional`'s
+    # D5 day-diff, `sort_limit` ~ `latest_snapshot`/`window_rank`
+    # ordering, `budget_sample` ~ `stratified_sample`'s hash-order
+    # mechanism + `window_running`'s cumsum, `token_entropy` ~
+    # `tfidf`'s explode+agg shape,
     # `salted_join`/`bloom_join`/`zorder_layout` ~ result-identical
     # physical levers over in-window join/agg families, with their
     # scale behavior asserted by plan tests) — all still
@@ -1783,12 +1869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_filter": q_compound_filter,
         "join_suffix": q_join_suffix,
         "map_join": q_map_join,
-        "sort_limit": q_sort_limit,
         "latest_snapshot": q_latest_snapshot,
         "string_funcs": q_string_funcs,
         "split_unnest": q_split_unnest,
         "date_parse": q_date_parse,
-        "datediff": q_datediff,
         "conditional": q_conditional,
         "try_cast": q_try_cast,
         "audit_log": q_audit_log,
@@ -1831,10 +1915,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "pagerank": q_pagerank,
         "hll_distinct": q_hll_distinct,
+        "kmeans": q_kmeans,
+        "lm_perplexity": q_lm_perplexity,
         # --- SQL front door / big joins -------------------------------
         "join_5way": q_join_5way,
         "sql_exists": q_sql_exists,
         # ==== driver gate window ends here (50 entries) ===============
+        "sort_limit": q_sort_limit,
+        "datediff": q_datediff,
         "union_all": q_union_all,
         "cast_all_string": q_cast_all_string,
         "ann_ivf": q_ann_ivf,
@@ -1887,6 +1975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "streaming_rollup": q_streaming_rollup,
         "chunk_documents": q_chunk_documents,
+        "budget_sample": q_budget_sample,
+        "token_entropy": q_token_entropy,
     }
 
 
@@ -3463,6 +3553,147 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_partkey <= 200
         GROUP BY l_partkey
+    """
+
+    # k-means: the Lloyd recurrence unrolled as chained CTEs in long
+    # (vec_id, pos, val) form. a{i} assigns against c{i-1} (argmin
+    # with the same dist2-then-cluster tie-break), c{i} averages the
+    # assigned vectors; empty clusters carry the previous centroid
+    # via the LEFT JOIN coalesce — exactly operators/clustering.py.
+    _km_iters = "".join(
+        f""",
+        a{i} AS (
+            SELECT vec_id, cluster FROM (
+                SELECT d.vec_id, d.cluster,
+                       row_number() OVER (PARTITION BY d.vec_id
+                           ORDER BY d.dist2, d.cluster) AS rn
+                FROM (
+                    SELECT p.vec_id, c.cluster,
+                           sum((p.val - c.val) * (p.val - c.val)) AS dist2
+                    FROM pts p JOIN c{i - 1} c USING (pos)
+                    GROUP BY p.vec_id, c.cluster
+                ) d
+            ) WHERE rn = 1
+        ),
+        c{i} AS (
+            SELECT c.cluster, c.pos, coalesce(u.val, c.val) AS val
+            FROM c{i - 1} c LEFT JOIN (
+                SELECT a.cluster, p.pos, avg(p.val) AS val
+                FROM a{i} a JOIN pts p USING (vec_id)
+                GROUP BY a.cluster, p.pos
+            ) u ON u.cluster = c.cluster AND u.pos = c.pos
+        )"""
+        for i in range(1, 4)
+    )
+    sql["kmeans"] = f"""
+        WITH pts AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding)::DOUBLE AS val
+            FROM embeddings
+        ),
+        init AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM embeddings ORDER BY vec_id LIMIT 8
+        ),
+        c0 AS (
+            SELECT i.cluster, p.pos, p.val
+            FROM init i JOIN pts p USING (vec_id)
+        ){_km_iters}
+        SELECT vec_id, cluster,
+               floor(dist2 * 1000000.0 + 0.5) / 1000000.0 AS dist2
+        FROM (
+            SELECT d.vec_id, d.cluster, d.dist2,
+                   row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY d.dist2, d.cluster) AS rn
+            FROM (
+                SELECT p.vec_id, c.cluster,
+                       sum((p.val - c.val) * (p.val - c.val)) AS dist2
+                FROM pts p JOIN c3 c USING (pos)
+                GROUP BY p.vec_id, c.cluster
+            ) d
+        ) WHERE rn = 1
+    """
+
+    # bigram LM: identical counts, smoothing, and mean-neg-log-prob;
+    # parallel unnests of the two token-array slices zip positionally
+    sql["lm_perplexity"] = f"""
+        WITH tok AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(w[1:len(w) - 1]) AS w1,
+                   unnest(w[2:len(w)]) AS w2
+            FROM tok WHERE len(w) >= 2
+        ),
+        cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        cnt1 AS (SELECT w1, sum(c2) AS c1 FROM cnt2 GROUP BY 1),
+        v AS (
+            SELECT count(DISTINCT tok) AS v FROM (
+                SELECT unnest(string_split({_NORM}, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        scored AS (
+            SELECT b.doc_id,
+                   ln((coalesce(c.c2, 0) + 0.5)
+                      / (coalesce(k.c1, 0) + 0.5 * v.v)) AS lp
+            FROM bg b
+            LEFT JOIN cnt2 c USING (w1, w2)
+            LEFT JOIN cnt1 k USING (w1)
+            CROSS JOIN v
+        ),
+        per AS (
+            SELECT doc_id, count(*) AS n_bigrams, -avg(lp) AS log_ppl
+            FROM scored GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_bigrams, 0) AS n_bigrams,
+               floor(p.log_ppl * 1000000.0 + 0.5) / 1000000.0 AS log_ppl
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+    # token-budget mixture draw: same md5 order key, same inclusive
+    # running-sum cutoff
+    _ntok = (
+        f"CASE WHEN {_NORM} = '' THEN 0 "
+        f"ELSE len(string_split({_NORM}, ' ')) END"
+    )
+    sql["budget_sample"] = f"""
+        WITH sized AS (
+            SELECT doc_id, source, {_ntok} AS n_tok,
+                   {_hex4("':' || CAST(doc_id AS VARCHAR)")} AS bucket,
+                   CASE source WHEN 'src0' THEN 800
+                               WHEN 'src1' THEN 400
+                               WHEN 'src3' THEN 1200 END AS budget
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tok, budget,
+                   sum(n_tok) OVER (PARTITION BY source
+                       ORDER BY bucket, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM sized WHERE budget IS NOT NULL
+        )
+        SELECT doc_id, source, n_tok FROM c WHERE cum <= budget
+    """
+
+    # token entropy: H = log2(N) - (1/N)·Σ c·log2(c) over per-doc
+    # token counts — same identity, same normalization
+    sql["token_entropy"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, tok, count(*) AS c
+            FROM tok WHERE tok <> '' GROUP BY 1, 2
+        )
+        SELECT doc_id, sum(c) AS n_tokens,
+               floor((log2(sum(c)) - sum(c * log2(c)) / sum(c))
+                     * 1000000.0 + 0.5) / 1000000.0 AS entropy
+        FROM cnt GROUP BY doc_id
     """
 
     return sql

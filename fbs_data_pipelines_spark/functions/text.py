@@ -193,6 +193,30 @@ def text_profile(df, id_col: str, text_col: str):
     )
 
 
+def token_entropy(docs, id_col: str, text_col: str):
+    """Shannon entropy (bits) of each document's token distribution —
+    the information-density quality signal: near-zero entropy flags
+    keyword-stuffed / repeated-token spam that length and stopword
+    ratios miss; natural prose sits near log2(distinct tokens).
+
+    Uses the identity H = log2(N) − (1/N)·Σ c·log2(c), so one
+    aggregation pass over the (doc, token, count) table suffices.
+    Scale shape: explode + two map-side-combined shuffles, both keyed
+    by doc_id (the second reuses the first's partitioning — Catalyst
+    plans a single exchange). Returns (id, n_tokens, entropy)."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = tok.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    return cnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        (
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("entropy"),
+    )
+
+
 def doc_fingerprint(c: Column | str, length: int = 16) -> Column:
     """Deterministic content fingerprint: md5 of normalized text,
     truncated to ``length`` hex chars. Identical in any md5-capable

@@ -1,0 +1,115 @@
+"""N-gram language-model perplexity scoring (CCNet-style quality).
+
+The classic web-corpus quality filter (Wenzek et al. 2020, "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+score every document by the perplexity of a small LM trained on a
+trusted corpus; low perplexity ≈ fluent text, high perplexity ≈
+boilerplate/garbage. Here the LM is an add-alpha-smoothed bigram
+model — counts are exactly expressible as DataFrame aggregations, so
+both training and scoring stay engine-native (no UDFs) and the whole
+operator is reproducible by a plain SQL oracle.
+
+Model:  p(w2 | w1) = (c(w1,w2) + a) / (c(w1) + a·V)
+Score:  log-perplexity = −(1/N) Σ ln p  over a doc's N bigrams.
+
+Scale shape:
+- **Training** is one map-side-combined shuffle: explode bigrams,
+  ``groupBy(w1, w2).count()`` — output is vocabulary-sized, not
+  corpus-sized. Context counts c(w1) derive from the bigram table
+  (``groupBy(w1).sum``), no second corpus scan. V (distinct tokens)
+  is a scalar collected once (control plane).
+- **Scoring** explodes each doc's bigrams and joins the model. The
+  model is vocabulary-sized — broadcast when it fits (the default
+  hint below), else a shuffle join AQE can skew-split; the final
+  per-doc aggregation is map-side combined. Identical shape to the
+  de-skewed tf-idf join (``__spark_entry__.q_tfidf``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _bigrams(toks: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs."""
+    return F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.struct(
+            t.alias("w1"), F.element_at(toks, i + F.lit(2)).alias("w2")
+        ),
+    )
+
+
+def bigram_lm_train(docs: DataFrame, text_col: str) -> DataFrame:
+    """Train the bigram table: (w1, w2, c2, c1) — pair count and
+    context count. One corpus scan, one shuffle; both aggregations are
+    map-side combined and output is vocabulary-sized."""
+    pairs = docs.select(
+        F.explode(_bigrams(tokens(text_col))).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return c2.join(c1, "w1")
+
+
+def vocabulary_size(docs: DataFrame, text_col: str) -> int:
+    """Distinct normalized tokens in the corpus (scalar, one pass)."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("v"))
+        .collect()[0]["v"]
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    vocab_size: int,
+    alpha: float = 0.5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score each document against a trained bigram model. Returns
+    (id, n_bigrams, log_ppl): log-perplexity = mean negative ln-prob
+    of the doc's bigrams; unseen bigrams/contexts fall back to the
+    smoothing mass. Docs with < 2 tokens score null."""
+    b = docs.select(
+        F.col(id_col), F.explode(_bigrams(tokens(text_col))).alias("bg")
+    ).select(id_col, "bg.w1", "bg.w2")
+    contexts = model.select("w1", "c1").distinct()
+    m, ctx = (
+        (F.broadcast(model), F.broadcast(contexts))
+        if broadcast_model
+        else (model, contexts)
+    )
+    # two left joins: an unseen pair under a SEEN context must still
+    # use that context's mass in the denominator
+    scored = (
+        b.join(m.select("w1", "w2", "c2"), ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+    ).select(
+        id_col,
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha * vocab_size))
+        ).alias("lp"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (-F.avg("lp")).alias("log_ppl"),
+    )
+    # left join keeps <2-token docs (no bigrams) with null scores
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "log_ppl",
+        )
+    )

@@ -20,7 +20,7 @@ push against the scan's other predicates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: hash buckets for the keep-decision (4 hex digits = 65536 buckets;
@@ -64,6 +64,48 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(frac * BUCKETS))
         ).otherwise(thr)
     return df.filter(sample_bucket(key_col, salt) < thr)
+
+
+def budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    budgets: dict[str, int],
+    key_col: str,
+    size_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget mixture sampling: per stratum (source), keep docs
+    in deterministic hash order until the running total of
+    ``size_col`` (e.g. token count) reaches the stratum's budget —
+    how a training mixture is actually drawn ("200 B tokens of web,
+    50 B of books"), vs. the row-fraction semantics of
+    ``stratified_sample``. A row is kept iff its INCLUSIVE running
+    sum fits the budget; strata without a budget are dropped.
+
+    Determinism: ordered by (hash bucket, key) — total order, engine-
+    portable, partition-independent. Scale shape: ONE shuffle (window
+    partitioned by stratum). Low-cardinality strata concentrate a
+    stratum per task — for a handful of giant sources, pre-filter
+    with ``deterministic_sample`` at ≈budget/corpus_size to shrink
+    the windowed input first (the cumsum then runs over ~budget-sized
+    data, not the full corpus)."""
+    thr: Column = F.lit(None).cast("long")
+    for value, budget in sorted(budgets.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(int(budget))).otherwise(
+            thr
+        )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(sample_bucket(key_col, salt), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__budget", thr)
+        .filter(F.col("__budget").isNotNull())
+        .withColumn("__cum", F.sum(F.col(size_col)).over(w))
+        .filter(F.col("__cum") <= F.col("__budget"))
+        .drop("__budget", "__cum")
+    )
 
 
 def train_eval_split(

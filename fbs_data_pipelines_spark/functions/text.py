@@ -201,9 +201,12 @@ def token_entropy(docs, id_col: str, text_col: str):
 
     Uses the identity H = log2(N) − (1/N)·Σ c·log2(c), so one
     aggregation pass over the (doc, token, count) table suffices.
-    Scale shape: explode + two map-side-combined shuffles, both keyed
-    by doc_id (the second reuses the first's partitioning — Catalyst
-    plans a single exchange). Returns (id, n_tokens, entropy)."""
+    Scale shape: explode + two map-side-combined shuffles — first on
+    (doc_id, token) to build counts, then on doc_id over the
+    counts-sized (already reduced) table. Shuffling the combined
+    counts twice moves far less data than pre-partitioning the raw
+    exploded tokens by doc_id to save the second exchange would.
+    Returns (id, n_tokens, entropy)."""
     tok = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).filter(F.col("tok") != "")

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope, carry_cache
 from ..functions.text import tokens
 
 
@@ -45,14 +46,20 @@ def _bigrams(toks: Column) -> Column:
 
 def bigram_lm_train(docs: DataFrame, text_col: str) -> DataFrame:
     """Train the bigram table: (w1, w2, c2, c1) — pair count and
-    context count. One corpus scan, one shuffle; both aggregations are
-    map-side combined and output is vocabulary-sized."""
+    context count. One corpus scan, one corpus-sized shuffle; both
+    aggregations are map-side combined and output is
+    vocabulary-sized. The model is PERSISTED (scope-attached, see
+    ``caching.py``) because scoring references it from two join
+    branches — without the persist the tokenize/explode/count
+    subtree would re-execute per branch, exactly the recompute the
+    de-skewed tf-idf fix killed. ``release_cache(result)`` frees it."""
     pairs = docs.select(
         F.explode(_bigrams(tokens(text_col))).alias("b")
     ).select("b.w1", "b.w2")
     c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    return c2.join(c1, "w1")
+    scope = CacheScope()
+    return scope.attach(scope.persist(c2.join(c1, "w1")))
 
 
 def vocabulary_size(docs: DataFrame, text_col: str) -> int:
@@ -104,7 +111,7 @@ def lm_perplexity(
         (-F.avg("lp")).alias("log_ppl"),
     )
     # left join keeps <2-token docs (no bigrams) with null scores
-    return (
+    out = (
         docs.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
@@ -113,3 +120,6 @@ def lm_perplexity(
             "log_ppl",
         )
     )
+    # the model's persist scope travels with the scored result so the
+    # consumer's release_cache() frees the cached model
+    return carry_cache(out, model)

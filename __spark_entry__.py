@@ -1835,6 +1835,25 @@ def q_token_entropy(spark, sf_dir):
     )
 
 
+def q_sparse_cosine(spark, sf_dir):
+    """AllPairs-style TF-IDF cosine similarity join
+    (operators/similarity.sparse_cosine_pairs): inverted-index
+    self-join with a document-frequency cutoff at 80% of the corpus —
+    the weighted-overlap complement of dedup_ngram_jaccard. df comes
+    from a map-side-combined groupBy (never a token window), the
+    cutoff kills the O(df²) stop-token blowup, and the threshold
+    applies to the ROUNDED cosine so both engines cut identically."""
+    from fbs_data_pipelines_spark.operators.similarity import (
+        sparse_cosine_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select("doc_id").distinct().count()
+    return sparse_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.9, max_df=int(0.8 * n)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries, so the window below is curated to cover every
@@ -1977,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "budget_sample": q_budget_sample,
         "token_entropy": q_token_entropy,
+        "sparse_cosine": q_sparse_cosine,
     }
 
 
@@ -3677,6 +3697,41 @@ def oracle_sql() -> dict[str, str]:
             FROM sized WHERE budget IS NOT NULL
         )
         SELECT doc_id, source, n_tok FROM c WHERE cum <= budget
+    """
+
+    # sparse TF-IDF cosine pairs: identical tf/df/idf/normalize/join
+    # pipeline; N and the 80% df cutoff come from the same counts
+    sql["sparse_cosine"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id AS id, tok, count(*) AS tf
+            FROM tok WHERE tok <> '' GROUP BY 1, 2
+        ),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        dfreq AS (
+            SELECT tok, count(*) AS df FROM tf GROUP BY 1
+            HAVING count(*) <= (SELECT floor(0.8 * n_docs) FROM n)
+        ),
+        w AS (
+            SELECT id, tok, tf * ln((SELECT n_docs FROM n) * 1.0 / df) AS w
+            FROM tf JOIN dfreq USING (tok)
+        ),
+        norm AS (SELECT id, sqrt(sum(w * w)) AS n FROM w GROUP BY 1),
+        wn AS (
+            SELECT id, tok, w / n AS u
+            FROM w JOIN norm USING (id) WHERE n > 0
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   floor(sum(a.u * b.u) * 1000000.0 + 0.5) / 1000000.0 AS cos
+            FROM wn a JOIN wn b USING (tok)
+            WHERE a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.9
     """
 
     # token entropy: H = log2(N) - (1/N)·Σ c·log2(c) over per-doc

@@ -391,3 +391,77 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "sim", "rank")
     )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs document similarity by TF-IDF cosine over an inverted
+    index (the AllPairs / prefix-filter family, Bayardo et al. 2007,
+    "Scaling Up All Pairs Similarity Search") — the WEIGHTED
+    complement of ``dedup.ngram_jaccard``'s set overlap: rare shared
+    tokens count for much more than common ones, so it finds
+    same-topic rewrites n-gram Jaccard misses.
+
+    Pipeline (all engine-native, one persist):
+      tf (doc,tok,count) → df per token → idf weight → per-doc L2
+      normalize → inverted-index self-join on token → sum of weight
+      products per pair = cosine ≥ threshold.
+
+    Scale levers (both REQUIRED at 100 TB):
+    - ``max_df``: drop tokens appearing in more than ``max_df`` docs
+      before the self-join. A token in d docs generates O(d²) pairs —
+      Zipfian stop-grade tokens alone would dwarf the corpus. They
+      also carry the LEAST cosine mass (idf → ln(N/d) → 0), so the
+      cutoff barely moves scores while flattening the join: the same
+      economics as ``ngram_jaccard``'s stop-shingle cutoff.
+    - document-frequency via ``tf.groupBy(tok)`` (map-side-combined,
+      vocabulary-sized output) joined back — never a window over the
+      token (Zipf skew lands a stopword's occurrences in one window
+      partition; this is the exact shape the tf-idf de-skew fix
+      established).
+
+    Returns (id_a, id_b, cos) with id_a < id_b, cosine rounded to
+    6dp, thresholded on the rounded value (cross-engine stable).
+    Cached intermediates are scope-attached — ``release_cache`` after
+    consuming.
+    """
+    from fbs_data_pipelines_spark.caching import CacheScope
+    from fbs_data_pipelines_spark.functions.text import tokens
+
+    scope = CacheScope()
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = scope.persist(
+        tok.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    n_docs = docs.select(id_col).distinct().count()
+    w = tf.join(dfreq, "tok").select(
+        "id",
+        "tok",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    norm = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
+    wn = scope.persist(
+        w.join(norm, "id")
+        .filter(F.col("n") > 0)
+        .select("id", "tok", (F.col("w") / F.col("n")).alias("u"))
+    )
+    a = wn.select(F.col("id").alias("id_a"), "tok", F.col("u").alias("ua"))
+    b = wn.select(F.col("id").alias("id_b"), "tok", F.col("u").alias("ub"))
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(round_half_up(F.sum(F.col("ua") * F.col("ub")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    return scope.attach(pairs)

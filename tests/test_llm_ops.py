@@ -378,3 +378,74 @@ def test_rolling_fingerprint_values(spark):
     assert out[1] == 97 * 31 + 98
     assert out[2] == out[1]
     assert out[3] == 0 and out[4] is None
+
+
+# ------------------------------------------------- sparse TF-IDF cosine
+def test_sparse_cosine_identical_docs_score_one(spark):
+    from fbs_data_pipelines_spark.operators.similarity import (
+        sparse_cosine_pairs,
+    )
+
+    rows = [
+        (0, "rare quark flux moves the needle"),
+        (1, "rare quark flux moves the needle"),
+        (2, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sparse_cosine_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    got = {(r.id_a, r.id_b): r.cos for r in out}
+    assert got[(0, 1)] == 1.0
+    # disjoint-vocabulary doc never pairs with the twins
+    assert not any(2 in k for k in got)
+
+
+def test_sparse_cosine_max_df_drops_stop_tokens(spark):
+    from fbs_data_pipelines_spark.operators.similarity import (
+        sparse_cosine_pairs,
+    )
+
+    # "the" appears in 3 of 4 docs (idf > 0, so it links doc 2 to the
+    # twins); a df cutoff at 2 must break those pairs. A UNIVERSAL
+    # token needs no cutoff — idf ln(N/N)=0 already zeroes it — the
+    # cutoff exists for the high-df-but-not-universal Zipf mass.
+    rows = [
+        (0, "the alpha beta"),
+        (1, "the alpha beta"),
+        (2, "the gamma delta"),
+        (3, "epsilon zeta eta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    loose = sparse_cosine_pairs(df, "doc_id", "text", threshold=0.01)
+    cut = sparse_cosine_pairs(
+        df, "doc_id", "text", threshold=0.01, max_df=2
+    )
+    loose_pairs = {(r.id_a, r.id_b) for r in loose.collect()}
+    cut_pairs = {(r.id_a, r.id_b) for r in cut.collect()}
+    assert (0, 2) in loose_pairs and (1, 2) in loose_pairs
+    assert cut_pairs == {(0, 1)}
+
+
+def test_sparse_cosine_weights_rare_tokens_higher(spark):
+    from fbs_data_pipelines_spark.operators.similarity import (
+        sparse_cosine_pairs,
+    )
+
+    # pair (0,1) shares a rare token, pair (0,2) shares a common one
+    # (present in every doc → idf 0 → zero contribution)
+    rows = [
+        (0, "common rareword filler1 filler2"),
+        (1, "common rareword filler3 filler4"),
+        (2, "common filler5 filler6 filler7"),
+        (3, "common filler8 filler9 fillerA"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in sparse_cosine_pairs(
+            df, "doc_id", "text", threshold=0.0001
+        ).collect()
+    }
+    # the rare-token pair scores; the common-token-only pair carries
+    # zero weight (idf ln(N/N) = 0) and is filtered out entirely
+    assert got[(0, 1)] > 0.1
+    assert (0, 2) not in got

@@ -92,6 +92,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )
+    # parquet timestamp[us] with isAdjustedToUTC=false is read as
+    # TIMESTAMP_NTZ under Spark 4's default inferTimestampNTZ — which
+    # rejects direct long casts and trips downstream epoch arithmetic.
+    # With the session TZ pinned to UTC above, NTZ→TIMESTAMP is a
+    # value-identical relabel, so normalize every such column here.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 
@@ -520,7 +530,8 @@ def q_sessionize(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+        F.col("ts").cast("timestamp").cast("long")
+        - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w) > 1800,
         F.lit(1),
     ).otherwise(F.lit(0))
     sess = e.withColumn("new_sess", gap).withColumn(

@@ -69,16 +69,23 @@ def main() -> None:
     # min (first run pays one-time plan/codegen compilation; the
     # baseline engine's numbers are likewise steady-state)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
         last = None
-        for _ in range(2):
-            t0 = time.time()
-            last = fn(spark, sf_dir)
-            last.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        release_cache(last)  # free operator-scoped persists between queries
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                last = fn(spark, sf_dir)
+                last.write.mode("overwrite").format("noop").save()
+                best = min(best, time.time() - t0)
+        except Exception as exc:  # never let one query zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
+        finally:
+            if last is not None:
+                release_cache(last)  # free operator-scoped persists
         timings[name] = round(best, 3)
     sequential_total = round(sum(timings.values()), 3)
 
@@ -88,29 +95,32 @@ def main() -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     def run(name: str) -> None:
-        df = queries[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        release_cache(df)
+        try:
+            df = queries[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            release_cache(df)
+        except Exception as exc:
+            errors.setdefault(name, f"{type(exc).__name__}: {exc}"[:500])
 
+    ok = [n for n in HEADLINE if n not in errors]
     concurrent_total = float("inf")
     for _ in range(3):  # min-of-3, same steady-state policy as pass 1
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=5) as ex:
-            list(ex.map(run, HEADLINE))
+            list(ex.map(run, ok))
         concurrent_total = min(concurrent_total, round(time.time() - t0, 3))
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock_concurrent",
-                "value": concurrent_total,
-                "unit": "sec",
-                "queries": timings,
-                "sequential_total": sequential_total,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall_clock_concurrent",
+        "value": concurrent_total,
+        "unit": "sec",
+        "queries": timings,
+        "sequential_total": sequential_total,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1865,6 +1865,103 @@ def q_sparse_cosine(spark, sf_dir):
     )
 
 
+# --- round-4 additions ---------------------------------------------------
+
+def q_grouped_topk(spark, sf_dir):
+    """Skew-safe per-group top-k (operators/joins.grouped_topk): the
+    two-phase salted ranking whose full-group shuffle touches at most
+    k·pre_buckets rows per group — the plan that survives Zipfian
+    group keys where a single row_number window cannot (AQE can't
+    split window skew). Top-3 docs per source by length."""
+    from fbs_data_pipelines_spark.operators.joins import grouped_topk
+
+    d = _t(spark, sf_dir, "documents")
+    top = grouped_topk(
+        d,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=3,
+        salt_col="doc_id",
+    )
+    return top.select("source", "doc_id", "n_chars", "rank")
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-level boilerplate detection
+    (operators/quality.boilerplate_ngram_stats): bigrams present in
+    ≥10% of documents are boilerplate; score each doc by the flagged
+    fraction of its distinct bigrams. The boilerplate vocabulary is
+    provably ≤ (avg grams/doc)/0.1 entries, so the join back is a
+    broadcast — the corpus never shuffles twice."""
+    from fbs_data_pipelines_spark.operators.quality import (
+        boilerplate_ngram_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return boilerplate_ngram_stats(
+        d, "doc_id", "text", n=2, min_doc_frac=0.1
+    )
+
+
+def q_alpha_sample(spark, sf_dir):
+    """Temperature-balanced language sampling
+    (operators/sampling.alpha_sample): keep-fraction per language ∝
+    count^0.5 renormalized to a 300-row target — the multilingual-LM
+    balancing recipe, decided by the engine-portable md5 hash-mod
+    rule so the selected set is reproducible anywhere."""
+    from fbs_data_pipelines_spark.operators.sampling import alpha_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = alpha_sample(
+        d, "lang", "doc_id", alpha=0.5, target_rows=300, salt="al"
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Learned quality filter (operators/ml): 3 fixed iterations of
+    batch-GD logistic regression on (stopword-ratio, mean-word-len)
+    features with an is-English label, then σ(w·x) scoring. Each
+    iteration is ONE map-side-combined aggregation; only the 3
+    gradient scalars reach the driver (control-plane, like k-means
+    centroids). The oracle replays training as unrolled SQL CTEs."""
+    from fbs_data_pipelines_spark.caching import CacheScope
+    from fbs_data_pipelines_spark.operators.ml import (
+        logistic_score,
+        logistic_train,
+    )
+
+    scope = CacheScope()
+    d = _t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    ntok = whitespace_token_count(F.col("text"))
+    sw = F.size(
+        F.filter(F.split(norm, " "), lambda t: t.isin(*STOPWORDS["en"]))
+    )
+    feats = scope.persist(
+        d.select(
+            "doc_id",
+            (sw.cast("double") / F.greatest(ntok, F.lit(1))).alias("x1"),
+            (
+                F.length(F.translate(norm, " ", "")).cast("double")
+                / F.greatest(ntok, F.lit(1))
+            ).alias("x2"),
+            F.when(F.col("lang") == "en", F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+        )
+    )
+    w = logistic_train(feats, ["x1", "x2"], "y", lr=2.0, iters=3)
+    scored = logistic_score(feats, ["x1", "x2"], w)
+    return scope.attach(
+        scored.select(
+            "doc_id",
+            F.col("y").cast("long").alias("label"),
+            round_half_up(F.col("score"), 6).alias("score"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries, so the window below is curated to cover every
@@ -1890,7 +1987,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # `tfidf`'s explode+agg shape,
     # `salted_join`/`bloom_join`/`zorder_layout` ~ result-identical
     # physical levers over in-window join/agg families, with their
-    # scale behavior asserted by plan tests) — all still
+    # scale behavior asserted by plan tests; round-4 demotions:
+    # `range_join` ~ `asof_join` (both interval-alignment joins),
+    # `text_stats` ~ `quality_pipeline` (same text-profile layer),
+    # `dedup_ngram_jaccard` ~ `dedup_minhash_lsh` + `simhash_pairs`
+    # (shingle near-dup mechanism), `ann_topk` ~ `ann_ivf_nprobe`
+    # (nprobe=K ≡ brute force) — making room for the round-4
+    # flagships `grouped_topk`, `boilerplate_ngrams`, `alpha_sample`,
+    # `quality_classifier`) — all still
     # oracle-checked by tools/check_oracle.py locally.
     return {
         # --- reference-core relational surface (SURVEY §2) ------------
@@ -1919,18 +2023,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "streaming_merge": q_streaming_merge,
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
         # --- LLM-pipeline operators -----------------------------------
-        "text_stats": q_text_stats,
         "quality_pipeline": q_quality_pipeline,
         "tfidf": q_tfidf,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "ann_topk": q_ann_topk,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "multimodal_features": q_multimodal_features,
         # --- corpus-quality / sampling / packing flagships ------------
@@ -1947,10 +2047,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "kmeans": q_kmeans,
         "lm_perplexity": q_lm_perplexity,
+        # --- round-4 flagships ----------------------------------------
+        "grouped_topk": q_grouped_topk,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "alpha_sample": q_alpha_sample,
+        "quality_classifier": q_quality_classifier,
         # --- SQL front door / big joins -------------------------------
         "join_5way": q_join_5way,
         "sql_exists": q_sql_exists,
         # ==== driver gate window ends here (50 entries) ===============
+        "range_join": q_range_join,
+        "text_stats": q_text_stats,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_topk": q_ann_topk,
         "sort_limit": q_sort_limit,
         "datediff": q_datediff,
         "union_all": q_union_all,
@@ -3760,6 +3869,144 @@ def oracle_sql() -> dict[str, str]:
                floor((log2(sum(c)) - sum(c * log2(c)) / sum(c))
                      * 1000000.0 + 0.5) / 1000000.0 AS entropy
         FROM cnt GROUP BY doc_id
+    """
+
+    # grouped top-k: the two-phase salted ranking is result-identical
+    # to a single window given the total order (n_chars DESC, doc_id)
+    sql["grouped_topk"] = """
+        SELECT source, doc_id, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+        FROM documents
+        QUALIFY rank <= 3
+    """
+
+    # boilerplate bigrams: distinct per-doc bigrams → doc frequency →
+    # ≥10%-of-corpus cutoff → per-doc flagged fraction. The ceil
+    # operand is CAST to DOUBLE so both engines compute the IEEE
+    # product (DuckDB would otherwise use exact DECIMAL 0.1).
+    sql["boilerplate_ngrams"] = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split({_NORM}, ' '),
+                               t -> t <> '') AS words
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(words) >= 2
+                       THEN list_transform(
+                           generate_series(1, len(words) - 1),
+                           i -> words[i] || ' ' || words[i + 1])
+                       ELSE [] END)) AS gram
+            FROM w
+        ), nd AS (SELECT count(*) AS n_docs FROM documents),
+        boiler AS (
+            SELECT gram FROM g, nd
+            GROUP BY gram, n_docs
+            HAVING count(*) >= ceil(CAST(0.1 AS DOUBLE) * n_docs)
+        ), fl AS (
+            SELECT g.doc_id,
+                   CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END AS is_b
+            FROM g LEFT JOIN boiler b USING (gram)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+               CAST(sum(is_b) AS BIGINT) AS n_boiler_grams,
+               floor(sum(is_b) / CAST(count(*) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS boiler_frac
+        FROM fl GROUP BY doc_id
+    """
+
+    # alpha (temperature) sampling: per-lang keep fraction from
+    # count^0.5 renormalized to 300 rows; Σw as MAX of the running
+    # sum ordered by lang (same IEEE association order as Spark),
+    # keep decision by the shared md5 hash-mod rule
+    sql["alpha_sample"] = f"""
+        WITH c AS (
+            SELECT lang AS s, count(*) AS c FROM documents GROUP BY lang
+        ), wts AS (
+            SELECT s, c, pow(CAST(c AS DOUBLE), 0.5) AS w FROM c
+        ), r AS (
+            SELECT s, c, w,
+                   sum(w) OVER (ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS wrun
+            FROM wts
+        ), t AS (
+            SELECT s, c, w, max(wrun) OVER () AS wsum FROM r
+        ), f AS (
+            SELECT s,
+                   least(1.0, 300.0 * w / (wsum * c)) AS f
+            FROM t
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN f ON d.lang = f.s
+        WHERE {_hex4("'al:' || CAST(doc_id AS VARCHAR)")}
+              < floor(f.f * 65536.0)
+    """
+
+    # logistic quality classifier: unrolled 3-iteration batch GD —
+    # each gN is the gradient aggregation with the previous weights
+    # inlined, wN the driver-side update (w ← w − 2·g), scoring is
+    # σ(w3·x) rounded at 6dp. Feature exprs mirror the Spark side
+    # token-for-token.
+    _EN_SW = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'for', 'on', 'it')"
+    _SIG = lambda w0, wa, wb: (  # noqa: E731
+        f"1.0 / (1.0 + exp(-({w0} + {wa} * x1 + {wb} * x2)))"
+    )
+    sql["quality_classifier"] = f"""
+        WITH base AS (
+            SELECT doc_id, lang, {_NORM} AS norm FROM documents
+        ), feat AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(norm, ' '),
+                        t -> t IN {_EN_SW})) AS DOUBLE)
+                   / greatest(CASE WHEN norm = '' THEN 0
+                              ELSE len(string_split(norm, ' ')) END, 1) AS x1,
+                   CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+                   / greatest(CASE WHEN norm = '' THEN 0
+                              ELSE len(string_split(norm, ' ')) END, 1) AS x2,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM base
+        ),
+        g1 AS (
+            SELECT avg(0.5 - y) AS g0,
+                   avg((0.5 - y) * x1) AS ga,
+                   avg((0.5 - y) * x2) AS gb
+            FROM feat
+        ),
+        w1 AS (
+            SELECT 0.0 - 2.0 * g0 AS w0, 0.0 - 2.0 * ga AS wa,
+                   0.0 - 2.0 * gb AS wb
+            FROM g1
+        ),
+        g2 AS (
+            SELECT avg({_SIG("w0", "wa", "wb")} - y) AS g0,
+                   avg(({_SIG("w0", "wa", "wb")} - y) * x1) AS ga,
+                   avg(({_SIG("w0", "wa", "wb")} - y) * x2) AS gb
+            FROM feat, w1
+        ),
+        w2 AS (
+            SELECT w1.w0 - 2.0 * g2.g0 AS w0, w1.wa - 2.0 * g2.ga AS wa,
+                   w1.wb - 2.0 * g2.gb AS wb
+            FROM g2, w1
+        ),
+        g3 AS (
+            SELECT avg({_SIG("w0", "wa", "wb")} - y) AS g0,
+                   avg(({_SIG("w0", "wa", "wb")} - y) * x1) AS ga,
+                   avg(({_SIG("w0", "wa", "wb")} - y) * x2) AS gb
+            FROM feat, w2
+        ),
+        w3 AS (
+            SELECT w2.w0 - 2.0 * g3.g0 AS w0, w2.wa - 2.0 * g3.ga AS wa,
+                   w2.wb - 2.0 * g3.gb AS wb
+            FROM g3, w2
+        )
+        SELECT doc_id, CAST(y AS BIGINT) AS label,
+               floor({_SIG("w0", "wa", "wb")} * 1000000.0 + 0.5)
+                   / 1000000.0 AS score
+        FROM feat, w3
     """
 
     return sql

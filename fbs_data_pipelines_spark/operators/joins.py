@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -269,4 +269,56 @@ def bucketed_range_join(
         pbuckets.join(ibuckets, "__bucket")
         .filter((p >= F.col(lo_col)) & (p < F.col(hi_col)))
         .drop("__bucket")
+    )
+
+
+def grouped_topk(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    salt_col: str,
+    pre_buckets: int = 16,
+    rank_col: str | None = "rank",
+) -> DataFrame:
+    """Skew-safe per-group top-k: two-phase ranking (generalizes
+    ``latest_snapshot_agg`` from k=1 to arbitrary k).
+
+    The single-window form (``row_number over (partition by g order by
+    ...)``  ≤ k) shuffles EVERY row of a group into one task and sorts
+    the whole group there — on Zipfian group keys that task is the
+    job, and AQE cannot split window skew. Instead:
+
+    - phase 1 ranks within ``(group, salt)`` sub-partitions, where
+      salt = hash(salt_col) mod ``pre_buckets`` — a hot group spreads
+      over ``pre_buckets`` window partitions — and keeps only the
+      top k per sub-partition (every phase-2 winner is a top-k row of
+      its own sub-partition, so this drops no answer);
+    - phase 2 re-ranks the ≤ k·pre_buckets survivors per group — a
+      window over a bounded input, independent of group size.
+
+    Output is identical to the single-window form provided
+    ``order_by`` is a total order within each group (add a unique
+    tie-break column — rankings with ties are not deterministic in
+    ANY engine). ``rank_col=None`` drops the rank from the output.
+    ``salt_col`` must be deterministic per row (an id column);
+    engine-portability of the salt does not matter — it never leaves
+    the plan.
+    """
+    keys = list(partition_by)
+    salt = F.pmod(F.xxhash64(F.col(salt_col).cast("string")), pre_buckets)
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_by)
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    out = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= k)
+    )
+    if rank_col is None:
+        return out.drop("__salt", "__r1", "__r2")
+    return (
+        out.withColumn(rank_col, F.col("__r2").cast("long"))
+        .drop("__salt", "__r1", "__r2")
     )

@@ -193,3 +193,69 @@ def top_ngram_stats(
             "top_gram_frac"
         ),
     )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    min_doc_frac: float = 0.1,
+) -> DataFrame:
+    """Corpus-level boilerplate detection: flag word n-grams that occur
+    in ≥ ``min_doc_frac`` of documents (headers, footers, templated
+    phrases — CCNet/RefinedWeb-style boilerplate pruning works on
+    exactly this signal) and score each document by the fraction of
+    its DISTINCT n-grams that are boilerplate.
+
+    Emits (id, n_distinct_grams, n_boiler_grams, boiler_frac).
+
+    Scale shape (100 TB): per-doc grams are de-duplicated ARRAY-side
+    (``array_distinct``, zero shuffle) before exploding, so the
+    doc-frequency aggregation shuffles one row per (doc, distinct
+    gram) with map-side combine; its output is vocabulary-sized. The
+    boilerplate vocabulary is provably bounded — at most
+    (avg distinct grams per doc) / min_doc_frac entries by a counting
+    argument — so the join back is a broadcast, never a shuffle of
+    the corpus. Total: 2 map-side-combined shuffles, 1 broadcast.
+    """
+    words = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    if n == 1:
+        grams = words
+    else:
+        idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+        grams = F.when(
+            F.size(words) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+    doc_grams = df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    n_docs = df.select(F.count("*").alias("__n_docs"))
+    gram_df = (
+        doc_grams.groupBy("gram")
+        .agg(F.count("*").alias("gram_docs"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("gram_docs")
+            >= F.ceil(F.lit(float(min_doc_frac)) * F.col("__n_docs"))
+        )
+        .select("gram")
+    )
+    flagged = doc_grams.join(
+        F.broadcast(gram_df.withColumn("__boiler", F.lit(1))), "gram", "left"
+    )
+    out = flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_distinct_grams"),
+        F.coalesce(F.sum("__boiler"), F.lit(0)).cast("long").alias(
+            "n_boiler_grams"
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        "n_distinct_grams",
+        "n_boiler_grams",
+        round_half_up(
+            F.col("n_boiler_grams") / F.col("n_distinct_grams"), 6
+        ).alias("boiler_frac"),
+    )

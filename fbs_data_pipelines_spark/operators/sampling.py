@@ -121,3 +121,60 @@ def train_eval_split(
             F.lit("eval"),
         ).otherwise(F.lit("train")),
     )
+
+
+def alpha_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_rows: int = 1000,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-balanced stratum sampling (the multilingual-LM
+    recipe: sample language l with probability ∝ count_l^alpha, so
+    alpha=1 keeps the natural distribution and alpha→0 flattens it —
+    cf. XLM-R / mT5 data balancing).
+
+    Per stratum, the keep-fraction is
+        f_l = min(1, target_rows · w_l / (Σw · count_l)),  w_l = count_l^alpha
+    and rows are kept by the same deterministic hash-mod rule as
+    ``deterministic_sample`` — reproducible on any engine/partitioning.
+
+    Scale shape: the strata histogram is one map-side-combined
+    aggregation whose output is stratum-cardinality-sized (a handful
+    of languages/sources); fractions derive from it and broadcast-join
+    back — the corpus itself never shuffles, the keep decision is a
+    pushed-down filter. Σw is taken as the MAX of a running sum
+    ordered by stratum value, so both engines associate the additions
+    in the same order (bit-identical totals → identical thresholds).
+    """
+    counts = df.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.count("*").alias("__c")
+    )
+    w = F.pow(F.col("__c").cast("double"), float(alpha))
+    run = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fracs = (
+        counts.withColumn("__w", w)
+        .withColumn("__wrun", F.sum("__w").over(run))
+        .withColumn("__wsum", F.max("__wrun").over(tot))
+        .select(
+            "__s",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * F.col("__w")
+                / (F.col("__wsum") * F.col("__c")),
+            ).alias("__f"),
+        )
+    )
+    joined = df.join(
+        F.broadcast(fracs), df[strata_col] == F.col("__s"), "inner"
+    )
+    keep = sample_bucket(key_col, salt) < F.floor(
+        F.col("__f") * F.lit(float(BUCKETS))
+    )
+    return joined.filter(keep).drop("__s", "__f")

@@ -1,0 +1,213 @@
+"""Round-4 operators: skew-safe grouped top-k, boilerplate n-grams,
+temperature (alpha) sampling, logistic quality classifier — plus the
+TIMESTAMP_NTZ loader regression."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fbs_data_pipelines_spark.operators.joins import grouped_topk
+from fbs_data_pipelines_spark.operators.ml import (
+    logistic_score,
+    logistic_train,
+)
+from fbs_data_pipelines_spark.operators.quality import boilerplate_ngram_stats
+from fbs_data_pipelines_spark.operators.sampling import (
+    BUCKETS,
+    alpha_sample,
+    sample_bucket,
+)
+
+
+# --- TIMESTAMP_NTZ loader regression ------------------------------------
+
+def test_loader_normalizes_timestamp_ntz(spark, sf_dir):
+    """events.parquet carries timestamp[us] with isAdjustedToUTC=false;
+    under inferTimestampNTZ (Spark 4 default) a vanilla session reads
+    TIMESTAMP_NTZ, which rejects bigint casts. The contract loader
+    must hand every query a plain timestamp column."""
+    import __spark_entry__ as entry
+
+    prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        assert dict(raw.dtypes)["ts"] == "timestamp_ntz"  # the hazard exists
+        df = entry._t(spark, sf_dir, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        # the round-3 failure mode: epoch arithmetic on ts
+        n = df.select(F.col("ts").cast("long").alias("s")).filter(
+            F.col("s") > 0
+        ).count()
+        assert n == df.count()
+        # and the actual failing query end-to-end
+        out = entry.q_sessionize(spark, sf_dir)
+        assert out.count() > 0
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", prev
+            )
+
+
+# --- grouped_topk --------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # group 'hot' has 400 rows, 'a'/'b' have 5 each — Zipf-ish
+    rows = [("hot", i, float(i % 97)) for i in range(400)]
+    rows += [("a", 1000 + i, float(i)) for i in range(5)]
+    rows += [("b", 2000 + i, float(i)) for i in range(5)]
+    return spark.createDataFrame(rows, "g string, id long, v double")
+
+
+def test_grouped_topk_matches_single_window(spark, skewed):
+    from pyspark.sql import Window
+
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = grouped_topk(skewed, ["g"], order, k=3, salt_col="id")
+    w = Window.partitionBy("g").orderBy(*order)
+    want = (
+        skewed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_grouped_topk_k_exceeds_group(spark, skewed):
+    got = grouped_topk(
+        skewed.filter(F.col("g") != "hot"),
+        ["g"],
+        [F.col("v").desc(), F.col("id")],
+        k=10,
+        salt_col="id",
+    )
+    # k > group size: every row survives, ranks are 1..5 per group
+    assert got.count() == 10
+    ranks = [
+        r["rank"] for r in got.filter(F.col("g") == "a").collect()
+    ]
+    assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_grouped_topk_rank_col_none(spark, skewed):
+    got = grouped_topk(
+        skewed, ["g"], [F.col("v").desc(), F.col("id")], k=1,
+        salt_col="id", rank_col=None,
+    )
+    assert got.columns == skewed.columns
+    assert got.count() == 3  # one winner per group
+
+
+# --- boilerplate n-grams -------------------------------------------------
+
+def test_boilerplate_ngram_stats(spark):
+    # 10 docs share the header bigram "acme corp"; one unique doc
+    rows = [(i, f"acme corp item {i} unique tail {i}") for i in range(10)]
+    rows.append((99, "totally different words here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_ngram_stats(
+        df, "doc_id", "text", n=2, min_doc_frac=0.5
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # "acme corp" and "corp item" appear in 10/11 docs ≥ 50% → boiler
+    assert by_id[0]["n_boiler_grams"] >= 2
+    assert by_id[99]["n_boiler_grams"] == 0
+    assert by_id[99]["boiler_frac"] == 0.0
+    for r in out:
+        assert 0.0 <= r["boiler_frac"] <= 1.0
+        assert r["n_boiler_grams"] <= r["n_distinct_grams"]
+
+
+def test_boilerplate_short_docs_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words here")], "doc_id long, text string"
+    )
+    out = boilerplate_ngram_stats(df, "doc_id", "text", n=2,
+                                  min_doc_frac=0.9)
+    # doc 1 has no bigram → not scored (same as the SQL oracle)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+# --- alpha sampling ------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def unbalanced(spark):
+    rows = [(i, "big") for i in range(1000)]
+    rows += [(10_000 + i, "small") for i in range(100)]
+    return spark.createDataFrame(rows, "id long, lang string")
+
+
+def test_alpha_sample_deterministic(unbalanced):
+    a = alpha_sample(unbalanced, "lang", "id", alpha=0.5, target_rows=200)
+    b = alpha_sample(unbalanced, "lang", "id", alpha=0.5, target_rows=200)
+    assert sorted(a.collect()) == sorted(b.collect())
+
+
+def test_alpha_sample_flattens(unbalanced):
+    """alpha<1 upsamples rare strata relative to their natural share:
+    the small stratum's keep-RATE must exceed the big stratum's."""
+    out = alpha_sample(
+        unbalanced, "lang", "id", alpha=0.5, target_rows=200
+    )
+    kept = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept["small"] / 100 > kept["big"] / 1000
+    # and the total lands near the target (hash-mod binomial noise)
+    total = sum(kept.values())
+    assert 120 <= total <= 280
+
+
+def test_alpha_sample_alpha1_is_uniform_fraction(unbalanced):
+    """alpha=1 degenerates to a single global fraction: every
+    stratum's threshold is target/total — identical keep rule to
+    deterministic_sample, so the selected ids must coincide."""
+    out = alpha_sample(
+        unbalanced, "lang", "id", alpha=1.0, target_rows=550, salt="s"
+    )
+    frac = 550 / 1100
+    want = unbalanced.filter(
+        sample_bucket("id", "s") < F.floor(F.lit(frac * BUCKETS))
+    )
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+
+
+# --- logistic classifier -------------------------------------------------
+
+@pytest.fixture(scope="module")
+def separable(spark):
+    # y=1 iff x1 > 0.5; linearly separable in x1
+    rows = [(i, (i % 100) / 100.0, float((i * 7) % 10) / 10.0,
+             1.0 if (i % 100) / 100.0 > 0.5 else 0.0)
+            for i in range(400)]
+    return spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+
+
+def test_logistic_train_deterministic(separable):
+    w1 = logistic_train(separable, ["x1", "x2"], "y", lr=1.0, iters=3)
+    w2 = logistic_train(separable, ["x1", "x2"], "y", lr=1.0, iters=3)
+    assert w1 == w2
+    assert len(w1) == 3
+
+
+def test_logistic_learns_separation(separable):
+    w = logistic_train(separable, ["x1", "x2"], "y", lr=2.0, iters=10)
+    scored = logistic_score(separable, ["x1", "x2"], w)
+    m = scored.groupBy("y").agg(F.avg("score").alias("s")).collect()
+    mean = {r["y"]: r["s"] for r in m}
+    assert mean[1.0] > mean[0.0] + 0.1  # positives score higher
+    for r in scored.select("score").collect():
+        assert 0.0 <= r["score"] <= 1.0
+
+
+def test_logistic_gradient_direction(separable):
+    """One step from w=0 must move the x1 weight positive (x1
+    correlates with y) — the sign check that catches a flipped
+    gradient."""
+    w = logistic_train(separable, ["x1"], "y", lr=1.0, iters=1)
+    assert w[1] > 0

@@ -1865,6 +1865,75 @@ def q_sparse_cosine(spark, sf_dir):
     )
 
 
+def q_sql_nested_semi(spark, sf_dir):
+    """TPC-H Q20 shape through the SQL front door: semi join against
+    an aggregated-HAVING subquery (suppliers whose 1995+ shipped
+    volume clears a threshold). The IN-subquery side aggregates to
+    supplier cardinality — Catalyst plans a broadcast left-semi."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM v_supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM v_lineitem
+            WHERE l_shipdate >= DATE '1995-01-01'
+            GROUP BY l_suppkey
+            HAVING sum(l_quantity) > 3000
+        )
+        """
+    )
+
+
+def q_robust_stats(spark, sf_dir):
+    """Robust grouped statistics: exact median (interpolated),
+    count_if, and boolean aggregates — the profiling layer of a data
+    contract. All partial-aggregable built-ins except median, which
+    Spark computes via sort-based percentile (one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_big_discount"),
+        F.bool_or(F.col("l_quantity") > 45).alias("any_bulk"),
+        F.bool_and(F.col("l_extendedprice") > 0).alias("all_positive"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_curation_v2(spark, sf_dir):
+    """Round-4 curation composite, one lazy plan: boilerplate gate
+    (≤60% flagged bigrams) → temperature-balanced language sampling
+    (α=0.5, 200-row target over the KEPT docs) → skew-safe top-10 per
+    language by length. Composes `boilerplate_ngram_stats`,
+    `alpha_sample`, and `grouped_topk`; the oracle chains the same
+    three stages as CTEs."""
+    from fbs_data_pipelines_spark.operators.joins import grouped_topk
+    from fbs_data_pipelines_spark.operators.quality import (
+        boilerplate_ngram_stats,
+    )
+    from fbs_data_pipelines_spark.operators.sampling import alpha_sample
+
+    d = _t(spark, sf_dir, "documents")
+    gate = (
+        boilerplate_ngram_stats(d, "doc_id", "text", n=2, min_doc_frac=0.1)
+        .filter(F.col("boiler_frac") <= 0.6)
+        .select("doc_id")
+    )
+    kept = d.join(gate, "doc_id")
+    samp = alpha_sample(
+        kept, "lang", "doc_id", alpha=0.5, target_rows=200, salt="cv2"
+    )
+    top = grouped_topk(
+        samp,
+        ["lang"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=10,
+        salt_col="doc_id",
+    )
+    return top.select("lang", "doc_id", "n_chars", "rank")
+
+
 # --- round-4 additions ---------------------------------------------------
 
 def q_grouped_topk(spark, sf_dir):
@@ -2117,6 +2186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_sample": q_budget_sample,
         "token_entropy": q_token_entropy,
         "sparse_cosine": q_sparse_cosine,
+        "sql_nested_semi": q_sql_nested_semi,
+        "robust_stats": q_robust_stats,
+        "curation_v2": q_curation_v2,
     }
 
 
@@ -3869,6 +3941,93 @@ def oracle_sql() -> dict[str, str]:
                floor((log2(sum(c)) - sum(c * log2(c)) / sum(c))
                      * 1000000.0 + 0.5) / 1000000.0 AS entropy
         FROM cnt GROUP BY doc_id
+    """
+
+    # Q20-shape nested semi: identical ANSI text runs on both engines
+    # (l_quantity is integral-valued, so the HAVING sum is exact)
+    sql["sql_nested_semi"] = """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01'
+            GROUP BY l_suppkey
+            HAVING sum(l_quantity) > 3000
+        )
+    """
+
+    # robust grouped stats: interpolated median over integral-valued
+    # doubles is exact in both engines; count_if/bool_* are ANSI
+    sql["robust_stats"] = """
+        SELECT l_returnflag,
+               median(l_quantity) AS median_qty,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_big_discount,
+               bool_or(l_quantity > 45) AS any_bulk,
+               bool_and(l_extendedprice > 0) AS all_positive,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    # curation v2: boilerplate gate → alpha sampling over the KEPT
+    # docs → per-language top-10; each stage is the same SQL as its
+    # standalone oracle, chained
+    sql["curation_v2"] = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split({_NORM}, ' '),
+                               t -> t <> '') AS words
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(words) >= 2
+                       THEN list_transform(
+                           generate_series(1, len(words) - 1),
+                           i -> words[i] || ' ' || words[i + 1])
+                       ELSE [] END)) AS gram
+            FROM w
+        ), nd AS (SELECT count(*) AS n_docs FROM documents),
+        boiler AS (
+            SELECT gram FROM g, nd
+            GROUP BY gram, n_docs
+            HAVING count(*) >= ceil(CAST(0.1 AS DOUBLE) * n_docs)
+        ), fl AS (
+            SELECT g.doc_id,
+                   CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END AS is_b
+            FROM g LEFT JOIN boiler b USING (gram)
+        ), frac AS (
+            SELECT doc_id,
+                   floor(sum(is_b) / CAST(count(*) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS boiler_frac
+            FROM fl GROUP BY doc_id
+        ), kept AS (
+            SELECT d.* FROM documents d
+            JOIN frac USING (doc_id) WHERE boiler_frac <= 0.6
+        ), c AS (
+            SELECT lang AS s, count(*) AS c FROM kept GROUP BY lang
+        ), wts AS (
+            SELECT s, c, pow(CAST(c AS DOUBLE), 0.5) AS w FROM c
+        ), r AS (
+            SELECT s, c, w,
+                   sum(w) OVER (ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS wrun
+            FROM wts
+        ), t AS (
+            SELECT s, c, w, max(wrun) OVER () AS wsum FROM r
+        ), f AS (
+            SELECT s, least(1.0, 200.0 * w / (wsum * c)) AS f FROM t
+        ), samp AS (
+            SELECT d.lang, d.doc_id, d.n_chars
+            FROM kept d JOIN f ON d.lang = f.s
+            WHERE {_hex4("'cv2:' || CAST(doc_id AS VARCHAR)")}
+                  < floor(f.f * 65536.0)
+        )
+        SELECT lang, doc_id, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+        FROM samp
+        QUALIFY rank <= 10
     """
 
     # grouped top-k: the two-phase salted ranking is result-identical

@@ -106,7 +106,7 @@ def main() -> None:
     concurrent_total = float("inf")
     for _ in range(3):  # min-of-3, same steady-state policy as pass 1
         t0 = time.time()
-        with ThreadPoolExecutor(max_workers=5) as ex:
+        with ThreadPoolExecutor(max_workers=10) as ex:
             list(ex.map(run, ok))
         concurrent_total = min(concurrent_total, round(time.time() - t0, 3))
 

@@ -1934,6 +1934,20 @@ def q_curation_v2(spark, sf_dir):
     return top.select("lang", "doc_id", "n_chars", "rank")
 
 
+def q_shared_spans(spark, sf_dir):
+    """Substring-level dedup signal (operators/dedup.shared_span_pairs):
+    longest shared token span per document pair via diagonal runs over
+    an inverted positional-shingle index — the distributed
+    reformulation of suffix-array substring dedup (Lee et al. 2021).
+    Stop-shingle valve at 10 occurrences; spans ≥ 8 tokens."""
+    from fbs_data_pipelines_spark.operators.dedup import shared_span_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return shared_span_pairs(
+        d, "doc_id", "text", n=3, min_span_tokens=8, max_occurrences=10
+    )
+
+
 # --- round-4 additions ---------------------------------------------------
 
 def q_grouped_topk(spark, sf_dir):
@@ -2189,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_nested_semi": q_sql_nested_semi,
         "robust_stats": q_robust_stats,
         "curation_v2": q_curation_v2,
+        "shared_spans": q_shared_spans,
     }
 
 
@@ -3941,6 +3956,56 @@ def oracle_sql() -> dict[str, str]:
                floor((log2(sum(c)) - sum(c * log2(c)) / sum(c))
                      * 1000000.0 + 0.5) / 1000000.0 AS entropy
         FROM cnt GROUP BY doc_id
+    """
+
+    # shared token spans: positional trigram shingles → occurrence
+    # cutoff (>10) → inverted-index self-join → diagonal runs
+    # (pa − pb constant, consecutive pa ⇒ one group per maximal run
+    # via pa − row_number) → per-pair longest span + qualifying-run
+    # count. Mirrors shared_span_pairs stage for stage.
+    sql["shared_spans"] = f"""
+        WITH w AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS words
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   generate_subscripts(grams, 1) - 1 AS pos,
+                   unnest(grams) AS shingle
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3
+                       THEN list_transform(
+                           generate_series(1, len(words) - 2),
+                           i -> words[i] || ' ' || words[i + 1]
+                                || ' ' || words[i + 2])
+                       ELSE [] END AS grams
+                FROM w
+            )
+        ), keepable AS (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING count(*) <= 10
+        ), shf AS (
+            SELECT sh.* FROM sh JOIN keepable USING (shingle)
+        ), hits AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pa, a.pos - b.pos AS diag
+            FROM shf a JOIN shf b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+        ), runs AS (
+            SELECT id_a, id_b, diag,
+                   pa - row_number() OVER (
+                       PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+            FROM hits
+        ), spans AS (
+            SELECT id_a, id_b, diag, grp,
+                   count(*) + 2 AS span
+            FROM runs GROUP BY id_a, id_b, diag, grp
+        )
+        SELECT id_a, id_b,
+               CAST(max(span) AS BIGINT) AS span_tokens,
+               CAST(count(*) AS BIGINT) AS n_spans
+        FROM spans WHERE span >= 8
+        GROUP BY id_a, id_b
     """
 
     # Q20-shape nested semi: identical ANSI text runs on both engines

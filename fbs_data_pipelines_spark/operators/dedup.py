@@ -22,7 +22,7 @@ exact signatures/pairs — no engine-private hash functions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fbs_data_pipelines_spark.functions.cleaning import round_half_up
@@ -500,3 +500,87 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_span_tokens: int = 5,
+    max_occurrences: int | None = None,
+) -> DataFrame:
+    """Exact substring (token-span) dedup: the longest run of tokens
+    two documents share, found WITHOUT suffix arrays — the signal
+    behind substring-level train-set dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"; their
+    single-machine tool builds a suffix array, which does not
+    distribute — this is the join-native reformulation).
+
+    Method (diagonal runs): positional word n-grams (pos, shingle)
+    per doc → inverted-index self-join on the shingle → every match
+    between docs a<b lands at coordinates (pa, pb); matches of one
+    contiguous shared span all satisfy pa − pb = const (a DIAGONAL)
+    with consecutive pa. Grouping by (a, b, diag, pa − row_number)
+    turns each maximal run into one group; its size r means r+n−1
+    shared tokens. Emits (id_a, id_b, span_tokens = max run) for
+    pairs clearing ``min_span_tokens``.
+
+    Scale shape: positional shingling is a narrow map; the self-join
+    is shuffle-hash on the shingle (AQE-skew-splittable);
+    ``max_occurrences`` is the stop-shingle valve (a shingle with
+    occurrence count d yields O(d²) join rows — drop the boilerplate
+    head BEFORE the join, exactly like ``ngram_jaccard.max_df``).
+    The run window partitions by (pair, diagonal) — keys strictly
+    finer than pairs, so no Zipfian window partition can form.
+
+    Returns (id_a, id_b, span_tokens, n_spans) — n_spans counts the
+    qualifying maximal runs of the pair.
+    """
+    from fbs_data_pipelines_spark.caching import CacheScope
+    from fbs_data_pipelines_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    scope = CacheScope()
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    shp = src.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(text_col, n)).alias("pos", "shingle"),
+    )
+    if max_occurrences is not None:
+        shp = scope.persist(shp)
+        hot = (
+            shp.groupBy("shingle")
+            .agg(F.count("*").alias("__occ"))
+            .filter(F.col("__occ") > max_occurrences)
+            .select("shingle")
+        )
+        shp = shp.join(F.broadcast(hot), "shingle", "left_anti")
+    shp = scope.persist(shp)  # two self-join consumers
+    a = shp.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "shingle"
+    )
+    b = shp.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "shingle"
+    )
+    hits = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        hits.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg((F.count("*") + F.lit(n - 1)).alias("span"))
+    )
+    out = (
+        runs.filter(F.col("span") >= min_span_tokens)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("span").cast("long").alias("span_tokens"),
+            F.count("*").cast("long").alias("n_spans"),
+        )
+    )
+    return scope.attach(out)

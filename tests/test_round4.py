@@ -211,3 +211,65 @@ def test_logistic_gradient_direction(separable):
     gradient."""
     w = logistic_train(separable, ["x1"], "y", lr=1.0, iters=1)
     assert w[1] > 0
+
+
+# --- shared token spans --------------------------------------------------
+
+def test_shared_span_exact_length(spark):
+    from fbs_data_pipelines_spark.operators.dedup import shared_span_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two gamma delta epsilon zeta nine ten"),
+            (3, "totally unrelated words in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = shared_span_pairs(
+        docs, "doc_id", "text", n=2, min_span_tokens=3
+    ).collect()
+    # docs 1&2 share exactly "gamma delta epsilon zeta" = 4 tokens
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["span_tokens"] == 4
+    assert r["n_spans"] == 1
+
+
+def test_shared_span_two_runs_and_threshold(spark):
+    from fbs_data_pipelines_spark.operators.dedup import shared_span_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d q w e r t y u i"),
+            (2, "a b c d z z e r t y u i"),
+        ],
+        "doc_id long, text string",
+    )
+    out = shared_span_pairs(
+        docs, "doc_id", "text", n=2, min_span_tokens=4
+    ).collect()
+    # two disjoint shared runs: "a b c d" (4) and "e r t y u i" (6)
+    assert len(out) == 1
+    assert out[0]["span_tokens"] == 6
+    assert out[0]["n_spans"] == 2
+
+
+def test_shared_span_occurrence_valve(spark):
+    from fbs_data_pipelines_spark.operators.dedup import shared_span_pairs
+
+    # "x y" appears in every doc — with the valve at 2 occurrences the
+    # boilerplate shingle is dropped and no pair qualifies
+    docs = spark.createDataFrame(
+        [(i, f"x y unique{i} tail{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    strict = shared_span_pairs(
+        docs, "doc_id", "text", n=2, min_span_tokens=2, max_occurrences=2
+    )
+    loose = shared_span_pairs(
+        docs, "doc_id", "text", n=2, min_span_tokens=2
+    )
+    assert strict.count() == 0
+    assert loose.count() == 10  # all C(5,2) pairs share "x y"

@@ -1948,6 +1948,45 @@ def q_shared_spans(spark, sf_dir):
     )
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split, composed from the bigram-LM
+    scorer: per-language perplexity terciles (ntile over the ROUNDED
+    score with a doc_id tie-break — engine-identical ordering), keep
+    head+middle. This is the actual CCNet quality gate: language-
+    relative perplexity, not a global threshold.
+
+    Scale note: ntile windows on the language — a handful of Zipfian
+    partitions. Row-exact here (and what the oracle can replay), but
+    at 100 TB use ``operators.lm.ppl_quantile_buckets``: per-group
+    percentile cutoffs from ONE partial-aggregable aggregation,
+    broadcast back, bucket by comparison — no window anywhere
+    (equal on tie-free scores, proven in tests)."""
+    from fbs_data_pipelines_spark.operators.lm import (
+        bigram_lm_train,
+        lm_perplexity,
+        vocabulary_size,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = bigram_lm_train(docs, "text")
+    v = vocabulary_size(docs, "text")
+    out = lm_perplexity(docs, "doc_id", "text", model, v, alpha=0.5)
+    scored = docs.select("doc_id", "lang").join(
+        out.select(
+            "doc_id", round_half_up(F.col("log_ppl"), 6).alias("log_ppl")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("log_ppl").asc_nulls_last(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .filter(F.col("bucket") <= 2)
+        .select("doc_id", "lang", "log_ppl", "bucket")
+    )
+
+
 # --- round-4 additions ---------------------------------------------------
 
 def q_grouped_topk(spark, sf_dir):
@@ -2204,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_stats": q_robust_stats,
         "curation_v2": q_curation_v2,
         "shared_spans": q_shared_spans,
+        "ppl_buckets": q_ppl_buckets,
     }
 
 
@@ -3956,6 +3996,58 @@ def oracle_sql() -> dict[str, str]:
                floor((log2(sum(c)) - sum(c * log2(c)) / sum(c))
                      * 1000000.0 + 0.5) / 1000000.0 AS entropy
         FROM cnt GROUP BY doc_id
+    """
+
+    # CCNet head/middle split: the lm_perplexity pipeline + per-lang
+    # ntile(3) over (rounded score, doc_id) — identical ordering rule
+    # on both engines (ASC NULLS LAST pinned: Spark defaults nulls
+    # first, DuckDB last)
+    sql["ppl_buckets"] = f"""
+        WITH tok AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(w[1:len(w) - 1]) AS w1,
+                   unnest(w[2:len(w)]) AS w2
+            FROM tok WHERE len(w) >= 2
+        ),
+        cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        cnt1 AS (SELECT w1, sum(c2) AS c1 FROM cnt2 GROUP BY 1),
+        v AS (
+            SELECT count(DISTINCT tok) AS v FROM (
+                SELECT unnest(string_split({_NORM}, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        scored AS (
+            SELECT b.doc_id,
+                   ln((coalesce(c.c2, 0) + 0.5)
+                      / (coalesce(k.c1, 0) + 0.5 * v.v)) AS lp
+            FROM bg b
+            LEFT JOIN cnt2 c USING (w1, w2)
+            LEFT JOIN cnt1 k USING (w1)
+            CROSS JOIN v
+        ),
+        per AS (
+            SELECT doc_id, -avg(lp) AS log_ppl
+            FROM scored GROUP BY 1
+        ),
+        ppl AS (
+            SELECT d.doc_id, d.lang,
+                   floor(p.log_ppl * 1000000.0 + 0.5) / 1000000.0
+                       AS log_ppl
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        ),
+        bkt AS (
+            SELECT doc_id, lang, log_ppl,
+                   CAST(ntile(3) OVER (
+                       PARTITION BY lang
+                       ORDER BY log_ppl ASC NULLS LAST, doc_id
+                   ) AS BIGINT) AS bucket
+            FROM ppl
+        )
+        SELECT doc_id, lang, log_ppl, bucket FROM bkt WHERE bucket <= 2
     """
 
     # shared token spans: positional trigram shingles → occurrence

@@ -123,3 +123,44 @@ def lm_perplexity(
     # the model's persist scope travels with the scored result so the
     # consumer's release_cache() frees the cached model
     return carry_cache(out, model)
+
+
+def ppl_quantile_buckets(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str = "log_ppl",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Scale-safe per-group score bucketing (CCNet's head/middle/tail
+    split without the window): per-group quantile CUTOFFS come from
+    ONE map-side-combinable aggregation (``percentile``, output =
+    group cardinality × (n_buckets−1) doubles), broadcast back, and
+    the bucket is a comparison chain — the corpus never enters a
+    window.
+
+    The ``ntile`` formulation (``__spark_entry__.q_ppl_buckets``) is
+    row-exact and right at test scale, but it windows on the language
+    — a handful of Zipfian partitions, so at 100 TB one task owns 20%
+    of the corpus and AQE cannot split window skew. This variant
+    trades exact equal-count splits for threshold splits (ties at a
+    cutoff all land in the lower bucket) and keeps every stage
+    partial-aggregable. Use THIS form at scale.
+
+    Returns ``scored`` plus a 1-based ``bucket`` column.
+    """
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.groupBy(group_col).agg(
+        *[
+            F.percentile(F.col(score_col), F.lit(p)).alias(f"__q{i}")
+            for i, p in enumerate(ps)
+        ]
+    )
+    out = scored.join(F.broadcast(cuts), group_col)
+    bucket = F.lit(n_buckets)
+    for i in range(n_buckets - 2, -1, -1):
+        bucket = F.when(
+            F.col(score_col) <= F.col(f"__q{i}"), F.lit(i + 1)
+        ).otherwise(bucket)
+    return out.withColumn("bucket", bucket.cast("long")).drop(
+        *[f"__q{i}" for i in range(n_buckets - 1)]
+    )

@@ -273,3 +273,93 @@ def test_shared_span_occurrence_valve(spark):
     )
     assert strict.count() == 0
     assert loose.count() == 10  # all C(5,2) pairs share "x y"
+
+
+# --- plan shapes (the 100 TB contracts) ----------------------------------
+
+def _final_plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_alpha_sample_corpus_never_shuffles(spark, unbalanced):
+    """The corpus side must be a broadcast-joined FILTER — the only
+    exchanges in the plan belong to the tiny strata histogram."""
+    out = alpha_sample(unbalanced, "lang", "id", alpha=0.5,
+                       target_rows=200)
+    plan = _final_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # no sort-merge join: the corpus is never co-partitioned
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_join_back_is_broadcast(spark):
+    rows = [(i, f"acme corp item {i} unique tail {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_ngram_stats(df, "doc_id", "text", n=2,
+                                  min_doc_frac=0.5)
+    plan = _final_plan(out)
+    # the bounded boilerplate vocabulary joins back as a broadcast,
+    # never a shuffled join of the exploded gram table
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grouped_topk_no_single_group_sort(spark, skewed):
+    """Phase-1 must window over (group, salt): the executed plan
+    carries a window partitioned by the salt column, proving the hot
+    group is spread over pre_buckets sub-partitions before any
+    whole-group operation."""
+    out = grouped_topk(skewed, ["g"], [F.col("v").desc(), F.col("id")],
+                       k=2, salt_col="id", pre_buckets=8)
+    plan = _final_plan(out)
+    assert "__salt" in plan  # salted phase-1 window present
+    assert plan.count("Window") >= 2  # both phases are windows
+
+
+def test_shared_spans_window_key_includes_diag(spark):
+    from fbs_data_pipelines_spark.operators.dedup import shared_span_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "z b c d e y")],
+        "doc_id long, text string",
+    )
+    out = shared_span_pairs(docs, "doc_id", "text", n=2,
+                            min_span_tokens=2)
+    plan = _final_plan(out)
+    # the run window partitions by (pair, diag) — 'diag' must appear
+    # in the plan's window spec, keeping partitions finer than pairs
+    assert "diag" in plan
+
+
+# --- scale-safe perplexity bucketing -------------------------------------
+
+def test_ppl_quantile_buckets_matches_ntile_on_unique_scores(spark):
+    """On tie-free scores the threshold split equals ntile's
+    equal-count split — proving the scale-safe form loses nothing
+    when scores are distinct."""
+    from pyspark.sql import Window
+    from fbs_data_pipelines_spark.operators.lm import ppl_quantile_buckets
+
+    rows = [(g, i, float(hash((g, i)) % 9973))
+            for g in ("en", "fr") for i in range(90)]
+    df = spark.createDataFrame(rows, "lang string, id long, log_ppl double")
+    got = ppl_quantile_buckets(df, "lang", "log_ppl", n_buckets=3)
+    w = Window.partitionBy("lang").orderBy("log_ppl", "id")
+    want = df.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+    g = {(r["lang"], r["id"]): r["bucket"] for r in got.collect()}
+    e = {(r["lang"], r["id"]): r["bucket"] for r in want.collect()}
+    assert g == e
+
+
+def test_ppl_quantile_buckets_no_window_no_smj(spark):
+    from fbs_data_pipelines_spark.operators.lm import ppl_quantile_buckets
+
+    rows = [("en", i, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "lang string, id long, log_ppl double")
+    out = ppl_quantile_buckets(df, "lang", "log_ppl")
+    plan = _final_plan(out)
+    assert "Window" not in plan      # the whole point
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1987,6 +1987,26 @@ def q_ppl_buckets(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Production ingest dedup (operators/dedup.incremental_dedup):
+    an incoming batch (doc_id ≥ 200) deduped in-batch then anti-joined
+    against the accumulated corpus hash state (here: hashes of
+    doc_id < 250) — the corpus itself is never rescanned, only its
+    16-byte/doc hash set participates."""
+    from fbs_data_pipelines_spark.operators.dedup import (
+        dedup_exact,
+        incremental_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    seen = dedup_exact(
+        d.filter(F.col("doc_id") < 250), "doc_id", ["text"]
+    ).select("content_hash")
+    batch = d.filter(F.col("doc_id") >= 200)
+    fresh = incremental_dedup(batch, seen, "doc_id", ["text"])
+    return fresh.select("doc_id", "lang", "source", "content_hash")
+
+
 # --- round-4 additions ---------------------------------------------------
 
 def q_grouped_topk(spark, sf_dir):
@@ -2244,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v2": q_curation_v2,
         "shared_spans": q_shared_spans,
         "ppl_buckets": q_ppl_buckets,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -3996,6 +4017,31 @@ def oracle_sql() -> dict[str, str]:
                floor((log2(sum(c)) - sum(c * log2(c)) / sum(c))
                      * 1000000.0 + 0.5) / 1000000.0 AS entropy
         FROM cnt GROUP BY doc_id
+    """
+
+    # incremental ingest dedup: batch hashed with the dedup_exact
+    # rule, in-batch min-id survivor, anti-join on the seen hash set
+    sql["incremental_dedup"] = f"""
+        WITH seen AS (
+            SELECT DISTINCT md5({_NORM}) AS content_hash
+            FROM documents WHERE doc_id < 250
+        ), batch AS (
+            SELECT doc_id, lang, source,
+                   md5({_NORM}) AS content_hash
+            FROM documents WHERE doc_id >= 200
+        ), keep AS (
+            SELECT content_hash, min(doc_id) AS doc_id
+            FROM batch GROUP BY content_hash
+        ), inb AS (
+            SELECT b.* FROM batch b
+            JOIN keep k ON b.content_hash = k.content_hash
+                        AND b.doc_id = k.doc_id
+        )
+        SELECT doc_id, lang, source, content_hash
+        FROM inb
+        WHERE NOT EXISTS (
+            SELECT 1 FROM seen s WHERE s.content_hash = inb.content_hash
+        )
     """
 
     # CCNet head/middle split: the lm_perplexity pipeline + per-lang

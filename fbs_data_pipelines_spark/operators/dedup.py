@@ -584,3 +584,48 @@ def shared_span_pairs(
         )
     )
     return scope.attach(out)
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    normalize: bool = True,
+) -> DataFrame:
+    """The production dedup shape: deduplicate an INCOMING batch
+    against the already-ingested corpus without ever rescanning it.
+
+    A 100 TB pipeline never re-deduplicates the world per ingest — it
+    keeps the content-hash set as state (16 bytes/doc; a
+    ``VersionedTable`` or bucketed parquet) and processes each new
+    batch as: (1) in-batch exact dedup (min-id survivor per hash,
+    same rule as ``dedup_exact``), (2) anti-join against the seen
+    set on the hash. Both stages shuffle ONLY the batch (the seen
+    set side partitions once; with the state table bucketed by hash
+    the anti-join is shuffle-free on its side).
+
+    ``seen_hashes`` needs a ``content_hash`` column. Returns the
+    surviving batch rows + their ``content_hash`` — the caller
+    appends exactly that column back to the state store, closing the
+    loop (append-only state; no read-modify-write races).
+    """
+    key = (
+        F.md5(F.concat_ws("", *[normalize_text(c) for c in content_cols]))
+        if normalize
+        else F.md5(F.concat_ws("", *content_cols))
+    )
+    hashed = batch.withColumn("content_hash", key)
+    # survivor set renamed to fresh attributes — a groupBy over the
+    # same lineage would otherwise make the join keys ambiguous
+    keep = hashed.groupBy(F.col("content_hash").alias("__h")).agg(
+        F.min(id_col).alias("__keep")
+    )
+    in_batch = hashed.join(
+        keep,
+        (F.col("content_hash") == F.col("__h"))
+        & (F.col(id_col) == F.col("__keep")),
+    ).drop("__h", "__keep")
+    return in_batch.join(
+        seen_hashes.select("content_hash"), "content_hash", "left_anti"
+    )

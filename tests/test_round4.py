@@ -363,3 +363,99 @@ def test_ppl_quantile_buckets_no_window_no_smj(spark):
     assert "Window" not in plan      # the whole point
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --- shared spans vs brute force (property) ------------------------------
+
+def _longest_common_token_run(a: list, b: list) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(len(b)):
+            k = 0
+            while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                k += 1
+            best = max(best, k)
+    return best
+
+
+def test_shared_spans_equal_bruteforce_lcs(spark):
+    """shared_span_pairs' max span must equal the DP longest common
+    token run for every pair — over a batch of adversarial small docs
+    (tiny alphabet → dense repeats, the hard case for run logic)."""
+    import random
+
+    from fbs_data_pipelines_spark.operators.dedup import shared_span_pairs
+
+    rng = random.Random(42)
+    docs = [
+        (i, " ".join(rng.choice("abc") for _ in range(rng.randint(2, 12))))
+        for i in range(12)
+    ]
+    n = 2
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["span_tokens"]
+        for r in shared_span_pairs(
+            df, "doc_id", "text", n=n, min_span_tokens=n
+        ).collect()
+    }
+    toks = {i: t.split(" ") for i, t in docs}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            want = _longest_common_token_run(toks[i], toks[j])
+            if want >= n:
+                assert got.get((i, j)) == want, (i, j, got.get((i, j)), want)
+            else:
+                assert (i, j) not in got
+
+
+# --- incremental (batch-vs-corpus) dedup ---------------------------------
+
+def test_incremental_dedup_drops_seen_and_in_batch(spark):
+    from fbs_data_pipelines_spark.operators.dedup import (
+        dedup_exact,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")],
+        "doc_id long, text string",
+    )
+    seen = dedup_exact(corpus, "doc_id", ["text"]).select("content_hash")
+    batch = spark.createDataFrame(
+        [
+            (10, "Hello, WORLD!"),        # dup of seen (normalized)
+            (11, "fresh new content"),
+            (12, "fresh new content"),    # in-batch dup of 11
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(batch, seen, "doc_id", ["text"])
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+
+
+def test_incremental_dedup_state_loop(spark, tmp_path):
+    """Two sequential ingests against a VersionedTable hash store:
+    batch 2 must not re-admit anything batch 1 admitted."""
+    from fbs_data_pipelines_spark.operators.dedup import incremental_dedup
+    from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "hash_state"))
+    empty = spark.createDataFrame([], "content_hash string")
+    vt.commit(empty)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    fresh1 = incremental_dedup(b1, vt.read(), "doc_id", ["text"])
+    assert fresh1.count() == 2
+    vt.commit(vt.read().union(fresh1.select("content_hash")))
+
+    b2 = spark.createDataFrame(
+        [(3, "ALPHA beta!"), (4, "epsilon zeta")], "doc_id long, text string"
+    )
+    fresh2 = incremental_dedup(b2, vt.read(), "doc_id", ["text"])
+    assert sorted(r["doc_id"] for r in fresh2.collect()) == [4]
+    vt.commit(vt.read().union(fresh2.select("content_hash")))
+    assert vt.read().count() == 3

@@ -4013,7 +4013,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, tok, count(*) AS c
             FROM tok WHERE tok <> '' GROUP BY 1, 2
         )
-        SELECT doc_id, sum(c) AS n_tokens,
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
                floor((log2(sum(c)) - sum(c * log2(c)) / sum(c))
                      * 1000000.0 + 0.5) / 1000000.0 AS entropy
         FROM cnt GROUP BY doc_id

@@ -1,0 +1,139 @@
+"""transformWithState operators (Spark 4's arbitrary-state API).
+
+``applyInPandasWithState`` (streaming/sessionize.py) is the legacy
+single-blob-state escape hatch; Spark 4's ``transformWithStateInPandas``
+is its successor — typed per-key state primitives (value/list/map),
+native TTL, timers, and RocksDB-backed stores. Two operators here:
+
+- ``streaming_first_seen``: exactly-once-per-content admission — the
+  streaming twin of ``operators.dedup.incremental_dedup``. Per
+  content-hash ValueState (one boolean, optionally TTL'd); the first
+  row of a key is emitted, every later arrival (same batch or any
+  later batch) is dropped. A 100 TB ingest keeps this state in
+  RocksDB: 16-byte keys, 1-byte values, linear in DISTINCT content,
+  and TTL bounds it for rolling-window dedup.
+
+- ``streaming_running_total``: per-key running aggregate (count +
+  sum) maintained across batches — the update-mode counter that
+  ``incremental_rollup`` materializes in batch form.
+
+Scale notes: state ops shuffle on the grouping key once per batch
+(unavoidable for keyed state); handlers touch only the keys present
+in the batch, never the full store.
+
+Environment gate: transformWithState's Python↔JVM state protocol is
+protobuf-based. Where ``google.protobuf`` is unavailable (this
+sandbox), the operators raise ImportError at call time with a clear
+message and their tests skip — the API surface, schemas, and state
+layout are the deliverable; ``HAS_TWS_DEPS`` reports availability.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+try:  # the TWS state protocol needs protobuf at runtime
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS_DEPS = True
+except ImportError:  # pragma: no cover - environment-dependent
+    HAS_TWS_DEPS = False
+
+
+def _require_tws() -> None:
+    if not HAS_TWS_DEPS:
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf (the "
+            "state-server protocol); install protobuf to use this "
+            "operator"
+        )
+
+
+class _FirstSeen(StatefulProcessor):
+    """Admit the first row per key; drop all later arrivals."""
+
+    def __init__(self, columns: list[str], ttl_ms: int | None = None):
+        self._columns = columns
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState(
+            "seen", "seen boolean", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._seen.exists():
+            return
+        self._seen.update((True,))
+        for pdf in rows:
+            if len(pdf):
+                yield pdf.head(1)[self._columns]
+                return
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_first_seen(
+    df: DataFrame, key_col: str, ttl_ms: int | None = None
+) -> DataFrame:
+    """First-seen admission per ``key_col`` across the whole stream.
+
+    Append-mode output with ``df``'s schema. ``ttl_ms`` turns the
+    permanent dedup into a rolling-window dedup (state expires, the
+    key can be admitted again) — TTL is enforced by the state store
+    itself, no timer bookkeeping.
+    """
+    _require_tws()
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_FirstSeen(list(df.columns), ttl_ms),
+        outputStructType=schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+class _RunningTotal(StatefulProcessor):
+    def __init__(self, value_col: str):
+        self._value_col = value_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._tot = handle.getValueState("tot", "n bigint, s double")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, s = (self._tot.get() or (0, 0.0)) if self._tot.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf[self._value_col].sum())
+        self._tot.update((n, s))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total": [s]})
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_running_total(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key running (count, sum) emitted every batch the key
+    appears in — update-mode state kept as one typed ValueState row."""
+    _require_tws()
+    out_schema = f"key {dict(df.dtypes)[key_col]}, n_events bigint, total double"
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_RunningTotal(value_col),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -256,6 +256,36 @@ class VersionedTable:
             return self._read_bucket_dirs(self._read_manifest(v)["buckets"])
         return self.spark.read.parquet(self._data_dir(v))
 
+    def lookup(self, key, version: int | None = None) -> DataFrame:
+        """Point read in O(table/n_buckets) I/O: the PK's hash bucket
+        is computed DRIVER-side (same md5-mod rule as
+        ``_bucket_expr``, verified byte-equal in tests), the manifest
+        resolves that single bucket's live directory, and only its
+        files are scanned — a 16-bucket table serves a point lookup
+        reading ~6% of the data, independent of version count. The
+        exact equality filter still applies on top (hash collisions
+        share a bucket)."""
+        if self.id_col is None:
+            raise ValueError(
+                "lookup() needs a bucketed table (id_col set)"
+            )
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"versioned table {self.path} is empty")
+        import hashlib
+
+        b = (
+            int(hashlib.md5(str(key).encode("utf-8")).hexdigest()[:8], 16)
+            % self.n_buckets
+        )
+        buckets = self._read_manifest(v)["buckets"]
+        d = buckets.get(str(b))
+        if d is None:  # bucket never written: provably no such key
+            return self.read(v).filter(F.lit(False))
+        return self._read_bucket_dirs({str(b): d}).filter(
+            F.col(self.id_col) == key
+        )
+
     def _write_table_meta(self, df: DataFrame) -> None:
         if self._read_json("_table.json") is None:
             self._columns = list(df.columns)

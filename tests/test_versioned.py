@@ -327,3 +327,37 @@ def test_streaming_incremental_rollup_exactly_once(spark, table_path):
     assert {
         r.k: (r.n_rows, r.sum_v) for r in t2.read().collect()
     } == {"a": (3, 9.0), "b": (1, 10.0), "c": (1, -2.0)}
+
+
+def test_lookup_reads_single_bucket(spark, table_path):
+    """Point lookup scans ONLY the key's hash bucket — proven via
+    inputFiles(): every scanned file lives under that bucket's
+    partition dir — and survives merges (manifest-resolved)."""
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=8)
+    t.commit(_df(spark, [(f"k{i}", f"v{i}", "w") for i in range(40)]))
+
+    got = t.lookup("k7")
+    rows = got.collect()
+    assert [(r["id"], r["v"]) for r in rows] == [("k7", "v7")]
+
+    import hashlib
+
+    b = int(hashlib.md5(b"k7").hexdigest()[:8], 16) % 8
+    files = got.inputFiles()
+    assert files and all(f"__bucket={b}" in f for f in files)
+
+    # after a merge touching OTHER keys, lookup still resolves and
+    # still reads one bucket
+    t.merge(_df(spark, [("k1", "V1!", "w")]), target_cols=["v"])
+    got2 = t.lookup("k7")
+    assert [r["v"] for r in got2.collect()] == ["v7"]
+    assert all(f"__bucket={b}" in f for f in got2.inputFiles())
+    # merged key readable through its own bucket too
+    assert [r["v"] for r in t.lookup("k1").collect()] == ["V1!"]
+
+
+def test_lookup_requires_bucketed_mode(spark, table_path):
+    t = VersionedTable(spark, table_path)
+    t.commit(_df(spark, [("a", "1", "w")]))
+    with pytest.raises(ValueError, match="bucketed"):
+        t.lookup("a")

@@ -2007,6 +2007,53 @@ def q_incremental_dedup(spark, sf_dir):
     return fresh.select("doc_id", "lang", "source", "content_hash")
 
 
+def q_recursive_cte(spark, sf_dir):
+    """Recursive CTE through the SQL front door (Spark 4 WITH
+    RECURSIVE): build an 84-month date spine by recursion, left-join
+    order counts per month — the standard date-scaffold pattern that
+    previously needed sequence()+explode. Arithmetic is pinned to
+    engine-identical forms (floor division, make_date, month-trunc
+    cast to DATE)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE mi(i) AS (
+            SELECT 0 UNION ALL SELECT i + 1 FROM mi WHERE i < 83
+        ), months AS (
+            SELECT make_date(1992 + CAST(floor(i / 12.0) AS INT),
+                             1 + i % 12, 1) AS m
+            FROM mi
+        )
+        SELECT CAST(m AS STRING) AS month_start,
+               count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN v_orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+        """
+    )
+
+
+def q_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT:
+    top-2 lineitems by price for each sampled order — the SQL form of
+    a per-group top-k that Catalyst rewrites into a ranked join (no
+    per-row re-scan)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM v_orders o,
+        LATERAL (
+            SELECT l_linenumber, l_extendedprice FROM v_lineitem
+            WHERE l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) l
+        WHERE o.o_orderkey % 1000 = 0
+        """
+    )
+
+
 # --- round-4 additions ---------------------------------------------------
 
 def q_grouped_topk(spark, sf_dir):
@@ -2265,6 +2312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_spans": q_shared_spans,
         "ppl_buckets": q_ppl_buckets,
         "incremental_dedup": q_incremental_dedup,
+        "recursive_cte": q_recursive_cte,
+        "lateral_topn": q_lateral_topn,
     }
 
 
@@ -4017,6 +4066,34 @@ def oracle_sql() -> dict[str, str]:
                floor((log2(sum(c)) - sum(c * log2(c)) / sum(c))
                      * 1000000.0 + 0.5) / 1000000.0 AS entropy
         FROM cnt GROUP BY doc_id
+    """
+
+    # recursive date spine + lateral top-n: identical ANSI text on
+    # both engines (STRING→VARCHAR is the only dialect delta)
+    sql["recursive_cte"] = """
+        WITH RECURSIVE mi(i) AS (
+            SELECT 0 UNION ALL SELECT i + 1 FROM mi WHERE i < 83
+        ), months AS (
+            SELECT make_date(1992 + CAST(floor(i / 12.0) AS INT),
+                             1 + i % 12, 1) AS m
+            FROM mi
+        )
+        SELECT CAST(m AS VARCHAR) AS month_start,
+               count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+    """
+
+    sql["lateral_topn"] = """
+        SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM orders o,
+        LATERAL (
+            SELECT l_linenumber, l_extendedprice FROM lineitem
+            WHERE l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) l
+        WHERE o.o_orderkey % 1000 = 0
     """
 
     # incremental ingest dedup: batch hashed with the dedup_exact

@@ -116,3 +116,63 @@ def enforce(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
         detail = ", ".join(f"{n}: {v} violations" for n, v in failed)
         raise ValueError(f"data-quality contract failed — {detail}")
     return df
+
+
+def observed(
+    df: DataFrame, expectations: list[Expectation], name: str = "expectations"
+):
+    """Instrument the MAIN job with the contract instead of running a
+    second validation pass: attaches a Spark ``Observation`` carrying
+    every expectation's violation count (and ``__rows``), evaluated
+    as the data streams through whatever action the caller runs next.
+
+    ``validate`` costs one extra scan of the input; at 100 TB that is
+    the difference between reading the corpus once or twice.
+    ``observed`` rides the existing action — zero extra I/O, exact
+    counts (observations are accumulator-backed and task-retry-safe
+    for deterministic expressions).
+
+    Returns (instrumented_df, observation). After ANY action on the
+    returned frame, ``observation.get`` yields the metrics dict;
+    ``check(observation, expectations)`` turns it into the same
+    (check_name, violations, passed) report ``validate`` produces.
+
+    Streaming twin: the same metric expressions attach via
+    ``df.observe("name", *aggs)`` and arrive per-batch in
+    ``QueryProgressEvent.observedMetrics`` — one contract definition
+    serves batch and stream.
+    """
+    from pyspark.sql import Observation
+
+    aggs = []
+    for i, e in enumerate(expectations):
+        if e.distinct_cols:
+            # observed metrics are accumulator-backed — Spark rejects
+            # DISTINCT aggregates there (INVALID_OBSERVED_METRICS).
+            # Uniqueness genuinely needs a shuffle; keep it in
+            # ``validate``'s aggregation pass.
+            raise ValueError(
+                f"expectation '{e.name}' uses count-distinct, which "
+                "observed metrics cannot express — check uniqueness "
+                "via validate()/enforce() instead"
+            )
+        agg = F.sum(e.violation.cast("long"))
+        aggs.append(F.coalesce(agg, F.lit(0)).cast("long").alias(f"__c{i}"))
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("__rows"), *aggs), obs
+
+
+def check(observation, expectations: list[Expectation]) -> list[dict]:
+    """Decode an ``observed`` metrics payload into the standard
+    report: [{check_name, violations, passed}, ...] in declaration
+    order. Call only after an action ran on the instrumented frame
+    (``Observation.get`` blocks until then)."""
+    metrics = observation.get
+    return [
+        {
+            "check_name": e.name,
+            "violations": int(metrics[f"__c{i}"]),
+            "passed": int(metrics[f"__c{i}"]) == 0,
+        }
+        for i, e in enumerate(expectations)
+    ]

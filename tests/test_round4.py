@@ -475,3 +475,53 @@ def test_incremental_dedup_state_loop(spark, tmp_path):
     assert sorted(r["doc_id"] for r in fresh2.collect()) == [4]
     vt.commit(vt.read().union(fresh2.select("content_hash")))
     assert vt.read().count() == 3
+
+
+# --- observation-instrumented expectations -------------------------------
+
+def test_observed_expectations_ride_the_main_job(spark, tmp_path):
+    from fbs_data_pipelines_spark.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 50.0), (2, "c", -1.0)],
+        "id long, name string, v double",
+    )
+    checks = [
+        X.not_null("name"),
+        X.in_range("v", 0.0, 100.0),
+    ]
+    inst, obs = X.observed(df, checks)
+    # the ONLY job: a real write action (no separate validation scan)
+    inst.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    report = X.check(obs, checks)
+    by = {r["check_name"]: r for r in report}
+    assert by["not_null(name)"]["violations"] == 1
+    assert by["in_range(v,0.0,100.0)"]["violations"] == 1
+    assert not any(r["passed"] for r in report)
+    assert int(obs.get["__rows"]) == 3
+
+
+def test_observed_matches_validate(spark):
+    from fbs_data_pipelines_spark.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [(i, "x" if i % 7 else None) for i in range(100)],
+        "id long, name string",
+    )
+    checks = [X.not_null("name")]
+    want = {
+        r["check_name"]: r["violations"]
+        for r in X.validate(df, checks).collect()
+    }
+    inst, obs = X.observed(df, checks)
+    inst.count()
+    got = {r["check_name"]: r["violations"] for r in X.check(obs, checks)}
+    assert got == want
+
+
+def test_observed_rejects_distinct_checks(spark):
+    from fbs_data_pipelines_spark.operators import expectations as X
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="count-distinct"):
+        X.observed(df, [X.unique("id")])

@@ -228,6 +228,11 @@ class VersionedTable:
         """Union the live files of the given buckets, grouped by the
         version directory that holds them (one scan per directory,
         basePath keeps partition discovery consistent)."""
+        if not bucket_to_dir:  # e.g. every row deleted: empty table
+            cols = self._columns or []
+            return self.spark.createDataFrame(
+                [], ", ".join(f"`{c}` string" for c in cols)
+            )
         by_dir: dict[str, list[str]] = {}
         for b, d in bucket_to_dir.items():
             by_dir.setdefault(d, []).append(b)
@@ -410,6 +415,53 @@ class VersionedTable:
             return v
         finally:
             bucketed.unpersist()
+
+    def delete(self, condition) -> int:
+        """Row-level DELETE WHERE as a new version.
+
+        Bucketed mode rewrites ONLY the buckets that actually contain
+        matching rows (found with one aggregation over the live
+        snapshot — the predicate evaluates scan-side); clean buckets
+        are re-referenced in the new manifest at zero I/O, the same
+        O(dirty) contract as ``merge``. Plain mode rewrites the
+        filtered snapshot. ``condition`` is a Column predicate over
+        the table's columns; matching rows disappear, history keeps
+        them (time travel still sees every deleted row).
+        """
+        current = self.latest_version()
+        if current is None:
+            raise FileNotFoundError(
+                f"versioned table {self.path} is empty"
+            )
+        live = self.read(current)
+        if self.id_col is None:
+            return self.commit(live.filter(~F.coalesce(condition, F.lit(False))))
+        hit = live.filter(F.coalesce(condition, F.lit(False)))
+        dirty = sorted(
+            r["__b"]
+            for r in hit.select(self._bucket_expr().alias("__b"))
+            .distinct()
+            .collect()
+        )
+        manifest = self._read_manifest(current)["buckets"]
+        if not dirty:
+            return current  # nothing matched: no new version needed
+        dirty_dirs = {
+            b: d for b, d in manifest.items() if int(b) in set(dirty)
+        }
+        survivors = self._read_bucket_dirs(dirty_dirs).filter(
+            ~F.coalesce(condition, F.lit(False))
+        )
+        v = current + 1
+        self._write_buckets(survivors.select(*self._columns), v)
+        new_manifest = {
+            b: d for b, d in manifest.items() if int(b) not in set(dirty)
+        }
+        for b in self._buckets_in_dir(v):
+            new_manifest[str(b)] = f"data/v{v}"
+        self._write_json(f"manifests/v{v}.json", {"buckets": new_manifest})
+        self._commit_pointer(v)
+        return v
 
     def compact(self, n_files: int | None = None) -> int:
         """OPTIMIZE: rewrite the live snapshot as one fresh version.

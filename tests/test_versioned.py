@@ -361,3 +361,56 @@ def test_lookup_requires_bucketed_mode(spark, table_path):
     t.commit(_df(spark, [("a", "1", "w")]))
     with pytest.raises(ValueError, match="bucketed"):
         t.lookup("a")
+
+
+def test_delete_rewrites_only_dirty_buckets(spark, table_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=8)
+    t.commit(_df(spark, [(f"k{i}", f"v{i}", "w") for i in range(80)]))
+
+    v = t.delete(F.col("id") == "k3")
+    assert v == 2
+    v2_dirs = [
+        d for d in os.listdir(f"{table_path}/data/v2")
+        if d.startswith("__bucket=")
+    ]
+    assert len(v2_dirs) == 1  # only k3's bucket rewritten
+    live = t.read()
+    assert live.count() == 79
+    assert live.filter(F.col("id") == "k3").count() == 0
+    # history intact: time travel still sees the deleted row
+    assert t.read(1).filter(F.col("id") == "k3").count() == 1
+    # lookup through the rewritten bucket still works
+    assert t.lookup("k3").count() == 0
+
+
+def test_delete_no_match_is_noop(spark, table_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    t.commit(_df(spark, [("a", "1", "w")]))
+    v = t.delete(F.col("id") == "nope")
+    assert v == 1  # no new version
+    assert t.read().count() == 1
+
+
+def test_delete_all_rows_leaves_readable_empty_table(spark, table_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    t.commit(_df(spark, [("a", "1", "w"), ("b", "2", "w")]))
+    t.delete(F.lit(True))
+    assert t.read().count() == 0
+    assert t.read().columns == ["id", "v", "w"]
+
+
+def test_delete_plain_mode(spark, table_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, table_path)
+    t.commit(_df(spark, [("a", "1", "w"), ("b", "2", "w")]))
+    t.delete(F.col("v") == "1")
+    assert [r["id"] for r in t.read().collect()] == ["b"]

@@ -240,9 +240,14 @@ class VersionedTable:
         for d, bs in sorted(by_dir.items()):
             full = f"{self.path}/{d}"
             paths = [f"{full}/{_BUCKET}={b}" for b in sorted(bs, key=int)]
-            parts.append(
-                self.spark.read.option("basePath", full).parquet(*paths)
-            )
+            part = self.spark.read.option("basePath", full).parquet(*paths)
+            if self._columns:
+                # directories written before a schema evolution lack
+                # the appended columns: read them back as nulls
+                missing = [c for c in self._columns if c not in part.columns]
+                for c in missing:
+                    part = part.withColumn(c, F.lit(None).cast("string"))
+            parts.append(part)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -292,16 +297,28 @@ class VersionedTable:
         )
 
     def _write_table_meta(self, df: DataFrame) -> None:
-        if self._read_json("_table.json") is None:
+        meta = self._read_json("_table.json")
+        if meta is None:
             self._columns = list(df.columns)
-            self._write_json(
-                "_table.json",
-                {
-                    "id_col": self.id_col,
-                    "n_buckets": self.n_buckets if self.id_col else None,
-                    "columns": self._columns if self.id_col else None,
-                },
-            )
+        else:
+            # schema evolution (bucketed mode): new columns APPEND to
+            # the table schema; historical files simply lack them and
+            # read back as nulls (the lakehouse add-column contract).
+            # Dropping/renaming is not silently inferred — absent
+            # columns in one commit stay in the schema.
+            known = self._columns or []
+            extra = [c for c in df.columns if c not in known]
+            if not extra:
+                return
+            self._columns = known + extra
+        self._write_json(
+            "_table.json",
+            {
+                "id_col": self.id_col,
+                "n_buckets": self.n_buckets if self.id_col else None,
+                "columns": self._columns if self.id_col else None,
+            },
+        )
 
     def commit_info(self, version: int) -> dict | None:
         """Caller-supplied metadata recorded with ``commit(...,
@@ -376,6 +393,15 @@ class VersionedTable:
             )
             return self.commit(merged)
 
+        unknown = [
+            c for c in snapshot.columns if c not in (self._columns or [])
+        ]
+        if self._columns and unknown:
+            raise ValueError(
+                f"merge() got columns {unknown} not in the table schema "
+                f"{self._columns} — evolve the schema with commit() first "
+                "(silently dropping delta columns would lose data)"
+            )
         snap = snapshot.select(
             [F.col(c).cast("string").alias(c) for c in snapshot.columns]
         )

@@ -414,3 +414,43 @@ def test_delete_plain_mode(spark, table_path):
     t.commit(_df(spark, [("a", "1", "w"), ("b", "2", "w")]))
     t.delete(F.col("v") == "1")
     assert [r["id"] for r in t.read().collect()] == ["b"]
+
+
+def test_schema_evolution_append_column(spark, table_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    t.commit(_df(spark, [("a", "1", "w"), ("b", "2", "w")]))
+    t.merge(_df(spark, [("a", "1!", "w")]), target_cols=["v"])
+
+    # evolve: add a column via a full-snapshot commit
+    evolved = t.read().withColumn("x", F.concat(F.col("id"), F.lit("-x")))
+    t.commit(evolved)
+    assert t.read().columns == ["id", "v", "w", "x"]
+    assert {r["x"] for r in t.read().collect()} == {"a-x", "b-x"}
+
+    # time travel to pre-evolution versions: appended column is null
+    old = t.read(1)
+    assert old.columns == ["id", "v", "w", "x"]
+    assert all(r["x"] is None for r in old.collect())
+
+    # merges keep working against the evolved schema
+    t.merge(
+        spark.createDataFrame(
+            [("b", "2!", "w", "b-X")], "id string, v string, w string, x string"
+        ),
+        target_cols=["v", "x"],
+    )
+    got = {r["id"]: (r["v"], r["x"]) for r in t.read().collect()}
+    assert got["b"] == ("2!", "b-X")
+    assert got["a"] == ("1!", "a-x")
+
+
+def test_merge_rejects_unknown_columns(spark, table_path):
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    t.commit(_df(spark, [("a", "1", "w")]))
+    delta = spark.createDataFrame(
+        [("a", "1", "w", "boom")], "id string, v string, w string, zz string"
+    )
+    with pytest.raises(ValueError, match="commit\\(\\) first"):
+        t.merge(delta, target_cols=["v"])

@@ -72,3 +72,41 @@ def test_bpe_min_pair_count_stops_early(spark):
     wf = word_freq_table(docs, "text")
     merges = bpe_train(wf, num_merges=10, min_pair_count=2)
     assert merges == []  # every pair occurs once
+
+
+def test_merge_expr_matches_python_reference_bulk(spark):
+    """The greedy left-to-right merge fold vs a Python reference over
+    200 random symbol arrays — one Spark job for the whole batch."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fbs_data_pipelines_spark.operators.bpe import _merge_expr
+
+    def ref_merge(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "ab", "c"]
+    cases = [
+        [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)],
+        "i long, syms array<string>",
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", _merge_expr(F.col("syms"), "a", "b").alias("m")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == ref_merge(c, "a", "b"), (i, c)

@@ -2054,6 +2054,18 @@ def q_lateral_topn(spark, sf_dir):
     )
 
 
+def q_sample_exact_k(spark, sf_dir):
+    """Exactly-k-per-stratum deterministic sampling
+    (operators/sampling.sample_exact_k): 30 docs per language by md5
+    hash rank — exact counts fraction sampling can't hit, served
+    through the skew-safe two-phase top-k."""
+    from fbs_data_pipelines_spark.operators.sampling import sample_exact_k
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_exact_k(d, "lang", "doc_id", k=30, salt="xk")
+    return out.select("doc_id", "lang", "source")
+
+
 # --- round-4 additions ---------------------------------------------------
 
 def q_grouped_topk(spark, sf_dir):
@@ -2316,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "recursive_cte": q_recursive_cte,
         "lateral_topn": q_lateral_topn,
+        "sample_exact_k": q_sample_exact_k,
     }
 
 
@@ -4068,6 +4081,17 @@ def oracle_sql() -> dict[str, str]:
                floor((log2(sum(c)) - sum(c * log2(c)) / sum(c))
                      * 1000000.0 + 0.5) / 1000000.0 AS entropy
         FROM cnt GROUP BY doc_id
+    """
+
+    # exact-k per stratum: rank the md5 hash order per language
+    sql["sample_exact_k"] = f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY {_hex4("'xk:' || CAST(doc_id AS VARCHAR)")},
+                     doc_id
+        ) <= 30
     """
 
     # recursive date spine + lateral top-n: identical ANSI text on

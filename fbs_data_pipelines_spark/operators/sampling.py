@@ -178,3 +178,32 @@ def alpha_sample(
         F.col("__f") * F.lit(float(BUCKETS))
     )
     return joined.filter(keep).drop("__s", "__f")
+
+
+def sample_exact_k(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly k rows per stratum (or all of a smaller stratum),
+    chosen deterministically: rank by the portable md5 bucket (then
+    key) inside each stratum and keep the first k — "give me exactly
+    1000 eval docs per language", reproducible on any engine or
+    partitioning. Fraction-based sampling can't hit exact counts;
+    ranking the hash order can.
+
+    Delegates to the skew-safe two-phase ``grouped_topk`` so a giant
+    stratum never lands in a single window task.
+    """
+    from fbs_data_pipelines_spark.operators.joins import grouped_topk
+
+    return grouped_topk(
+        df,
+        [strata_col],
+        [sample_bucket(key_col, salt).asc(), F.col(key_col).asc()],
+        k=k,
+        salt_col=key_col,
+        rank_col=None,
+    )

@@ -525,3 +525,26 @@ def test_observed_rejects_distinct_checks(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="count-distinct"):
         X.observed(df, [X.unique("id")])
+
+
+# --- exact-k per-stratum sampling ----------------------------------------
+
+def test_sample_exact_k_counts_and_determinism(spark, unbalanced):
+    from fbs_data_pipelines_spark.operators.sampling import sample_exact_k
+
+    a = sample_exact_k(unbalanced, "lang", "id", k=50, salt="e")
+    counts = {
+        r["lang"]: r["n"]
+        for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"big": 50, "small": 50}
+    b = sample_exact_k(unbalanced.repartition(11), "lang", "id", k=50,
+                       salt="e")
+    assert sorted(a.collect()) == sorted(b.collect())
+    # k above stratum size returns the whole stratum
+    c = sample_exact_k(unbalanced, "lang", "id", k=500, salt="e")
+    got = {
+        r["lang"]: r["n"]
+        for r in c.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {"big": 500, "small": 100}

@@ -2054,6 +2054,54 @@ def q_lateral_topn(spark, sf_dir):
     )
 
 
+def q_cust_order_dist(spark, sf_dir):
+    """TPC-H Q13 shape: orders-per-customer distribution — LEFT OUTER
+    join (customers with zero orders count as 0), then a groupBy OF a
+    groupBy. Both aggregations are map-side combined; the join
+    broadcasts the smaller customer side."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    # (the customer side is outer-preserved, so it cannot be the
+    # broadcast build side — Spark broadcasts the orders hash side or
+    # lets AQE decide)
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q_premium_no_urgent(spark, sf_dir):
+    """TPC-H Q22 shape: customers above the average balance of the
+    positive-balance population (scalar subquery) who never placed an
+    URGENT order (anti join on a filtered key set) — per market
+    segment. The scalar is one 1-row aggregate broadcast into the
+    filter; the anti join probes the filtered orders key set."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = rich.join(
+        urgent.select(F.col("o_custkey").alias("c_custkey")), "c_custkey",
+        "left_anti",
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        round_half_up(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
 def q_sample_exact_k(spark, sf_dir):
     """Exactly-k-per-stratum deterministic sampling
     (operators/sampling.sample_exact_k): 30 docs per language by md5
@@ -2329,6 +2377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_cte": q_recursive_cte,
         "lateral_topn": q_lateral_topn,
         "sample_exact_k": q_sample_exact_k,
+        "cust_order_dist": q_cust_order_dist,
+        "premium_no_urgent": q_premium_no_urgent,
     }
 
 
@@ -4081,6 +4131,35 @@ def oracle_sql() -> dict[str, str]:
                floor((log2(sum(c)) - sum(c * log2(c)) / sum(c))
                      * 1000000.0 + 0.5) / 1000000.0 AS entropy
         FROM cnt GROUP BY doc_id
+    """
+
+    # Q13 / Q22 shapes: identical ANSI on both engines
+    sql["cust_order_dist"] = """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """
+
+    sql["premium_no_urgent"] = """
+        SELECT c_mktsegment, count(*) AS n_cust,
+               floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+        GROUP BY c_mktsegment
     """
 
     # exact-k per stratum: rank the md5 hash order per language

@@ -37,6 +37,13 @@ def test_query_runs_under_ansi(ansi_spark, sf_dir, name):
     df = fn(ansi_spark, sf_dir)
     assert df.columns  # stable, non-empty schema
     df.collect()  # full execution, not just analysis
+    # piggybacked plan guard: no query may execute a CartesianProduct
+    # (1-row scalar crosses plan as BroadcastNestedLoopJoin, which is
+    # fine — an actual cartesian of data-scale inputs is never OK)
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan, f"{name} planned a cartesian"
 
 
 def test_entry_runs_under_ansi(ansi_spark):

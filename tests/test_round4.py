@@ -548,3 +548,47 @@ def test_sample_exact_k_counts_and_determinism(spark, unbalanced):
         for r in c.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     assert got == {"big": 500, "small": 100}
+
+
+def test_observed_metrics_in_streaming_progress(spark, tmp_path):
+    """The same contract expressions attach to a STREAMING frame via
+    df.observe and surface per-batch in the query progress — one
+    definition serves batch and stream (the docstring's claim,
+    proven)."""
+    import json
+    import os
+
+    from fbs_data_pipelines_spark.operators import expectations as X
+
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/in")
+    with open(f"{tmp}/in/b.csv", "w") as f:
+        f.write("id,name\n1,a\n2,\n3,c\n")
+    stream = spark.readStream.schema("id long, name string").csv(
+        f"{tmp}/in", header=True
+    )
+    checks = [X.not_null("name")]
+    aggs = [
+        F.coalesce(F.sum(e.violation.cast("long")), F.lit(0)).alias(f"__c{i}")
+        for i, e in enumerate(checks)
+    ]
+    inst = stream.observe("contract", F.count(F.lit(1)).alias("__rows"), *aggs)
+    q = (
+        inst.writeStream.format("memory")
+        .queryName("obs_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    observed = [
+        p["observedMetrics"]["contract"]
+        for p in progresses
+        if p.get("observedMetrics", {}).get("contract")
+    ]
+    assert observed, "no batch carried the contract metrics"
+    total = sum(m["__rows"] for m in observed)
+    bad = sum(m["__c0"] for m in observed)
+    assert total == 3 and bad == 1

@@ -592,3 +592,49 @@ def test_observed_metrics_in_streaming_progress(spark, tmp_path):
     total = sum(m["__rows"] for m in observed)
     bad = sum(m["__c0"] for m in observed)
     assert total == 3 and bad == 1
+
+
+# --- edge hardening ------------------------------------------------------
+
+def test_alpha_sample_null_stratum_rows_excluded(spark):
+    """Null-stratum rows can't join a stratum fraction (equality join
+    is null-rejecting) — they are excluded, matching the SQL oracle's
+    inner-join semantics."""
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "en")], "id long, lang string"
+    )
+    out = alpha_sample(df, "lang", "id", alpha=1.0, target_rows=3)
+    assert all(r["lang"] is not None for r in out.collect())
+
+
+def test_grouped_topk_single_bucket_degenerates_to_window(spark, skewed):
+    from pyspark.sql import Window
+
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = grouped_topk(skewed, ["g"], order, k=4, salt_col="id",
+                       pre_buckets=1)
+    w = Window.partitionBy("g").orderBy(*order)
+    want = (
+        skewed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 4)
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_incremental_dedup_normalize_false(spark):
+    from fbs_data_pipelines_spark.operators.dedup import (
+        dedup_exact,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame([(1, "Hello")], "doc_id long, text string")
+    seen = dedup_exact(corpus, "doc_id", ["text"], normalize=False).select(
+        "content_hash"
+    )
+    batch = spark.createDataFrame(
+        [(2, "Hello"), (3, "hello")], "doc_id long, text string"
+    )
+    out = incremental_dedup(batch, seen, "doc_id", ["text"],
+                            normalize=False)
+    # byte-exact mode: case difference is a DIFFERENT document
+    assert sorted(r["doc_id"] for r in out.collect()) == [3]

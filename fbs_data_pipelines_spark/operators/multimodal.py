@@ -437,6 +437,39 @@ _MAGIC = (
 )
 
 
+def probe_jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a JPEG's SOF marker WITHOUT decoding —
+    the marker-segment walk every media pipeline runs first at scale
+    (pixel decode is codec-bound; dimensions are 20 bytes of header
+    arithmetic). Walks the segment chain skipping non-SOF markers by
+    their length fields; any SOF0-SOF15 frame header (except the
+    DHT/DAC/RST family) carries height/width big-endian at offsets
+    3/5 of the segment body. Raises on malformed streams (the
+    dispatch kernel maps that to the '!err' fallback)."""
+    import struct
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG stream")
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("lost marker sync")
+        marker = payload[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2  # standalone markers carry no length
+            continue
+        (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        # SOF0..SOF15 minus DHT(C4)/DAC(CC) — frame headers
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                raise ValueError("truncated SOF segment")
+            h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+            return w, h
+        i += 2 + seg_len
+    raise ValueError("no SOF marker found")
+
+
 def sniff_format(payload: bytes) -> tuple[str, str]:
     """(media_type, format) from magic bytes; ('unknown','bin') when
     nothing matches. RIFF is only 'wav' when the WAVE form tag
@@ -474,6 +507,12 @@ def decode_media(payload: bytes) -> tuple[str, str, int, int, float]:
             w, h, v = decode_bmp(payload)
         elif fmt == "wav":
             w, h, v = decode_wav(payload)
+        elif fmt == "jpeg":
+            # pixel decode is codec-bound (the PIL seam), but the
+            # dimensions are a pure header walk — real metadata, stub
+            # luma
+            w, h = probe_jpeg_dims(payload)
+            v = _fake_decode(payload)[2]
         else:
             w, h, v = _fake_decode(payload)
     except Exception:

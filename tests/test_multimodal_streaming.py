@@ -206,9 +206,12 @@ def test_extract_media_features_mixed_batch(spark):
     assert (out[3].media_type, out[3].format, out[3].dim_x, out[3].dim_y) == (
         "audio", "wav", 1, 4
     )
+    # the payload's magic says JPEG but its segment chain is garbage:
+    # the header probe fails and the kernel tags it corrupt (real
+    # JPEG dimensions are covered by test_probe_jpeg_dims_marker_walk)
     fw, fh, fv = _fake_decode(jpg)
     assert (out[4].format, out[4].dim_x, out[4].dim_y, out[4].level) == (
-        "jpeg", fw, fh, fv
+        "jpeg!err", fw, fh, fv
     )
     assert (out[5].media_type, out[5].format) == ("unknown", "bin")
     assert out[6].format == "png!err"
@@ -879,3 +882,46 @@ def test_mixed_batch_includes_gif_and_ppm(spark):
     assert out[1].level == round(0.5, 6)
     assert (out[2].format, out[2].level) == ("ppm", 1.0)
     assert (out[3].format, out[3].dim_x, out[3].level) == ("pgm", 2, 0.5)
+
+
+def test_probe_jpeg_dims_marker_walk():
+    import struct
+
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        decode_media,
+        probe_jpeg_dims,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xC4, b"\x00" * 10)                      # DHT: must be skipped
+        + seg(0xC0, b"\x08" + struct.pack(">HH", 480, 640) + b"\x03"
+              + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+        + b"\xff\xd9"                                  # EOI
+    )
+    assert probe_jpeg_dims(jpeg) == (640, 480)
+    mtype, fmt, w, h, _level = decode_media(jpeg)
+    assert (mtype, fmt, w, h) == ("image", "jpeg", 640, 480)
+
+    # truncated stream → '!err' fallback, never an exception
+    mtype2, fmt2, *_ = decode_media(jpeg[:6])
+    assert fmt2 == "jpeg!err"
+
+
+def test_probe_jpeg_progressive_sof2():
+    import struct
+
+    from fbs_data_pipelines_spark.operators.multimodal import probe_jpeg_dims
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    jpeg = (
+        b"\xff\xd8"
+        + seg(0xC2, b"\x08" + struct.pack(">HH", 33, 77) + b"\x01\x01\x11\x00")
+    )
+    assert probe_jpeg_dims(jpeg) == (77, 33)

@@ -470,6 +470,61 @@ def probe_jpeg_dims(payload: bytes) -> tuple[int, int]:
     raise ValueError("no SOF marker found")
 
 
+def probe_mp4_meta(payload: bytes) -> tuple[int, int, float]:
+    """(width, height, duration_seconds) from an ISO-BMFF (MP4) box
+    walk — the metadata a video pipeline extracts long before any
+    codec runs. Walks top-level boxes to ``moov``, reads
+    ``mvhd`` (timescale + duration) and the first ``trak``'s
+    ``tkhd`` (16.16 fixed-point presentation width/height). Raises
+    on malformed streams (dispatch maps that to '!err')."""
+    import struct
+
+    def boxes(buf, start, end):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack(">I", buf[i : i + 4])
+            btype = buf[i + 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+                body = i + 16
+            elif size == 0:  # box extends to end
+                size = end - i
+                body = i + 8
+            else:
+                body = i + 8
+            if size < 8 or i + size > end:
+                raise ValueError("malformed box size")
+            yield btype, body, i + size
+            i += size
+
+    moov = None
+    for btype, body, stop in boxes(payload, 0, len(payload)):
+        if btype == b"moov":
+            moov = (body, stop)
+            break
+    if moov is None:
+        raise ValueError("no moov box")
+    duration_s, width, height = None, None, None
+    for btype, body, stop in boxes(payload, *moov):
+        if btype == b"mvhd":
+            version = payload[body]
+            if version == 1:
+                (tscale,) = struct.unpack(">I", payload[body + 20 : body + 24])
+                (dur,) = struct.unpack(">Q", payload[body + 24 : body + 32])
+            else:
+                (tscale,) = struct.unpack(">I", payload[body + 12 : body + 16])
+                (dur,) = struct.unpack(">I", payload[body + 16 : body + 20])
+            duration_s = dur / tscale if tscale else 0.0
+        elif btype == b"trak" and width is None:
+            for t2, b2, s2 in boxes(payload, body, stop):
+                if t2 == b"tkhd":
+                    w_fp, h_fp = struct.unpack(">II", payload[s2 - 8 : s2])
+                    width, height = w_fp >> 16, h_fp >> 16
+    if duration_s is None:
+        raise ValueError("no mvhd box")
+    return width or 0, height or 0, round(duration_s, 6)
+
+
 def sniff_format(payload: bytes) -> tuple[str, str]:
     """(media_type, format) from magic bytes; ('unknown','bin') when
     nothing matches. RIFF is only 'wav' when the WAVE form tag
@@ -513,6 +568,10 @@ def decode_media(payload: bytes) -> tuple[str, str, int, int, float]:
             # luma
             w, h = probe_jpeg_dims(payload)
             v = _fake_decode(payload)[2]
+        elif fmt == "mp4":
+            # same split for video: real (width, height, duration)
+            # from the box walk; frame decode stays the ffmpeg seam
+            w, h, v = probe_mp4_meta(payload)
         else:
             w, h, v = _fake_decode(payload)
     except Exception:

@@ -925,3 +925,36 @@ def test_probe_jpeg_progressive_sof2():
         + seg(0xC2, b"\x08" + struct.pack(">HH", 33, 77) + b"\x01\x01\x11\x00")
     )
     assert probe_jpeg_dims(jpeg) == (77, 33)
+
+
+def test_probe_mp4_box_walk():
+    import struct
+
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        decode_media,
+        probe_mp4_meta,
+    )
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00" + b"\x00" * 3          # version 0 + flags
+        + b"\x00" * 8                   # ctime, mtime
+        + struct.pack(">I", 1000)       # timescale
+        + struct.pack(">I", 2500)       # duration → 2.5 s
+        + b"\x00" * 80,
+    )
+    tkhd_body = b"\x00" * 76 + struct.pack(">II", 640 << 16, 360 << 16)
+    trak = box(b"trak", box(b"tkhd", tkhd_body))
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(
+        b"moov", mvhd + trak
+    )
+    assert probe_mp4_meta(mp4) == (640, 360, 2.5)
+    mtype, fmt, w, h, dur = decode_media(mp4)
+    assert (mtype, fmt, w, h, dur) == ("video", "mp4", 640, 360, 2.5)
+
+    # truncated box chain → tagged corrupt, not raised
+    _, fmt2, *_ = decode_media(mp4[:10])
+    assert fmt2 == "mp4!err"

@@ -120,7 +120,14 @@ def bpe_train(
             .select("w.p.l", "w.p.r", "w.pair_count")
             .first()
         )
-        if top is None or top["pair_count"] < min_pair_count:
+        # an empty pair table yields ONE all-null row from the global
+        # min_by aggregate (not None) — e.g. a vocabulary that fully
+        # collapsed to single symbols before num_merges ran out
+        if (
+            top is None
+            or top["pair_count"] is None
+            or top["pair_count"] < min_pair_count
+        ):
             break
         left, right = top["l"], top["r"]
         merges.append(

@@ -32,6 +32,20 @@ from fbs_data_pipelines_spark.functions.text import (
 )
 
 
+def _content_key(content_cols: list[str], normalize: bool):
+    """The canonical content hash every exact-dedup surface shares.
+    dedup_exact WRITES this key into the seen-hash state and
+    incremental_dedup PROBES it — one definition, or a drifted edit
+    would silently re-admit every previously seen document. The
+    \x01 separator keeps multi-column content unambiguous
+    (("ab","c") must not hash like ("a","bc"))."""
+    if normalize:
+        return F.md5(
+            F.concat_ws("", *[normalize_text(c) for c in content_cols])
+        )
+    return F.md5(F.concat_ws("", *content_cols))
+
+
 def dedup_exact(
     df: DataFrame, id_col: str, content_cols: list[str], normalize: bool = True
 ) -> DataFrame:
@@ -40,11 +54,7 @@ def dedup_exact(
     One shuffle on the content hash; map-side partial min. Returns the
     surviving ids + hash (join back to recover full rows).
     """
-    key = (
-        F.md5(F.concat_ws("", *[normalize_text(c) for c in content_cols]))
-        if normalize
-        else F.md5(F.concat_ws("", *content_cols))
-    )
+    key = _content_key(content_cols, normalize)
     return (
         df.select(F.col(id_col), key.alias("content_hash"))
         .groupBy("content_hash")
@@ -610,12 +620,9 @@ def incremental_dedup(
     appends exactly that column back to the state store, closing the
     loop (append-only state; no read-modify-write races).
     """
-    key = (
-        F.md5(F.concat_ws("", *[normalize_text(c) for c in content_cols]))
-        if normalize
-        else F.md5(F.concat_ws("", *content_cols))
+    hashed = batch.withColumn(
+        "content_hash", _content_key(content_cols, normalize)
     )
-    hashed = batch.withColumn("content_hash", key)
     # survivor set renamed to fresh attributes — a groupBy over the
     # same lineage would otherwise make the join keys ambiguous
     keep = hashed.groupBy(F.col("content_hash").alias("__h")).agg(

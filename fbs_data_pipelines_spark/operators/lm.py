@@ -155,7 +155,15 @@ def ppl_quantile_buckets(
             for i, p in enumerate(ps)
         ]
     )
-    out = scored.join(F.broadcast(cuts), group_col)
+    # null-SAFE join: a null group is a legitimate stratum (the
+    # cutoffs groupBy keeps it) — a plain equality join would silently
+    # drop its rows, changing row counts vs the ntile form this
+    # replaces
+    cuts = cuts.withColumnRenamed(group_col, "__g")
+    out = scored.join(
+        F.broadcast(cuts),
+        F.col(group_col).eqNullSafe(F.col("__g")),
+    ).drop("__g")
     bucket = F.lit(n_buckets)
     for i in range(n_buckets - 2, -1, -1):
         bucket = F.when(

@@ -455,6 +455,10 @@ def probe_jpeg_dims(payload: bytes) -> tuple[int, int]:
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError("lost marker sync")
+        # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad a
+        # marker — skip them instead of mis-parsing 0xFF as a marker
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2  # standalone markers carry no length
@@ -515,11 +519,14 @@ def probe_mp4_meta(payload: bytes) -> tuple[int, int, float]:
                 (tscale,) = struct.unpack(">I", payload[body + 12 : body + 16])
                 (dur,) = struct.unpack(">I", payload[body + 16 : body + 20])
             duration_s = dur / tscale if tscale else 0.0
-        elif btype == b"trak" and width is None:
+        elif btype == b"trak" and not width:
+            # audio traks carry a legal all-zero tkhd size — keep
+            # walking until a trak with nonzero presentation size
             for t2, b2, s2 in boxes(payload, body, stop):
                 if t2 == b"tkhd":
                     w_fp, h_fp = struct.unpack(">II", payload[s2 - 8 : s2])
-                    width, height = w_fp >> 16, h_fp >> 16
+                    if w_fp >> 16:
+                        width, height = w_fp >> 16, h_fp >> 16
     if duration_s is None:
         raise ValueError("no mvhd box")
     return width or 0, height or 0, round(duration_s, 6)

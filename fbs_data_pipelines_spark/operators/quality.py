@@ -147,6 +147,19 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _word_ngrams(words, n: int):
+    """Word n-gram array from a (filtered, non-empty) word array —
+    the ONE tokenize-and-shingle rule both n-gram operators and their
+    SQL oracles mirror; < n words → empty array."""
+    if n == 1:
+        return words
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    return F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def top_ngram_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:
@@ -160,14 +173,7 @@ def top_ngram_stats(
     Emits (id, top_gram, top_gram_count, n_grams, top_gram_frac).
     """
     words = F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    if n == 1:
-        grams = words
-    else:
-        idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-        grams = F.when(
-            F.size(words) >= n,
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))),
-        ).otherwise(F.array().cast("array<string>"))
+    grams = _word_ngrams(words, n)
     exploded = df.select(
         F.col(id_col), F.explode(grams).alias("gram")
     )
@@ -220,14 +226,7 @@ def boilerplate_ngram_stats(
     the corpus. Total: 2 map-side-combined shuffles, 1 broadcast.
     """
     words = F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    if n == 1:
-        grams = words
-    else:
-        idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-        grams = F.when(
-            F.size(words) >= n,
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))),
-        ).otherwise(F.array().cast("array<string>"))
+    grams = _word_ngrams(words, n)
     doc_grams = df.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
     )

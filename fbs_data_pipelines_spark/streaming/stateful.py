@@ -99,7 +99,9 @@ def streaming_first_seen(
         statefulProcessor=_FirstSeen(list(df.columns), ttl_ms),
         outputStructType=schema,
         outputMode="Append",
-        timeMode="None",
+        # state TTL is only legal under a running clock: Spark rejects
+        # ttlDurationMs in TimeMode.None at query start
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
 
 

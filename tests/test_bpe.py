@@ -110,3 +110,16 @@ def test_merge_expr_matches_python_reference_bulk(spark):
     }
     for i, c in enumerate(cases):
         assert got[i] == ref_merge(c, "a", "b"), (i, c)
+
+
+def test_bpe_train_stops_when_vocabulary_collapses(spark):
+    """Every word reduced to ONE symbol before num_merges runs out:
+    the empty pair table yields an all-null aggregate row — training
+    must stop, not crash (review finding)."""
+    docs = spark.createDataFrame(
+        [(i, "ab ab ab") for i in range(3)], "doc_id long, text string"
+    )
+    wf = word_freq_table(docs, "text")
+    merges = bpe_train(wf, num_merges=10, min_pair_count=1)
+    # 'ab' collapses in 2 merges: (a,b) then (ab,</w>)
+    assert [m["merged"] for m in merges] == ["ab", "ab" + EOW]

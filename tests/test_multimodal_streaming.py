@@ -958,3 +958,45 @@ def test_probe_mp4_box_walk():
     # truncated box chain → tagged corrupt, not raised
     _, fmt2, *_ = decode_media(mp4[:10])
     assert fmt2 == "mp4!err"
+
+
+def test_probe_jpeg_fill_bytes_before_marker():
+    """ITU T.81 B.1.1.2: 0xFF fill bytes may pad any marker — the
+    walker must skip them, not mis-parse (review finding)."""
+    import struct
+
+    from fbs_data_pipelines_spark.operators.multimodal import probe_jpeg_dims
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff"  # fill byte before the SOF marker
+        + seg(0xC0, b"\x08" + struct.pack(">HH", 10, 20) + b"\x01\x01\x11\x00")
+    )
+    assert probe_jpeg_dims(jpeg) == (20, 10)
+
+
+def test_probe_mp4_audio_trak_before_video():
+    """An audio trak's legal all-zero tkhd size must not shadow the
+    video trak's dimensions (review finding)."""
+    import struct
+
+    from fbs_data_pipelines_spark.operators.multimodal import probe_mp4_meta
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00" * 12 + struct.pack(">I", 600) + struct.pack(">I", 1800)
+        + b"\x00" * 80,
+    )
+    audio = box(b"trak", box(b"tkhd", b"\x00" * 84))  # zero w/h
+    video = box(
+        b"trak",
+        box(b"tkhd", b"\x00" * 76 + struct.pack(">II", 1920 << 16, 1080 << 16)),
+    )
+    mp4 = box(b"ftyp", b"isom" * 3) + box(b"moov", mvhd + audio + video)
+    assert probe_mp4_meta(mp4) == (1920, 1080, 3.0)

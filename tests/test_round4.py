@@ -638,3 +638,19 @@ def test_incremental_dedup_normalize_false(spark):
                             normalize=False)
     # byte-exact mode: case difference is a DIFFERENT document
     assert sorted(r["doc_id"] for r in out.collect()) == [3]
+
+
+def test_ppl_quantile_buckets_keeps_null_group(spark):
+    """A null stratum is a legitimate group: the null-safe join must
+    retain its rows (review finding — plain equality dropped them)."""
+    from fbs_data_pipelines_spark.operators.lm import ppl_quantile_buckets
+
+    rows = [("en", 1, 1.0), ("en", 2, 2.0), ("en", 3, 3.0),
+            (None, 4, 5.0), (None, 5, 6.0), (None, 6, 7.0)]
+    df = spark.createDataFrame(rows, "lang string, id long, log_ppl double")
+    out = ppl_quantile_buckets(df, "lang", "log_ppl", n_buckets=3)
+    assert out.count() == 6
+    nulls = {r["id"]: r["bucket"] for r in
+             out.filter(F.col("lang").isNull()).collect()}
+    assert sorted(nulls) == [4, 5, 6]
+    assert set(nulls.values()) == {1, 2, 3}

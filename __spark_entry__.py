@@ -2114,6 +2114,47 @@ def q_sample_exact_k(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_canonical_docs(spark, sf_dir):
+    """Quality-aware dedup survivor selection: near-dup clusters
+    (MinHash-LSH pairs → connected components), every doc labeled
+    with its cluster (singletons label themselves), and the HIGHEST-
+    QUALITY member kept per cluster — what a real pipeline keeps, vs
+    dedup_exact's min-id rule. Winner via one map-side-combined
+    min_by aggregation over (−quality, doc_id); n_members counts the
+    cluster. Composition of minhash_lsh_pairs + dup_clusters +
+    quality_score."""
+    from fbs_data_pipelines_spark.caching import carry_cache
+    from fbs_data_pipelines_spark.operators.dedup import dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    clusters = dup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    scored = d.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    labeled = scored.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "quality",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    winners = labeled.groupBy("cluster_id").agg(
+        F.min_by(
+            F.struct("doc_id", "quality"),
+            F.struct((-F.col("quality")).alias("nq"), F.col("doc_id")),
+        ).alias("w"),
+        F.count("*").alias("n_members"),
+    )
+    return carry_cache(
+        winners.select(
+            "cluster_id",
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.quality").alias("quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        ),
+        pairs,
+    )
+
+
 # --- round-4 additions ---------------------------------------------------
 
 def q_grouped_topk(spark, sf_dir):
@@ -2379,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_k": q_sample_exact_k,
         "cust_order_dist": q_cust_order_dist,
         "premium_no_urgent": q_premium_no_urgent,
+        "canonical_docs": q_canonical_docs,
     }
 
 
@@ -2986,6 +3028,48 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id AS doc_id, min(label) AS cluster_id
         FROM reach GROUP BY id
+    """
+
+    # quality-aware survivor per near-dup cluster: clusters as above,
+    # singletons label themselves, winner by (quality DESC, doc_id)
+    sql["canonical_docs"] = f"""
+        WITH RECURSIVE pairs AS ({sql["dedup_minhash_lsh"]}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        cl AS (
+            SELECT id AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY id
+        ),
+        {_TEXT_BASE.split("WITH ", 1)[1]},
+        scored AS (
+            SELECT doc_id, {_QUALITY_EXPR} AS quality FROM toked
+        ),
+        lab AS (
+            SELECT s.doc_id, s.quality,
+                   coalesce(cl.cluster_id, s.doc_id) AS cluster_id
+            FROM scored s LEFT JOIN cl USING (doc_id)
+        ),
+        ranked AS (
+            SELECT cluster_id, doc_id, quality,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM lab
+        )
+        SELECT cluster_id, doc_id, quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
     """
 
     sql["tfidf"] = f"""

@@ -2155,6 +2155,23 @@ def q_canonical_docs(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample_k): Efraimidis–Spirakis
+    priorities u^(1/w) with the portable md5 bucket as u and doc
+    length as the weight; top-40 priorities = the weighted sample.
+    Compiles to TakeOrderedAndProject (partial top-k, no full sort)."""
+    from fbs_data_pipelines_spark.operators.sampling import weighted_sample_k
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample_k(d, "doc_id", "n_chars", k=40, salt="ws")
+    return out.select(
+        "doc_id",
+        "n_chars",
+        round_half_up(F.col("priority"), 9).alias("priority"),
+    )
+
+
 # --- round-4 additions ---------------------------------------------------
 
 def q_grouped_topk(spark, sf_dir):
@@ -2421,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_order_dist": q_cust_order_dist,
         "premium_no_urgent": q_premium_no_urgent,
         "canonical_docs": q_canonical_docs,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -4244,6 +4262,20 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderpriority = '1-URGENT'
         )
         GROUP BY c_mktsegment
+    """
+
+    # Efraimidis–Spirakis weighted sample: priority u^(1/w) from the
+    # shared md5 bucket; top-40 with a doc_id tie-break
+    _ws_key = "'ws:' || CAST(doc_id AS VARCHAR)"
+    _U = f"(({_hex4(_ws_key)} + 0.5) / 65536.0)"
+    sql["weighted_sample"] = f"""
+        SELECT doc_id, n_chars,
+               floor(pow({_U}, 1.0 / CAST(n_chars AS DOUBLE))
+                     * 1000000000.0 + 0.5) / 1000000000.0 AS priority
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY pow({_U}, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
+        LIMIT 40
     """
 
     # exact-k per stratum: rank the md5 hash order per language

@@ -207,3 +207,33 @@ def sample_exact_k(
         salt_col=key_col,
         rank_col=None,
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis A-ES scheme with the hash standing in for the
+    random draw. Each row gets priority u^(1/w) — u uniform from the
+    portable md5 bucket, w its weight — and the k highest priorities
+    ARE a weighted sample without replacement (inclusion probability
+    ∝ weight). Quality-weighted corpus selection in one expression,
+    reproducible anywhere; non-positive weights are excluded.
+
+    Scale shape: global top-k compiles to TakeOrderedAndProject —
+    per-partition partial top-k then a k-row merge on the driver
+    side of the exchange; nothing resembling a full sort ships.
+    Adds ``priority`` (rounded 9dp at the edge)."""
+    u = (sample_bucket(key_col, salt) + F.lit(0.5)) / F.lit(float(BUCKETS))
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", pri)
+        .orderBy(F.col("priority").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -654,3 +654,40 @@ def test_ppl_quantile_buckets_keeps_null_group(spark):
              out.filter(F.col("lang").isNull()).collect()}
     assert sorted(nulls) == [4, 5, 6]
     assert set(nulls.values()) == {1, 2, 3}
+
+
+# --- weighted sampling (A-ES) --------------------------------------------
+
+def test_weighted_sample_k_biases_toward_weight(spark):
+    from fbs_data_pipelines_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample_k(df, "id", "w", k=100, salt="ws")
+    heavy = got.filter(F.col("id") < 100).count()
+    # 100 heavy rows (w=100) vs 900 light (w=1): heavy dominates
+    assert heavy > 60
+    # deterministic and partitioning-independent
+    again = weighted_sample_k(df.repartition(17), "id", "w", k=100, salt="ws")
+    assert sorted(got.collect()) == sorted(again.collect())
+
+
+def test_weighted_sample_k_excludes_nonpositive(spark):
+    from fbs_data_pipelines_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 2.0)], "id long, w double"
+    )
+    out = weighted_sample_k(df, "id", "w", k=10)
+    assert [r["id"] for r in out.collect()] == [3]
+
+
+def test_weighted_sample_takeordered_plan(spark):
+    from fbs_data_pipelines_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7 + 1)) for i in range(500)], "id long, w double"
+    )
+    out = weighted_sample_k(df, "id", "w", k=5)
+    plan = _final_plan(out)
+    assert "TakeOrderedAndProject" in plan  # partial top-k, no full sort

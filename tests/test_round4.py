@@ -691,3 +691,18 @@ def test_weighted_sample_takeordered_plan(spark):
     out = weighted_sample_k(df, "id", "w", k=5)
     plan = _final_plan(out)
     assert "TakeOrderedAndProject" in plan  # partial top-k, no full sort
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """percentile_approx's accuracy knob: with N=10000 accuracy, the
+    rank error is ≤ N_rows/accuracy — the sketch contract a 100 TB
+    percentile job relies on instead of a full sort."""
+    n = 20_000
+    df = spark.range(n).selectExpr("CAST(id AS DOUBLE) AS v")
+    acc = 10_000
+    got = df.selectExpr(
+        f"percentile_approx(v, 0.5, {acc}) AS p50",
+        f"percentile_approx(v, 0.99, {acc}) AS p99",
+    ).first()
+    for p, want in ((got["p50"], 0.5 * n), (got["p99"], 0.99 * n)):
+        assert abs(p - want) <= n / acc + 1

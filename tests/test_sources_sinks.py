@@ -181,3 +181,41 @@ def test_write_training_shards_salt_reshuffles(spark, tmp_path):
     sa = {r["doc_id"] for r in spark.read.parquet(fa).collect()}
     sb = {r["doc_id"] for r in spark.read.parquet(fb).collect()}
     assert sa != sb  # different epoch salt → different shard contents
+
+
+def test_orc_and_json_roundtrip(spark, tmp_path):
+    """Format breadth: the engine's tables round-trip through ORC and
+    JSONL sinks/sources losslessly (schema passed explicitly on the
+    JSON read — schema inference is a scan tax at scale)."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", -0.25, False), (3, None, None, None)],
+        "id long, s string, v double, flag boolean",
+    )
+    orc_p, json_p = str(tmp_path / "t.orc"), str(tmp_path / "t.json")
+    df.write.mode("overwrite").orc(orc_p)
+    df.write.mode("overwrite").json(json_p)
+    back_orc = spark.read.orc(orc_p)
+    back_json = spark.read.schema(df.schema).json(json_p)
+    assert back_orc.schema == df.schema
+    assert sorted(map(tuple, back_orc.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    assert sorted(map(tuple, back_json.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_json_permissive_corrupt_records(spark, tmp_path):
+    """JSONL ingestion keeps malformed lines inspectable instead of
+    failing the job (PERMISSIVE + columnNameOfCorruptRecord) — the
+    same contract as the dialected CSV reader."""
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "v": "ok"}\n{broken\n{"id": 2, "v": "fine"}\n')
+    df = spark.read.schema("id long, v string, _bad string").option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_bad").json(str(p))
+    rows = df.collect()
+    good = [r for r in rows if r["_bad"] is None]
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert {r["id"] for r in good} == {1, 2}
+    assert len(bad) == 1 and bad[0]["_bad"].startswith("{broken")

@@ -110,6 +110,40 @@ def main() -> None:
             list(ex.map(run, ok))
         concurrent_total = min(concurrent_total, round(time.time() - t0, 3))
 
+    # baseline on the SAME machine state: DuckDB running the oracle
+    # SQL for the same headline queries (it saturates all cores per
+    # query, so sequential total IS its suite wall-clock). Recording
+    # both sides in one line removes machine-variance ambiguity from
+    # the engine-vs-baseline ratio.
+    baseline_total = None
+    try:
+        import multiprocessing
+
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {multiprocessing.cpu_count()}")
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        oracles = entry_mod.oracle_sql()
+        btot = 0.0
+        for name in ok:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(oracles[name]).fetchall()
+                best = min(best, time.time() - t0)
+            btot += best
+        baseline_total = round(btot, 3)
+    except Exception:
+        pass  # baseline timing is auxiliary evidence, never fatal
+
     out = {
         "metric": "headline_suite_wall_clock_concurrent",
         "value": concurrent_total,
@@ -118,6 +152,9 @@ def main() -> None:
         "sequential_total": sequential_total,
         "sf": sf,
     }
+    if baseline_total is not None:
+        out["baseline_duckdb_sequential_total"] = baseline_total
+        out["ratio_vs_baseline"] = round(concurrent_total / baseline_total, 3)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -2155,6 +2155,42 @@ def q_canonical_docs(spark, sf_dir):
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix (mirror-site detection): count
+    near-dup pairs per unordered source pair — the signal pipelines
+    use to find sources copying from each other before deciding
+    per-source sampling weights. LSH pairs join back to the two docs'
+    sources (broadcast: the pair list is candidate-sized, tiny next
+    to the corpus); source pair normalized with least/greatest so
+    (A,B) and (B,A) aggregate together."""
+    from fbs_data_pipelines_spark.caching import carry_cache
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    src = d.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    return carry_cache(
+        labeled.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        ).agg(F.count("*").cast("long").alias("n_dup_pairs")),
+        pairs,
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (operators/sampling.weighted_sample_k): Efraimidis–Spirakis
@@ -2439,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "premium_no_urgent": q_premium_no_urgent,
         "canonical_docs": q_canonical_docs,
         "weighted_sample": q_weighted_sample,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -4262,6 +4299,18 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderpriority = '1-URGENT'
         )
         GROUP BY c_mktsegment
+    """
+
+    # cross-source duplication matrix over the LSH pair list
+    sql["source_overlap"] = f"""
+        WITH pairs AS ({sql["dedup_minhash_lsh"]})
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_dup_pairs
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+        GROUP BY 1, 2
     """
 
     # Efraimidis–Spirakis weighted sample: priority u^(1/w) from the

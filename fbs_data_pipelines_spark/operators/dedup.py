@@ -41,9 +41,9 @@ def _content_key(content_cols: list[str], normalize: bool):
     (("ab","c") must not hash like ("a","bc"))."""
     if normalize:
         return F.md5(
-            F.concat_ws("", *[normalize_text(c) for c in content_cols])
+            F.concat_ws("\x01", *[normalize_text(c) for c in content_cols])
         )
-    return F.md5(F.concat_ws("", *content_cols))
+    return F.md5(F.concat_ws("\x01", *content_cols))
 
 
 def dedup_exact(

@@ -61,6 +61,15 @@ from fbs_data_pipelines_spark.operators.audit import merge_snapshot
 _BUCKET = "__bucket"
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer already claimed the version this commit was
+    about to publish. The losing writer's data was never published (no
+    pointer move, no manifest reachable from a pointer) — retry by
+    re-reading the table and re-applying the change on top of the new
+    live version (optimistic-concurrency, the Delta/Iceberg writer
+    contract)."""
+
+
 class VersionedTable:
     """A pointer-committed, versioned parquet table."""
 
@@ -115,6 +124,27 @@ class VersionedTable:
             out.write(bytearray(json.dumps(obj).encode()))
         finally:
             out.close()
+
+    def _claim_version(self, version: int) -> None:
+        """Atomically claim ``version`` for THIS writer, or raise
+        ``CommitConflictError``. The primitive is ``FileSystem.create(
+        path, overwrite=False)`` — an atomic create-if-absent on posix
+        and HDFS — onto a version-stamped claim file, so two writers
+        that both read ``latest_version() == N`` and both try to
+        publish N+1 cannot both succeed: the second ``create`` throws
+        and the lost update is surfaced instead of silently winning
+        the pointer race. Claims are written before any data, cost one
+        empty file per version, and are never read on the read path."""
+        claim = self._p(f"commits/_claim.v{version}")
+        try:
+            out = self._fs.create(claim, False)
+            out.close()
+        except Exception as exc:
+            raise CommitConflictError(
+                f"version {version} of {self.path} was already claimed "
+                "by a concurrent writer; re-read the table and retry "
+                "on top of the new live version"
+            ) from exc
 
     # -- pointer protocol ----------------------------------------------
     def latest_version(self) -> int | None:
@@ -180,8 +210,24 @@ class VersionedTable:
 
     def recover(self) -> int | None:
         """Rebuild a lost pointer (crash inside the commit window) by
-        pointing at the last COMPLETE snapshot."""
+        pointing at the last COMPLETE snapshot, and garbage-collect
+        version claims left by writers that died between claiming a
+        version and completing its data (their claimed version number
+        would otherwise block the next committer forever). recover()
+        is an administrative operation: run it with no writers
+        in-flight, or a live writer's claim may be swept."""
         versions = self._complete_versions()
+        claims_root = self._p("commits")
+        if self._fs.exists(claims_root):
+            live = versions[-1] if versions else 0
+            complete = set(versions)
+            for st in self._fs.listStatus(claims_root):
+                name = st.getPath().getName()
+                if not name.startswith("_claim.v"):
+                    continue
+                v = int(name[len("_claim.v"):])
+                if v > live and v not in complete:
+                    self._fs.delete(st.getPath(), False)
         if not versions:
             return None
         best = versions[-1]
@@ -333,6 +379,12 @@ class VersionedTable:
         mode the manifest is written after the data and before the
         pointer, so a manifest's existence implies complete data.
 
+        Writer concurrency: the version number is CLAIMED atomically
+        (create-if-absent on ``commits/_claim.v{N}``) before any data
+        is written, so of two writers racing from the same base
+        version exactly one publishes and the other gets
+        ``CommitConflictError`` — never a silent lost update.
+
         ``commit_meta`` is written BEFORE the data, so every version
         that counts as complete (and is therefore reachable by
         ``recover()`` after a crash inside the pointer window) carries
@@ -341,6 +393,7 @@ class VersionedTable:
         replayed batch was already applied."""
         current = self.latest_version()
         v = 1 if current is None else current + 1
+        self._claim_version(v)
         if commit_meta is not None:
             self._write_json(f"commits/v{v}.json", commit_meta)
         if self.id_col is not None:
@@ -432,6 +485,7 @@ class VersionedTable:
             else:
                 merged = bucketed.drop(_BUCKET)
             v = current + 1
+            self._claim_version(v)
             self._write_buckets(merged.select(*self._columns), v)
             new_manifest = dict(manifest)
             for b in self._buckets_in_dir(v):
@@ -461,6 +515,11 @@ class VersionedTable:
             )
         live = self.read(current)
         if self.id_col is None:
+            # mirror the bucketed path's no-op contract: a predicate
+            # that matches nothing must not rewrite the table or churn
+            # a new version into history
+            if not live.filter(F.coalesce(condition, F.lit(False))).head(1):
+                return current
             return self.commit(live.filter(~F.coalesce(condition, F.lit(False))))
         hit = live.filter(F.coalesce(condition, F.lit(False)))
         dirty = sorted(
@@ -479,6 +538,7 @@ class VersionedTable:
             ~F.coalesce(condition, F.lit(False))
         )
         v = current + 1
+        self._claim_version(v)
         self._write_buckets(survivors.select(*self._columns), v)
         new_manifest = {
             b: d for b, d in manifest.items() if int(b) not in set(dirty)
@@ -518,6 +578,7 @@ class VersionedTable:
                 live = live.coalesce(n_files)
             return self.commit(live)
         v = current + 1
+        self._claim_version(v)
         self._write_buckets(live.select(*self._columns), v)
         buckets = {str(b): f"data/v{v}" for b in self._buckets_in_dir(v)}
         self._write_json(f"manifests/v{v}.json", {"buckets": buckets})

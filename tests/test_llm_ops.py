@@ -128,6 +128,16 @@ def test_dedup_exact_keeps_min_id(spark):
     assert rows == {1: 2, 2: 1}  # normalized dup collapses to min id
 
 
+def test_dedup_exact_multicolumn_boundary_unambiguous(spark):
+    # ("ab","c") must NOT hash like ("a","bc"): the \x01 separator in
+    # _content_key keeps column boundaries part of the content.
+    df = spark.createDataFrame(
+        [(1, "ab", "c"), (2, "a", "bc")], "doc_id long, t1 string, t2 string"
+    )
+    out = dedup_exact(df, "doc_id", ["t1", "t2"], normalize=False).collect()
+    assert len(out) == 2 and {r.doc_id for r in out} == {1, 2}
+
+
 def test_shingle_table_is_narrow(spark, docs):
     plan = shingle_table(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan  # no shuffle: per-doc distinct is array_distinct

@@ -67,6 +67,53 @@ def test_snapshot_isolation_under_concurrent_commit(spark, table_path):
     assert [r.v for r in t.read().collect()] == ["ZZZ"]
 
 
+def test_concurrent_writers_second_commit_conflicts(spark, table_path, monkeypatch):
+    from fbs_data_pipelines_spark.sources.versioned import CommitConflictError
+
+    a = VersionedTable(spark, table_path)
+    b = VersionedTable(spark, table_path)
+    a.commit(_df(spark, [("1", "a", "x")]))
+    # both writers observe v1, then race to publish v2: freeze b's view
+    # at the point it read the pointer
+    stale = b.latest_version()
+    monkeypatch.setattr(b, "latest_version", lambda: stale)
+    a.commit(_df(spark, [("1", "A-WINS", "x")]))
+    with pytest.raises(CommitConflictError):
+        b.commit(_df(spark, [("1", "B-LOST", "x")]))
+    # the winner's version is intact — no silent lost update
+    assert a.latest_version() == 2
+    assert [r.v for r in a.read().collect()] == ["A-WINS"]
+
+
+def test_concurrent_bucketed_merge_conflicts(spark, table_path, monkeypatch):
+    from fbs_data_pipelines_spark.sources.versioned import CommitConflictError
+
+    a = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    b = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    a.commit(_df(spark, [("1", "a", "x")]))
+    stale = b.latest_version()
+    monkeypatch.setattr(b, "latest_version", lambda: stale)
+    a.merge(_df(spark, [("2", "b", "x")]), "id", ["v"])
+    with pytest.raises(CommitConflictError):
+        b.merge(_df(spark, [("3", "c", "x")]), "id", ["v"])
+    assert {r.id for r in a.read().collect()} == {"1", "2"}
+
+
+def test_recover_sweeps_orphaned_claim(spark, table_path):
+    from fbs_data_pipelines_spark.sources.versioned import CommitConflictError
+
+    t = VersionedTable(spark, table_path)
+    t.commit(_df(spark, [("1", "a", "x")]))
+    # simulate a writer that died after claiming v2 but before any data
+    t._claim_version(2)
+    with pytest.raises(CommitConflictError):
+        t.commit(_df(spark, [("1", "b", "x")]))
+    # administrative recovery clears the dead claim (no complete data)
+    assert t.recover() == 1
+    assert t.commit(_df(spark, [("1", "b", "x")])) == 2
+    assert [r.v for r in t.read().collect()] == ["b"]
+
+
 def test_crash_between_data_write_and_pointer_is_invisible(spark, table_path):
     t = VersionedTable(spark, table_path)
     t.commit(_df(spark, [("1", "a", "x")]))
@@ -414,6 +461,17 @@ def test_delete_plain_mode(spark, table_path):
     t.commit(_df(spark, [("a", "1", "w"), ("b", "2", "w")]))
     t.delete(F.col("v") == "1")
     assert [r["id"] for r in t.read().collect()] == ["b"]
+
+
+def test_delete_plain_mode_no_match_is_noop(spark, table_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, table_path)
+    t.commit(_df(spark, [("a", "1", "w")]))
+    # same contract as the bucketed path: zero matches → current
+    # version returned, no rewrite, no history churn
+    assert t.delete(F.col("v") == "nope") == 1
+    assert t.history() == [1]
 
 
 def test_schema_evolution_append_column(spark, table_path):

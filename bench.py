@@ -56,14 +56,20 @@ def main() -> None:
     # same generated code, so the measured pass runs JIT-warm (the
     # baseline engine is likewise measured without cold-start costs)
     warm_dir = "/root/testdata/sf0.001"
+    warm_errors: dict[str, str] = {}
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
             try:
                 df = queries[name](spark, warm_dir)
                 df.write.mode("overwrite").format("noop").save()
                 release_cache(df)
-            except Exception:
-                pass
+            except Exception as exc:
+                # a failed warm-up means the query's first measured run
+                # pays cold compilation — record it loudly so a slow
+                # number is never silently mistaken for steady-state
+                warm_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"bench: warm pass failed for {name}: "
+                      f"{warm_errors[name]}", file=sys.stderr)
 
     # pass 1 — sequential steady-state: two runs per query, report the
     # min (first run pays one-time plan/codegen compilation; the
@@ -102,13 +108,26 @@ def main() -> None:
         except Exception as exc:
             errors.setdefault(name, f"{type(exc).__name__}: {exc}"[:500])
 
+    # min-of-3 over a STABLE query set: if a query fails only in the
+    # concurrent pass, restart the timing over the shrunken set so the
+    # wall-clock and the baseline sum cover the same queries (errors
+    # only ever grows, so restarts are bounded by len(HEADLINE))
     ok = [n for n in HEADLINE if n not in errors]
     concurrent_total = float("inf")
-    for _ in range(3):  # min-of-3, same steady-state policy as pass 1
+    attempts = 0
+    while attempts < 3 and ok:
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=10) as ex:
             list(ex.map(run, ok))
-        concurrent_total = min(concurrent_total, round(time.time() - t0, 3))
+        elapsed = round(time.time() - t0, 3)
+        still_ok = [n for n in HEADLINE if n not in errors]
+        if still_ok != ok:
+            ok = still_ok
+            concurrent_total = float("inf")  # timing covered a failing query
+            attempts = 0
+            continue
+        concurrent_total = min(concurrent_total, elapsed)
+        attempts += 1
 
     # baseline on the SAME machine state: DuckDB running the oracle
     # SQL for the same headline queries (it saturates all cores per
@@ -146,17 +165,24 @@ def main() -> None:
 
     out = {
         "metric": "headline_suite_wall_clock_concurrent",
-        "value": concurrent_total,
+        "value": None if concurrent_total == float("inf") else concurrent_total,
         "unit": "sec",
         "queries": timings,
         "sequential_total": sequential_total,
         "sf": sf,
     }
-    if baseline_total is not None:
+    if baseline_total is not None and concurrent_total != float("inf"):
         out["baseline_duckdb_sequential_total"] = baseline_total
         out["ratio_vs_baseline"] = round(concurrent_total / baseline_total, 3)
+        # both sides saturate the machine's cores over the SAME ok-set:
+        # Spark via 10 concurrent queries, DuckDB within each query
+        out["ratio_definition"] = (
+            "spark_concurrent_suite_wall_clock / duckdb_sequential_total"
+        )
     if errors:
         out["errors"] = errors
+    if warm_errors:
+        out["warm_errors"] = warm_errors
     print(json.dumps(out))
 
 

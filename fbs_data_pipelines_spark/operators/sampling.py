@@ -83,28 +83,62 @@ def budget_sample(
     sum fits the budget; strata without a budget are dropped.
 
     Determinism: ordered by (hash bucket, key) — total order, engine-
-    portable, partition-independent. Scale shape: ONE shuffle (window
-    partitioned by stratum). Low-cardinality strata concentrate a
-    stratum per task — for a handful of giant sources, pre-filter
-    with ``deterministic_sample`` at ≈budget/corpus_size to shrink
-    the windowed input first (the cumsum then runs over ~budget-sized
-    data, not the full corpus)."""
+    portable, partition-independent.
+
+    Scale shape (automatic thinning): a training mixture has a
+    handful of GIANT strata, so a naive
+    ``Window.partitionBy(strata_col)`` cumsum would sort and scan an
+    entire source in one task. Instead the cutoff is located first on
+    an aggregate: pass 1 computes per-(stratum, hash-bucket) size
+    totals — a map-side-combined shuffle whose output is at most
+    |strata| x 65536 rows (metadata scale at ANY corpus size) — and a
+    window over THAT finds each stratum's boundary bucket b* (the
+    first bucket whose preceding buckets already exhaust the budget).
+    Rows in buckets past b* can never pass the inclusive-cumsum
+    predicate (their running total already exceeds the budget), so
+    joining the corpus against the kept-bucket list (broadcast) is
+    RESULT-EXACT pre-thinning, not sampling slack: the per-row cumsum
+    window then runs over ≈ budget-sized survivors (the kept prefix
+    plus at most one partial bucket per stratum), never the full
+    stratum. When a stratum's total fits its budget every bucket is
+    kept and the operator degrades to the plain one-window plan."""
     thr: Column = F.lit(None).cast("long")
     for value, budget in sorted(budgets.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(int(budget))).otherwise(
             thr
         )
+    base = (
+        df.withColumn("__budget", thr)
+        .filter(F.col("__budget").isNotNull())
+        .withColumn("__bkt", sample_bucket(key_col, salt))
+    )
+    # pass 1: bucket-granular size totals + running total per stratum
+    # (tiny table — the window here is over <= 65536 rows per stratum)
+    bw = (
+        Window.partitionBy(strata_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_buckets = (
+        base.groupBy(strata_col, "__budget", "__bkt")
+        .agg(F.coalesce(F.sum(size_col), F.lit(0)).alias("__sz"))
+        .withColumn("__cum_before", F.sum("__sz").over(bw) - F.col("__sz"))
+        # a bucket can contribute kept rows only while the budget is
+        # not yet exhausted BEFORE it
+        .filter(F.col("__cum_before") < F.col("__budget"))
+        .select(strata_col, "__bkt")
+    )
+    # pass 2: the exact inclusive cumsum, over the thinned prefix only
     w = (
         Window.partitionBy(strata_col)
-        .orderBy(sample_bucket(key_col, salt), F.col(key_col))
+        .orderBy("__bkt", F.col(key_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("__budget", thr)
-        .filter(F.col("__budget").isNotNull())
+        base.join(F.broadcast(kept_buckets), [strata_col, "__bkt"], "inner")
         .withColumn("__cum", F.sum(F.col(size_col)).over(w))
         .filter(F.col("__cum") <= F.col("__budget"))
-        .drop("__budget", "__cum")
+        .select(*df.columns)  # the list-on join reorders; restore
     )
 
 

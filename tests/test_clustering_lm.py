@@ -186,6 +186,63 @@ def test_budget_sample_orders_by_hash_not_key(spark):
     assert picked != [0, 1, 2, 3, 4]
 
 
+def test_budget_sample_matches_naive_one_window_plan(spark):
+    # result-identity: the bucket-cutoff pre-thinning must select the
+    # EXACT rows the plain full-stratum cumsum selects, on skewed
+    # strata (one giant, one tiny, one unbudgeted) and budgets that
+    # land mid-bucket
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fbs_data_pipelines_spark.operators.sampling import sample_bucket
+
+    rows = [(i, "big" if i < 400 else ("small" if i < 410 else "x"), 1 + i % 7)
+            for i in range(420)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    budgets = {"big": 93, "small": 10_000}
+
+    thr = F.when(F.col("src") == "big", 93).when(
+        F.col("src") == "small", 10_000
+    )
+    w = (
+        Window.partitionBy("src")
+        .orderBy(sample_bucket("doc_id"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        df.withColumn("__b", thr)
+        .filter(F.col("__b").isNotNull())
+        .withColumn("__c", F.sum("n").over(w))
+        .filter(F.col("__c") <= F.col("__b"))
+    )
+    expect = sorted((r.doc_id, r.src, r.n) for r in naive.collect())
+    got = sorted(
+        (r.doc_id, r.src, r.n)
+        for r in budget_sample(
+            df, "src", budgets, key_col="doc_id", size_col="n"
+        ).collect()
+    )
+    assert got == expect
+    assert len(got) > 0
+    # column order preserved
+    out = budget_sample(df, "src", budgets, key_col="doc_id", size_col="n")
+    assert out.columns == df.columns
+
+
+def test_budget_sample_window_input_is_bucket_thinned(spark):
+    # scale proof: the per-row cumsum window must consume the corpus
+    # AFTER the kept-bucket join (bounded ≈ budget-sized input), never
+    # the raw full stratum — i.e. a Join sits below the outer Window
+    # in the optimized plan
+    df = spark.createDataFrame(
+        [(i, "a", 10) for i in range(50)], "doc_id long, src string, n long"
+    )
+    out = budget_sample(df, "src", {"a": 100}, key_col="doc_id", size_col="n")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    first_window = plan.index("Window")
+    assert "Join" in plan[first_window:], plan
+
+
 # ------------------------------------------------------- token entropy
 def test_token_entropy_values(spark):
     rows = [

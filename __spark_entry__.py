@@ -552,6 +552,39 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_first_seen(spark, sf_dir):
+    """Driver-gated batch twin of streaming/stateful.streaming_first_seen
+    (whose transformWithStateInPandas runtime is protobuf-gated in this
+    sandbox — the admission SEMANTICS get driver evidence here):
+    exactly-once-per-key admission across a whole stream. The events
+    log is replayed as three ingest batches in arrival order
+    (= event_id); each batch admits its first arrival per key
+    (first_seen_batch), anti-joins the carried seen-key state exactly
+    like the operator's ValueState probe, then extends the state —
+    so both in-batch duplicates and cross-batch re-arrivals are
+    dropped. The final admitted set is the stream's: first event per
+    user_id in arrival order. Scale: per-batch key-partitioned window
+    + anti-join against a keys-only state table (16 B/key)."""
+    from fbs_data_pipelines_spark.streaming.stateful import first_seen_batch
+
+    e = _t(spark, sf_dir, "events")
+    hi = (e.agg(F.max("event_id")).collect()[0][0] or 0) + 1
+    seen = None
+    out = None
+    for lo, up in [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi)]:
+        batch = e.filter((F.col("event_id") >= lo) & (F.col("event_id") < up))
+        admitted = first_seen_batch(batch, "user_id", "event_id")
+        if seen is not None:
+            admitted = admitted.join(seen, "user_id", "left_anti")
+        part = admitted.select(
+            "user_id", "event_id", _ts_s("ts").alias("ts_s"), "event_type"
+        )
+        out = part if out is None else out.unionByName(part)
+        keys = batch.select("user_id").distinct()
+        seen = keys if seen is None else seen.unionByName(keys).distinct()
+    return out
+
+
 def q_json_extract(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -2313,84 +2346,72 @@ def q_quality_classifier(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
-    # FIRST 50 entries, so the window below is curated to cover every
-    # distinct operator family (SURVEY §2 rows + the custom flagship
-    # operators: asof/range joins, dedup clustering, banded simhash,
-    # LSH near-dup, cascading rollup, IVF ANN, tf-idf, grouped OLS,
-    # the round-2 LLM-pipeline additions — Gopher quality, PII scrub,
-    # deterministic sampling, sequence packing, decontamination,
-    # expectations, curation composite, streaming merge — and the
-    # round-3 computation families: incremental aggregate maintenance,
-    # iterative PageRank, the cross-engine-exact HLL sketch, Lloyd
-    # k-means, bigram-LM perplexity scoring). Entries after the fold
-    # are variants whose mechanism is already exercised by an
-    # in-window sibling (`semi_join`/`anti_join` ~ `merge_upsert`'s
-    # C2 internals, `session_window` ~ `sessionize`, `simhash` ~
-    # `simhash_pairs`, `ann_ivf` ~ `ann_ivf_nprobe` (nprobe=K ≡ brute
-    # force, proven in tests), `union_all` + `cast_all_string` ~
-    # `merge_upsert`'s unionByName/all-string contract, `lookup_join`
-    # ~ `map_join`, `cube` ~ `rollup`, `datediff` ~ `conditional`'s
-    # D5 day-diff, `sort_limit` ~ `latest_snapshot`/`window_rank`
-    # ordering, `budget_sample` ~ `stratified_sample`'s hash-order
-    # mechanism + `window_running`'s cumsum, `token_entropy` ~
-    # `tfidf`'s explode+agg shape,
-    # `salted_join`/`bloom_join`/`zorder_layout` ~ result-identical
-    # physical levers over in-window join/agg families, with their
-    # scale behavior asserted by plan tests; round-4 demotions:
-    # `range_join` ~ `asof_join` (both interval-alignment joins),
-    # `text_stats` ~ `quality_pipeline` (same text-profile layer),
-    # `dedup_ngram_jaccard` ~ `dedup_minhash_lsh` + `simhash_pairs`
-    # (shingle near-dup mechanism), `pivot` ~ `rollup`/`unpivot`
-    # (grouped-reshape layer, driver-green in r1-r3 records),
-    # `ann_topk` ~ `ann_ivf_nprobe`
-    # (nprobe=K ≡ brute force) — making room for the round-4
-    # flagships `grouped_topk`, `boilerplate_ngrams`, `alpha_sample`,
-    # `quality_classifier`) — all still
-    # oracle-checked by tools/check_oracle.py locally.
+    # FIRST 50 entries. The window ROTATES each round so that driver
+    # evidence eventually covers the whole registry (the full rotation
+    # ledger lives in README.md § "Correctness-gate rotation ledger";
+    # every entry, in or out of the window, is oracle-checked locally
+    # by tools/check_oracle.py).
+    #
+    # Round-5 rotation: 18 queries that had NO driver evidence through
+    # round 4 are rotated IN (incremental_dedup, canonical_docs,
+    # weighted_sample, source_overlap, ppl_buckets, recursive_cte,
+    # lateral_topn, sql_nested_semi, budget_sample — freshly
+    # auto-thinned this round — sparse_cosine, funnel, retention,
+    # salted_join, bloom_join, zorder_layout, streaming_rollup,
+    # json_extract — clearing its stale round-1 failure record — and
+    # the new first_seen, the batch twin of the protobuf-gated
+    # transformWithState admission operator). Rotated OUT to make
+    # room: 18 queries with 3-4 green driver rounds each whose
+    # mechanisms remain exercised by in-window siblings
+    # (filter_project/compound_filter ~ pricing_summary's filters +
+    # merge_upsert's change scan; join_suffix/map_join/join_5way ~
+    # sql_exists + merge_upsert joins; string_funcs/split_unnest/
+    # date_parse/conditional/try_cast ~ audit_log + corpus_curation's
+    # cleaning layer; groupby_having/rollup/cascading_rollup/
+    # window_rank ~ incremental_rollup + grouped_topk + sessionize;
+    # latest_snapshot ~ grouped_topk's top-1-per-group; dedup_exact ~
+    # incremental_dedup (rotating IN — probes the same content key);
+    # quality_pipeline ~ gopher_quality + ppl_buckets; tfidf ~
+    # sparse_cosine (rotating IN — builds on the same tf/df layer)).
     return {
         # --- reference-core relational surface (SURVEY §2) ------------
         "pricing_summary": q_pricing_summary,
-        "filter_project": q_filter_project,
-        "compound_filter": q_compound_filter,
-        "join_suffix": q_join_suffix,
-        "map_join": q_map_join,
-        "latest_snapshot": q_latest_snapshot,
-        "string_funcs": q_string_funcs,
-        "split_unnest": q_split_unnest,
-        "date_parse": q_date_parse,
-        "conditional": q_conditional,
-        "try_cast": q_try_cast,
         "audit_log": q_audit_log,
         "merge_upsert": q_merge_upsert,
         # --- aggregation / window extension ---------------------------
-        "groupby_having": q_groupby_having,
-        "window_rank": q_window_rank,
-        "rollup": q_rollup,
-        "cascading_rollup": q_cascading_rollup,
         "grouped_ols": q_grouped_ols,
         # --- events / streaming ---------------------------------------
         "windowed_rollup": q_windowed_rollup,
         "sessionize": q_sessionize,
         "streaming_merge": q_streaming_merge,
+        "streaming_rollup": q_streaming_rollup,
+        "first_seen": q_first_seen,
         "asof_join": q_asof_join,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "json_extract": q_json_extract,
         # --- LLM-pipeline operators -----------------------------------
-        "quality_pipeline": q_quality_pipeline,
-        "tfidf": q_tfidf,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "multimodal_features": q_multimodal_features,
+        "incremental_dedup": q_incremental_dedup,
+        "canonical_docs": q_canonical_docs,
+        "sparse_cosine": q_sparse_cosine,
+        "source_overlap": q_source_overlap,
         # --- corpus-quality / sampling / packing flagships ------------
         "gopher_quality": q_gopher_quality,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
+        "budget_sample": q_budget_sample,
+        "weighted_sample": q_weighted_sample,
         "sequence_packing": q_sequence_packing,
         "decontaminate": q_decontaminate,
         "expectations": q_expectations,
         "corpus_curation": q_corpus_curation,
+        "ppl_buckets": q_ppl_buckets,
         # --- round-3 computation families ------------------------------
         "incremental_rollup": q_incremental_rollup,
         "pagerank": q_pagerank,
@@ -2403,10 +2424,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "alpha_sample": q_alpha_sample,
         "quality_classifier": q_quality_classifier,
-        # --- SQL front door / big joins -------------------------------
-        "join_5way": q_join_5way,
+        # --- physical-lever variants (plan-shape levers, result-exact) -
+        "salted_join": q_salted_join,
+        "bloom_join": q_bloom_join,
+        "zorder_layout": q_zorder_layout,
+        # --- SQL front door -------------------------------------------
         "sql_exists": q_sql_exists,
+        "sql_nested_semi": q_sql_nested_semi,
+        "recursive_cte": q_recursive_cte,
+        "lateral_topn": q_lateral_topn,
         # ==== driver gate window ends here (50 entries) ===============
+        # round-5 demotions (3-4 green driver rounds each; see README
+        # rotation ledger):
+        "filter_project": q_filter_project,
+        "compound_filter": q_compound_filter,
+        "join_suffix": q_join_suffix,
+        "map_join": q_map_join,
+        "latest_snapshot": q_latest_snapshot,
+        "string_funcs": q_string_funcs,
+        "split_unnest": q_split_unnest,
+        "date_parse": q_date_parse,
+        "conditional": q_conditional,
+        "try_cast": q_try_cast,
+        "groupby_having": q_groupby_having,
+        "window_rank": q_window_rank,
+        "rollup": q_rollup,
+        "cascading_rollup": q_cascading_rollup,
+        "quality_pipeline": q_quality_pipeline,
+        "tfidf": q_tfidf,
+        "dedup_exact": q_dedup_exact,
+        "join_5way": q_join_5way,
+        # earlier-round demotions:
         "pivot": q_pivot,
         "range_join": q_range_join,
         "text_stats": q_text_stats,
@@ -2434,7 +2482,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "intersect": q_intersect,
         "except": q_except,
-        "json_extract": q_json_extract,
         "minhash_signatures": q_minhash_signatures,
         "vector_norms": q_vector_norms,
         "embedding_neardup": q_embedding_neardup,
@@ -2458,30 +2505,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "corpus_stats": q_corpus_stats,
         "histogram": q_histogram,
-        "salted_join": q_salted_join,
-        "bloom_join": q_bloom_join,
-        "zorder_layout": q_zorder_layout,
-        "funnel": q_funnel,
-        "retention": q_retention,
         "cms_counts": q_cms_counts,
-        "streaming_rollup": q_streaming_rollup,
         "chunk_documents": q_chunk_documents,
-        "budget_sample": q_budget_sample,
         "token_entropy": q_token_entropy,
-        "sparse_cosine": q_sparse_cosine,
-        "sql_nested_semi": q_sql_nested_semi,
         "robust_stats": q_robust_stats,
         "curation_v2": q_curation_v2,
-        "ppl_buckets": q_ppl_buckets,
-        "incremental_dedup": q_incremental_dedup,
-        "recursive_cte": q_recursive_cte,
-        "lateral_topn": q_lateral_topn,
         "sample_exact_k": q_sample_exact_k,
         "cust_order_dist": q_cust_order_dist,
         "premium_no_urgent": q_premium_no_urgent,
-        "canonical_docs": q_canonical_docs,
-        "weighted_sample": q_weighted_sample,
-        "source_overlap": q_source_overlap,
     }
 
 
@@ -2916,6 +2947,21 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         FROM numbered GROUP BY user_id, session_seq
+    """
+
+    # batch twin of streaming_first_seen: the state-loop replay in the
+    # Spark query reduces to "first event per user in arrival order"
+    sql["first_seen"] = """
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               event_type
+        FROM (
+            SELECT user_id, event_id, ts, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS rn
+            FROM events
+        )
+        WHERE rn = 1
     """
 
     sql["json_extract"] = """

@@ -432,6 +432,7 @@ _MAGIC = (
     (b"P6", "image", "ppm"),
     (b"BM", "image", "bmp"),
     (b"RIFF", "audio", "wav"),  # refined by the WAVE tag in sniff
+    (b"ID3", "audio", "mp3"),   # ID3v2-tagged MP3
     (b"\xff\xd8\xff", "image", "jpeg"),
     (b"\x00\x00\x00", "video", "mp4"),  # ftyp box length prefix
 )
@@ -472,6 +473,120 @@ def probe_jpeg_dims(payload: bytes) -> tuple[int, int]:
             return w, h
         i += 2 + seg_len
     raise ValueError("no SOF marker found")
+
+
+def probe_jpeg_exif_orientation(payload: bytes) -> int | None:
+    """EXIF orientation (1-8) from a JPEG's APP1 segment, or None when
+    the image carries no EXIF/orientation tag — the one EXIF field a
+    training pipeline must read before any resize (a portrait photo
+    stored rotated ships width/height swapped). Same marker-segment
+    walk as ``probe_jpeg_dims``, then a minimal TIFF IFD0 scan
+    (byte-order aware) for tag 0x0112. Pure stdlib byte arithmetic;
+    malformed EXIF returns None rather than failing the payload (the
+    image itself may still be perfectly decodable)."""
+    import struct
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG stream")
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        marker = payload[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if marker == 0xDA:  # start of scan: no EXIF past this point
+            return None
+        (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+            t = i + 10  # TIFF header origin (offsets are relative to it)
+            try:
+                order = payload[t : t + 2]
+                if order == b"II":
+                    u16, u32 = "<H", "<I"
+                elif order == b"MM":
+                    u16, u32 = ">H", ">I"
+                else:
+                    return None
+                (ifd_off,) = struct.unpack(u32, payload[t + 4 : t + 8])
+                (n_entries,) = struct.unpack(
+                    u16, payload[t + ifd_off : t + ifd_off + 2]
+                )
+                for k in range(n_entries):
+                    e = t + ifd_off + 2 + 12 * k
+                    (tag,) = struct.unpack(u16, payload[e : e + 2])
+                    if tag == 0x0112:
+                        (val,) = struct.unpack(u16, payload[e + 8 : e + 10])
+                        return val if 1 <= val <= 8 else None
+            except (struct.error, IndexError):
+                return None
+            return None
+        i += 2 + seg_len
+    return None
+
+
+#: MPEG bitrate (kbps) and sample-rate tables, Layer III only — the
+#: header fields a CBR duration estimate needs. Index 0 is the "free"
+#: bitrate (not estimable), 15 is forbidden.
+_MP3_KBPS = {
+    3: (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    0: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_HZ = {
+    3: (44100, 48000, 32000),  # MPEG-1
+    2: (22050, 24000, 16000),  # MPEG-2
+    0: (11025, 12000, 8000),   # MPEG-2.5
+}
+
+
+def probe_mp3_meta(payload: bytes) -> tuple[int, int, int, float]:
+    """(n_channels, sample_rate_hz, bitrate_kbps, duration_seconds)
+    from an MP3's first frame header — the stdlib byte walk an audio
+    pipeline runs before any codec: skip the ID3v2 tag (syncsafe
+    length), find the 11-bit frame sync, decode the version/layer/
+    bitrate/samplerate/mode fields, and estimate duration as
+    audio_bytes × 8 / bitrate (exact for CBR, the dominant case;
+    VBR would need a Xing/VBRI header — out of header-walk scope and
+    documented as the estimate's error source). Raises ValueError on
+    non-MP3 bytes, NotImplementedError for non-Layer-III streams and
+    the free-bitrate mode."""
+    i = 0
+    n = len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        # ID3v2 length: 4 syncsafe bytes (7 bits each)
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        i = 10 + size
+    # scan to the frame sync (some encoders pad between tag and audio)
+    while i + 4 <= n and not (
+        payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0
+    ):
+        i += 1
+    if i + 4 > n:
+        raise ValueError("no MP3 frame sync found")
+    b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+    version = (b1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b1 >> 1) & 0x03    # 1=Layer III
+    if version == 1 or layer != 1:
+        raise NotImplementedError(
+            f"not a Layer III stream (version={version} layer={layer})"
+        )
+    kbps = _MP3_KBPS[version][(b2 >> 4) & 0x0F]
+    if kbps is None:
+        raise NotImplementedError("free-bitrate MP3 (no CBR duration)")
+    sr_idx = (b2 >> 2) & 0x03
+    if sr_idx == 3:
+        raise ValueError("forbidden sample-rate index")
+    sample_rate = _MP3_HZ[version][sr_idx]
+    channels = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+    duration_s = (n - i) * 8.0 / (kbps * 1000.0)
+    return channels, sample_rate, kbps, round(duration_s, 6)
 
 
 def probe_mp4_meta(payload: bytes) -> tuple[int, int, float]:
@@ -543,6 +658,10 @@ def sniff_format(payload: bytes) -> tuple[str, str]:
                     "unknown", "riff"
                 )
             return mtype, fmt
+    # tagless MP3: 11-bit frame sync (0xFFE0 mask) — checked AFTER the
+    # table so the more specific \xff\xd8\xff JPEG prefix wins
+    if len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        return "audio", "mp3"
     return "unknown", "bin"
 
 
@@ -575,6 +694,11 @@ def decode_media(payload: bytes) -> tuple[str, str, int, int, float]:
             # luma
             w, h = probe_jpeg_dims(payload)
             v = _fake_decode(payload)[2]
+        elif fmt == "mp3":
+            # real header metadata (channels, total-sample estimate);
+            # sample decode stays the codec seam, same split as JPEG
+            ch, sr, _kbps, dur = probe_mp3_meta(payload)
+            w, h, v = ch, int(dur * sr), _fake_decode(payload)[2]
         elif fmt == "mp4":
             # same split for video: real (width, height, duration)
             # from the box walk; frame decode stays the ffmpeg seam
@@ -604,37 +728,60 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
 
 
 def extract_media_features(
-    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    include_orientation: bool = False,
 ) -> DataFrame:
     """Mixed-format batch feature extraction: ONE ``mapInPandas``
     kernel, magic-byte dispatch per payload (``decode_media``). Same
     Arrow batch shape and partition parallelism as the single-format
     kernel; the output adds (media_type, format) so downstream
-    filters can route by modality."""
+    filters can route by modality. ``include_orientation=True``
+    appends an ``orientation`` column: the EXIF orientation (1-8) for
+    JPEG payloads that carry it (``probe_jpeg_exif_orientation``),
+    null for everything else — read it before any resize step, since
+    values 5-8 mean the stored width/height are transposed."""
+    schema = MEDIA_FEATURE_SCHEMA
+    if include_orientation:
+        schema = T.StructType(
+            list(MEDIA_FEATURE_SCHEMA.fields)
+            + [T.StructField("orientation", T.IntegerType())]
+        )
+
+    def _orientation(payload: bytes):
+        if payload[:3] != b"\xff\xd8\xff":
+            return None
+        try:
+            return probe_jpeg_exif_orientation(payload)
+        except ValueError:
+            return None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(p) for p in pdf[binary_col]]
             decoded = [decode_media(p) for p in payloads]
+            cols = {
+                "doc_id": pdf[id_col].to_numpy(),
+                "media_type": [t for t, _, _, _, _ in decoded],
+                "format": [f for _, f, _, _, _ in decoded],
+                "n_bytes": [len(p) for p in payloads],
+                "content_sha": [
+                    hashlib.sha256(p).hexdigest() for p in payloads
+                ],
+                "dim_x": [x for _, _, x, _, _ in decoded],
+                "dim_y": [y for _, _, _, y, _ in decoded],
+                "level": [v for _, _, _, _, v in decoded],
+            }
+            if include_orientation:
+                cols["orientation"] = pd.array(
+                    [_orientation(p) for p in payloads], dtype="Int32"
+                )
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].to_numpy(),
-                    "media_type": [t for t, _, _, _, _ in decoded],
-                    "format": [f for _, f, _, _, _ in decoded],
-                    "n_bytes": [len(p) for p in payloads],
-                    "content_sha": [
-                        hashlib.sha256(p).hexdigest() for p in payloads
-                    ],
-                    "dim_x": [x for _, _, x, _, _ in decoded],
-                    "dim_y": [y for _, _, _, y, _ in decoded],
-                    "level": [v for _, _, _, _, v in decoded],
-                },
-                columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields],
+                cols, columns=[f.name for f in schema.fields]
             )
 
-    return df.select(id_col, binary_col).mapInPandas(
-        kernel, schema=MEDIA_FEATURE_SCHEMA
-    )
+    return df.select(id_col, binary_col).mapInPandas(kernel, schema=schema)
 
 
 def extract_image_features(

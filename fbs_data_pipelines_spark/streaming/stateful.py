@@ -105,6 +105,27 @@ def streaming_first_seen(
     )
 
 
+def first_seen_batch(df: DataFrame, key_col: str, order_col: str) -> DataFrame:
+    """Batch twin of ``streaming_first_seen``: the row set a run of the
+    streaming operator admits over a bounded input, computed as one
+    window — first arrival per key, arrival order = ``order_col``
+    (a stream's arrival order is its ingest sequence, so replaying a
+    log through the streaming operator and running this over the same
+    log yield identical rows; the driver-gated ``first_seen`` query
+    replays it batch-by-batch with carried state to prove the
+    cross-batch semantics too). Scale shape: one shuffle on the key;
+    per-key window, no global sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 class _RunningTotal(StatefulProcessor):
     def __init__(self, value_col: str):
         self._value_col = value_col

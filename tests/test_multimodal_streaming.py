@@ -1000,3 +1000,129 @@ def test_probe_mp4_audio_trak_before_video():
     )
     mp4 = box(b"ftyp", b"isom" * 3) + box(b"moov", mvhd + audio + video)
     assert probe_mp4_meta(mp4) == (1920, 1080, 3.0)
+
+
+def _mp3_frame_v1(kbps_idx=9, sr_idx=0, mono=False):
+    # MPEG-1 Layer III header: sync 111|11(V1)|01(LIII)|1(no CRC)
+    b2 = (kbps_idx << 4) | (sr_idx << 2)
+    b3 = 0xC0 if mono else 0x00
+    return bytes([0xFF, 0xFB, b2, b3])
+
+
+def test_probe_mp3_header_walk():
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        decode_media,
+        probe_mp3_meta,
+    )
+
+    # ID3v2-tagged, 128 kbps 44100 Hz stereo, 16000 audio bytes → 1.0 s
+    id3 = b"ID3\x03\x00\x00" + b"\x00\x00\x00\x00"
+    mp3 = id3 + _mp3_frame_v1() + b"\x00" * (16000 - 4)
+    assert probe_mp3_meta(mp3) == (2, 44100, 128, 1.0)
+    mtype, fmt, ch, samples, _lvl = decode_media(mp3)
+    assert (mtype, fmt, ch, samples) == ("audio", "mp3", 2, 44100)
+
+    # tagless MPEG-2 mono 32 kbps 24000 Hz, 4000 bytes → 1.0 s
+    b2 = (4 << 4) | (1 << 2)
+    mp3v2 = bytes([0xFF, 0xF3, b2, 0xC0]) + b"\x00" * 3996
+    assert probe_mp3_meta(mp3v2) == (1, 24000, 32, 1.0)
+    assert decode_media(mp3v2)[:2] == ("audio", "mp3")
+
+    # ID3v2 syncsafe tag length is honored (duration excludes the tag)
+    tag_body = b"\x00" * 200
+    id3_200 = b"ID3\x03\x00\x00" + b"\x00\x00\x01\x48" + tag_body  # 0b1_1001000 = 200
+    mp3_tagged = id3_200 + _mp3_frame_v1() + b"\x00" * (16000 - 4)
+    assert probe_mp3_meta(mp3_tagged) == (2, 44100, 128, 1.0)
+
+    # garbage → ValueError at the probe, '!err' via dispatch
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        probe_mp3_meta(b"ID3\x03\x00\x00\x00\x00\x00\x00\xaa\xbb")
+
+
+def _exif_jpeg(orientation, byte_order=b"MM", dims=(640, 480)):
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    if byte_order == b"MM":
+        tiff = (
+            b"MM\x00\x2a" + struct.pack(">I", 8)
+            + struct.pack(">H", 1)
+            + struct.pack(">HHI", 0x0112, 3, 1)
+            + struct.pack(">H", orientation) + b"\x00\x00"
+            + struct.pack(">I", 0)
+        )
+    else:
+        tiff = (
+            b"II\x2a\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0112, 3, 1)
+            + struct.pack("<H", orientation) + b"\x00\x00"
+            + struct.pack("<I", 0)
+        )
+    h, w = dims[1], dims[0]
+    return (
+        b"\xff\xd8"
+        + seg(0xE1, b"Exif\x00\x00" + tiff)
+        + seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+        + b"\xff\xd9"
+    )
+
+
+def test_probe_jpeg_exif_orientation():
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        probe_jpeg_dims,
+        probe_jpeg_exif_orientation,
+    )
+
+    big = _exif_jpeg(6, b"MM")
+    little = _exif_jpeg(3, b"II")
+    assert probe_jpeg_exif_orientation(big) == 6
+    assert probe_jpeg_exif_orientation(little) == 3
+    # orientation and dimensions come from independent walks
+    assert probe_jpeg_dims(big) == (640, 480)
+
+    # no APP1 at all → None (not an error: EXIF is optional)
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    plain = b"\xff\xd8" + seg(
+        0xC0, b"\x08" + struct.pack(">HH", 1, 1) + b"\x01\x01\x11\x00"
+    ) + b"\xff\xd9"
+    assert probe_jpeg_exif_orientation(plain) is None
+    # out-of-range orientation value → None
+    assert probe_jpeg_exif_orientation(_exif_jpeg(9, b"MM")) is None
+
+
+def test_extract_media_features_orientation_column(spark):
+    # mixed batch through the dispatcher with include_orientation=True:
+    # EXIF JPEGs carry their tag, everything else reads null
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    png = _png_encode(2, 2, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]))
+    exif = _exif_jpeg(6, b"MM")
+    id3 = b"ID3\x03\x00\x00" + b"\x00\x00\x00\x00"
+    mp3 = id3 + _mp3_frame_v1() + b"\x00" * (16000 - 4)
+    df = spark.createDataFrame(
+        [(1, png), (2, exif), (3, mp3)], "doc_id long, content binary"
+    )
+    out = {
+        r.doc_id: r
+        for r in extract_media_features(df, include_orientation=True).collect()
+    }
+    assert out[1].orientation is None
+    assert out[2].orientation == 6
+    assert (out[2].format, out[2].dim_x, out[2].dim_y) == ("jpeg", 640, 480)
+    assert out[3].orientation is None
+    assert (out[3].media_type, out[3].format, out[3].dim_x, out[3].dim_y) == (
+        "audio", "mp3", 2, 44100
+    )
+    # the default schema is unchanged (gate-stable)
+    assert "orientation" not in extract_media_features(df).columns

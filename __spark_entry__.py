@@ -1822,6 +1822,24 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic near-dup pruning (operators/similarity.py
+    semantic_dedup): k-means the embedding space, then drop any vector
+    whose cluster holds a lower-id member within cosine 0.8 — the
+    min-id survivor convention shared with dedup_exact. Clustering
+    bounds the pair stage to within-cluster joins (the paper's scale
+    argument); the oracle replays the kmeans recurrence CTEs plus a
+    within-cluster EXISTS."""
+    from fbs_data_pipelines_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, "vec_id", "embedding", k=8, n_iter=3,
+                         threshold=0.8)
+    return out.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "kept"
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style bigram-LM perplexity scoring (operators/lm.py):
     train add-alpha-smoothed bigram counts on the corpus in one
@@ -2513,6 +2531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_k": q_sample_exact_k,
         "cust_order_dist": q_cust_order_dist,
         "premium_no_urgent": q_premium_no_urgent,
+        # round-5 addition (below the fold; rotates into the gate next
+        # round — oracle-checked locally like everything else)
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -4206,6 +4227,52 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY p.vec_id, c.cluster
             ) d
         ) WHERE rn = 1
+    """
+
+    # SemDeDup: the kmeans recurrence CTEs (identical to sql["kmeans"])
+    # for the final assignment, then drop = EXISTS lower-id cluster
+    # member with rounded cosine >= 0.8 — same min-id convention as
+    # dedup_exact
+    sql["semantic_dedup"] = f"""
+        WITH pts AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding)::DOUBLE AS val
+            FROM embeddings
+        ),
+        init AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM embeddings ORDER BY vec_id LIMIT 8
+        ),
+        c0 AS (
+            SELECT i.cluster, p.pos, p.val
+            FROM init i JOIN pts p USING (vec_id)
+        ){_km_iters},
+        fin AS (
+            SELECT vec_id, cluster FROM (
+                SELECT d.vec_id, d.cluster,
+                       row_number() OVER (PARTITION BY d.vec_id
+                           ORDER BY d.dist2, d.cluster) AS rn
+                FROM (
+                    SELECT p.vec_id, c.cluster,
+                           sum((p.val - c.val) * (p.val - c.val)) AS dist2
+                    FROM pts p JOIN c3 c USING (pos)
+                    GROUP BY p.vec_id, c.cluster
+                ) d
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM fin a
+            JOIN fin b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE floor(list_cosine_similarity(ea.embedding::DOUBLE[],
+                        eb.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+                      / 1000000.0 >= 0.8
+        )
+        SELECT f.vec_id, f.cluster, (d.vec_id IS NULL) AS kept
+        FROM fin f LEFT JOIN dropped d ON f.vec_id = d.vec_id
     """
 
     # bigram LM: identical counts, smoothing, and mean-neg-log-prob;

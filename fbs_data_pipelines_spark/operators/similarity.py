@@ -465,3 +465,78 @@ def sparse_cosine_pairs(
         .filter(F.col("cos") >= threshold)
     )
     return scope.attach(pairs)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning (Abbas et al.
+    2023, arXiv:2303.09540): cluster the embedding space with k-means,
+    then look for cosine-threshold duplicates WITHIN clusters only —
+    the clustering is what makes semantic dedup tractable at corpus
+    scale (all-pairs cosine is O(n²); within-cluster pairs are
+    O(Σ cᵢ²), bounded by choosing k proportional to corpus size so
+    cluster sizes stay roughly constant).
+
+    Survivor rule: a vector is dropped iff a LOWER-id member of its
+    cluster sits within the cosine threshold — the same deterministic
+    min-id convention as ``dedup_exact`` (the paper's sweep order is
+    storage order; ours is id order, equally arbitrary and
+    engine-portable). Returns one row per input vector:
+    (id, cluster, kept).
+
+    Scale shape: k-means is the zero-shuffle-scoring / one-agg-per-
+    iteration plan from ``operators/clustering.py``; the pair stage is
+    a self-join on the cluster id (one shuffle of id+vector), with
+    per-vector norms computed once before the join."""
+    from fbs_data_pipelines_spark.caching import CacheScope
+    from fbs_data_pipelines_spark.functions.vectors import dot_product, l2_norm
+    from fbs_data_pipelines_spark.operators.clustering import kmeans
+
+    scope = CacheScope()
+    assigned = kmeans(df, id_col, vec_col, k=k, n_iter=n_iter).select(
+        id_col, "cluster"
+    )
+    base = scope.persist(
+        assigned.join(df.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            "cluster",
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .withColumn("__n", l2_norm("__v"))
+    )
+    a = base.select(
+        F.col("__id").alias("id_a"), "cluster",
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), "cluster",
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    sim = F.when(denom == 0, F.lit(None)).otherwise(
+        dot_product("__va", "__vb") / denom
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(round_half_up(sim, 6) >= threshold)
+        .select(F.col("id_b").alias("__id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    out = (
+        base.join(dropped, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            F.col("__dropped").isNull().alias("kept"),
+        )
+    )
+    return scope.attach(out)

@@ -76,3 +76,40 @@ def test_gate_window_entries_all_have_oracles():
     }
     assert rotated <= set(window), rotated - set(window)
     assert len(names) == len(set(names))
+
+
+def test_semantic_dedup_drops_higher_id_near_neighbors(spark):
+    from fbs_data_pipelines_spark.caching import release_cache
+    from fbs_data_pipelines_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),        # kept: lowest id of its pair
+        (2, [0.999, 0.01]),     # cos(1,2) ~ 1.0 -> dropped
+        (3, [0.0, 1.0]),        # kept
+        (4, [0.0, 1.0]),        # exact dup of 3 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "vec_id", "embedding", k=2, n_iter=2,
+                         threshold=0.8)
+    res = {r.vec_id: (r.cluster, r.kept) for r in out.collect()}
+    release_cache(out)
+    assert {i for i, (_, kept) in res.items() if kept} == {1, 3}
+    # near-dup pairs ended up co-clustered (the property the drop
+    # decision depends on)
+    assert res[1][0] == res[2][0] and res[3][0] == res[4][0]
+
+
+def test_semantic_dedup_pair_join_is_cluster_keyed(spark):
+    # scale proof: the pair stage joins on the cluster id — the plan
+    # must contain an equi-join, never a cartesian product
+    from fbs_data_pipelines_spark.caching import release_cache
+    from fbs_data_pipelines_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, "vec_id", "embedding", k=2, n_iter=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release_cache(out)
+    assert "CartesianProduct" not in plan

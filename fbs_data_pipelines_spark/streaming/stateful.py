@@ -26,6 +26,12 @@ protobuf-based. Where ``google.protobuf`` is unavailable (this
 sandbox), the operators raise ImportError at call time with a clear
 message and their tests skip — the API surface, schemas, and state
 layout are the deliverable; ``HAS_TWS_DEPS`` reports availability.
+In protobuf-less environments the admission SEMANTICS still carry
+oracle evidence: ``first_seen_batch`` below is the batch twin
+(identical admitted set over a bounded log), and the driver-gated
+``first_seen`` query replays it batch-by-batch with carried state.
+A CI environment with protobuf installed runs the streaming tests
+directly (tests/test_stateful_tws.py un-skips itself).
 """
 
 from __future__ import annotations

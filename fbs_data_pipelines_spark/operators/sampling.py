@@ -124,8 +124,11 @@ def budget_sample(
         .agg(F.coalesce(F.sum(size_col), F.lit(0)).alias("__sz"))
         .withColumn("__cum_before", F.sum("__sz").over(bw) - F.col("__sz"))
         # a bucket can contribute kept rows only while the budget is
-        # not yet exhausted BEFORE it
-        .filter(F.col("__cum_before") < F.col("__budget"))
+        # not exceeded BEFORE it (<=, not <: a bucket entered with the
+        # budget exactly exhausted can still contribute ZERO-size rows,
+        # whose inclusive cumsum equals the budget and passes the
+        # naive rule — caught by the hypothesis identity test)
+        .filter(F.col("__cum_before") <= F.col("__budget"))
         .select(strata_col, "__bkt")
     )
     # pass 2: the exact inclusive cumsum, over the thinned prefix only

@@ -113,3 +113,55 @@ def test_semantic_dedup_pair_join_is_cluster_keyed(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     release_cache(out)
     assert "CartesianProduct" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fbs_data_pipelines_spark.operators.sampling import budget_sample
+
+
+@settings(
+    max_examples=8,  # each example runs several Spark jobs
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                   max_size=60),
+    budget_a=st.integers(min_value=0, max_value=800),
+    budget_b=st.integers(min_value=0, max_value=200),
+)
+def test_budget_sample_thinning_is_result_exact(spark, sizes, budget_a, budget_b):
+    # property: the bucket-cutoff pre-thinning NEVER changes the kept
+    # set, for any size distribution and any budget (including 0 and
+    # budgets larger than the stratum total)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fbs_data_pipelines_spark.operators.sampling import sample_bucket
+
+    rows = [(i, "a" if i % 3 else "b", int(s)) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    budgets = {"a": budget_a, "b": budget_b}
+
+    thr = F.when(F.col("src") == "a", budget_a).when(F.col("src") == "b", budget_b)
+    w = (
+        Window.partitionBy("src")
+        .orderBy(sample_bucket("doc_id"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        df.withColumn("__b", thr)
+        .filter(F.col("__b").isNotNull())
+        .withColumn("__c", F.sum("n").over(w))
+        .filter(F.col("__c") <= F.col("__b"))
+    )
+    expect = sorted(r.doc_id for r in naive.collect())
+    got = sorted(
+        r.doc_id
+        for r in budget_sample(
+            df, "src", budgets, key_col="doc_id", size_col="n"
+        ).collect()
+    )
+    assert got == expect

@@ -1887,6 +1887,23 @@ def q_budget_sample(spark, sf_dir):
     return out.select("doc_id", "source", "n_tok")
 
 
+def q_mixture_interleave(spark, sf_dir):
+    """Weighted mixture interleaving (operators/sampling.py
+    mixture_interleave): one deterministic global training order where
+    stratum proportions over any prefix converge to the given weights
+    (stride scheduling: per-stratum hash rank r, virtual time r/w,
+    total order by (vt, stratum, key)). The global position is
+    assigned distributed (range repartition + per-partition offsets),
+    never via a single-task global window; the oracle computes the
+    same order with one window because DuckDB is single-node."""
+    from fbs_data_pipelines_spark.operators.sampling import mixture_interleave
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": float(1 + i % 4) for i in range(8)}
+    out = mixture_interleave(docs, "source", weights, "doc_id")
+    return out.select("doc_id", "source", "global_pos")
+
+
 def q_token_entropy(spark, sf_dir):
     """Shannon entropy of each doc's token distribution
     (functions/text.py token_entropy): the information-density
@@ -2531,9 +2548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_k": q_sample_exact_k,
         "cust_order_dist": q_cust_order_dist,
         "premium_no_urgent": q_premium_no_urgent,
-        # round-5 addition (below the fold; rotates into the gate next
+        # round-5 additions (below the fold; rotate into the gate next
         # round — oracle-checked locally like everything else)
         "semantic_dedup": q_semantic_dedup,
+        "mixture_interleave": q_mixture_interleave,
     }
 
 
@@ -4337,6 +4355,29 @@ def oracle_sql() -> dict[str, str]:
             FROM sized WHERE budget IS NOT NULL
         )
         SELECT doc_id, source, n_tok FROM c WHERE cum <= budget
+    """
+
+    # mixture interleave: stride scheduling — per-stratum hash rank,
+    # virtual time r/weight, one global order; DuckDB (single-node)
+    # uses the plain global window the Spark side deliberately avoids
+    sql["mixture_interleave"] = f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY {_hex4("':' || CAST(doc_id AS VARCHAR)")},
+                                doc_id) AS r
+            FROM documents
+            WHERE source IN ('src0','src1','src2','src3','src4','src5',
+                             'src6','src7')
+        ), vt AS (
+            SELECT doc_id, source,
+                   r / (1.0 + CAST(substr(source, 4) AS INTEGER) % 4) AS v
+            FROM ranked
+        )
+        SELECT doc_id, source,
+               CAST(row_number() OVER (ORDER BY v, source, doc_id)
+                    AS BIGINT) AS global_pos
+        FROM vt
     """
 
     # sparse TF-IDF cosine pairs: identical tf/df/idf/normalize/join

@@ -274,3 +274,72 @@ def weighted_sample_k(
         .orderBy(F.col("priority").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def mixture_interleave(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    pos_col: str = "global_pos",
+) -> DataFrame:
+    """Deterministic weighted interleaving of sources into ONE global
+    training order — the order a mixture dataloader consumes ("3 parts
+    web to 1 part books", interleaved, not concatenated). Each stratum
+    is ranked in the portable md5-hash order (rank r = 1, 2, ...); a
+    row's virtual time is r / weight (classic weighted round-robin /
+    stride scheduling); the global order sorts by (virtual_time,
+    stratum, key). Over any prefix of the output, stratum proportions
+    converge to weight/Σweight. Engine-portable and reproducible —
+    ``salt`` is the epoch: a new salt reshuffles within strata while
+    preserving the mixture. Strata without a weight are dropped.
+
+    Scale shape: one shuffle for the per-stratum ranking window, then
+    ONE range-partitioned sort for the total order (the total order IS
+    the deliverable). The global position is assigned WITHOUT a
+    single-task global window: rows are range-repartitioned on the
+    order key, each partition numbers its rows locally, and partition
+    row-counts (≤ shuffle-partitions rows) are cumulated into offsets
+    broadcast back — the distributed global-index pattern. Correct for
+    ANY partition boundaries because the order tuple
+    (virtual_time, stratum, key) is unique per row."""
+    w_expr: Column = F.lit(None).cast("double")
+    for value, wt in sorted(weights.items()):
+        if wt <= 0:
+            raise ValueError(f"mixture weight for {value!r} must be > 0")
+        w_expr = F.when(
+            F.col(strata_col) == value, F.lit(float(wt))
+        ).otherwise(w_expr)
+    rw = Window.partitionBy(strata_col).orderBy(
+        sample_bucket(key_col, salt), F.col(key_col)
+    )
+    ranked = (
+        df.withColumn("__w", w_expr)
+        .filter(F.col("__w").isNotNull())
+        .withColumn("__vt", F.row_number().over(rw) / F.col("__w"))
+    )
+    order_cols = [F.col("__vt"), F.col(strata_col), F.col(key_col)]
+    part = (
+        ranked.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    pw = Window.partitionBy("__pid").orderBy(*order_cols)
+    # exclusive prefix-sum of partition sizes → per-partition offset
+    # (the counts table has at most shuffle-partitions rows)
+    ow = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        part.groupBy("__pid").count()
+        .withColumn("__off", F.sum("count").over(ow) - F.col("count"))
+        .select("__pid", "__off")
+    )
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            pos_col, (F.col("__off") + F.row_number().over(pw)).cast("long")
+        )
+        .drop("__w", "__vt", "__pid", "__off")
+    )

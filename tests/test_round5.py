@@ -165,3 +165,54 @@ def test_budget_sample_thinning_is_result_exact(spark, sizes, budget_a, budget_b
         ).collect()
     )
     assert got == expect
+
+
+def test_mixture_interleave_prefix_proportions(spark):
+    from fbs_data_pipelines_spark.operators.sampling import mixture_interleave
+
+    rows = [(i, "a") for i in range(40)] + [(100 + i, "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mixture_interleave(df, "src", {"a": 2.0, "b": 1.0}, "doc_id")
+    got = sorted(
+        (r.global_pos, r.src, r.doc_id) for r in out.collect()
+    )
+    # dense 1..N positions, no duplicates
+    assert [p for p, _, _ in got] == list(range(1, 61))
+    # stride scheduling: every prefix of length 3k holds exactly 2k
+    # a-rows and k b-rows (virtual times interleave 0.5,1,1,1.5,2,2,...)
+    for k in (1, 5, 10):
+        prefix = got[: 3 * k]
+        assert sum(1 for _, s, _ in prefix if s == "a") == 2 * k
+        assert sum(1 for _, s, _ in prefix if s == "b") == k
+
+
+def test_mixture_interleave_salt_reshuffles_within_stratum(spark):
+    from fbs_data_pipelines_spark.operators.sampling import mixture_interleave
+
+    rows = [(i, "a") for i in range(30)] + [(100 + i, "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    e0 = mixture_interleave(df, "src", {"a": 1.0, "b": 1.0}, "doc_id", salt="0")
+    e1 = mixture_interleave(df, "src", {"a": 1.0, "b": 1.0}, "doc_id", salt="1")
+    o0 = [(r.global_pos, r.doc_id) for r in e0.collect()]
+    o1 = [(r.global_pos, r.doc_id) for r in e1.collect()]
+    # a different epoch salt produces a different order...
+    assert sorted(o0) != sorted(o1)
+    # ...but the mixture is preserved: equal weights alternate strictly
+    by_pos0 = {p: d for p, d in sorted(o0)}
+    srcs = ["a" if by_pos0[p] < 100 else "b" for p in sorted(by_pos0)]
+    assert srcs == ["a", "b"] * 30
+    # and each epoch is itself deterministic
+    o0_again = [(r.global_pos, r.doc_id) for r in
+                mixture_interleave(df, "src", {"a": 1.0, "b": 1.0},
+                                   "doc_id", salt="0").collect()]
+    assert sorted(o0) == sorted(o0_again)
+
+
+def test_mixture_interleave_rejects_nonpositive_weight(spark):
+    import pytest as _pytest
+
+    from fbs_data_pipelines_spark.operators.sampling import mixture_interleave
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
+    with _pytest.raises(ValueError):
+        mixture_interleave(df, "src", {"a": 0.0}, "doc_id")

@@ -2379,6 +2379,138 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-global paragraph dedup with reassembly
+    (operators/dedup.paragraph_dedup) — the RefinedWeb/CCNet
+    line-dedup stage document-level dedup cannot replace: only the
+    FIRST occurrence of each distinct segment survives anywhere in
+    the corpus, and documents are stitched back in original order.
+    The synthetic corpus has no newlines, so the query splits on the
+    literal token separator ' a ' (segments repeat across documents,
+    so dedup genuinely fires). First-owner per segment is ONE
+    map-side-combined min(struct(id,pos)) aggregation — never a
+    window over the segment hash, which would serialize a
+    mega-duplicated boilerplate line into a single task at 100 TB."""
+    from fbs_data_pipelines_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(d, "doc_id", "text", sep=" a ", min_chars=1)
+
+
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle counting by degree orientation
+    (operators/graph.triangle_count; Suri & Vassilvitskii 2011).
+    Graph: customers co-ordering on the same (day, priority). The
+    oriented wedge join bounds per-node fan-out by O(sqrt(E)) —
+    the naive 3-way self-join's O(deg^2) hub blowup (the 'curse of
+    the last reducer') never materializes. Oracle = canonical
+    3-way join, feasible at oracle scale only."""
+    from fbs_data_pipelines_spark.operators.graph import triangle_count
+
+    o = _t(spark, sf_dir, "orders")
+    e = (
+        o.alias("x")
+        .join(
+            o.alias("y"),
+            (F.col("x.o_orderdate") == F.col("y.o_orderdate"))
+            & (F.col("x.o_orderpriority") == F.col("y.o_orderpriority"))
+            & (F.col("x.o_custkey") < F.col("y.o_custkey")),
+        )
+        .select(
+            F.col("x.o_custkey").alias("src"),
+            F.col("y.o_custkey").alias("dst"),
+        )
+    )
+    return triangle_count(e)
+
+
+def q_sql_anti_chain(spark, sf_dir):
+    """TPC-H Q21 shape through the SQL front door: EXISTS plus
+    NOT EXISTS, both correlated to the SAME outer row of the SAME
+    table (lineitem self-correlations) — the hardest decorrelation
+    pattern in the TPC-H suite. Catalyst rewrites them to one
+    left-semi and one left-anti join on l_orderkey; the supplier
+    dimension broadcasts. Suppliers who were the ONLY late shipper
+    on a finished multi-supplier order."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM v_supplier
+        JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN v_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > DATE '1995-09-01'
+          AND EXISTS (
+              SELECT 1 FROM v_lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM v_lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > DATE '1995-09-01'
+          )
+        GROUP BY s_name
+        """
+    )
+
+
+def q_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: aggregate view + scalar-max subquery over
+    that SAME view (top-revenue supplier in 1996Q1). Catalyst
+    computes the revenue CTE once per reference but the max side
+    reduces to ONE row — a broadcast filter, not a window over all
+    suppliers. Revenue is rounded to cents in BOTH engines before
+    the equality so float summation order cannot flip the argmax."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") <= F.lit("1996-03-31"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        sup.join(
+            F.broadcast(rev.join(F.broadcast(max_rev),
+                                 F.col("total_revenue") == F.col("m"))),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_value_share_having(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a scalar subquery over the
+    WHOLE input (parts whose lineitem value exceeds 0.05% of global
+    value). Both sides are map-side-combined aggregations sharing
+    one scan-side shuffle; the global total is a 1-row broadcast
+    into the HAVING filter — never a window over all groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("raw_value")
+    )
+    total = li.agg((F.sum("l_extendedprice") * 0.0005).alias("cutoff"))
+    return (
+        per_part.join(F.broadcast(total), F.col("raw_value") > F.col("cutoff"))
+        .select(
+            "l_partkey",
+            round_half_up(F.col("raw_value"), 2).alias("part_value"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -2552,6 +2684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round — oracle-checked locally like everything else)
         "semantic_dedup": q_semantic_dedup,
         "mixture_interleave": q_mixture_interleave,
+        "paragraph_dedup": q_paragraph_dedup,
+        "triangle_count": q_triangle_count,
+        "sql_anti_chain": q_sql_anti_chain,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "value_share_having": q_value_share_having,
     }
 
 
@@ -4876,6 +5013,115 @@ def oracle_sql() -> dict[str, str]:
                floor({_SIG("w0", "wa", "wb")} * 1000000.0 + 0.5)
                    / 1000000.0 AS score
         FROM feat, w3
+    """
+
+    # paragraph dedup: first (doc_id, pos) owner per distinct segment
+    # survives corpus-wide; docs reassembled in original order. The
+    # oracle's per-segment window is oracle-scale-only — the Spark
+    # side uses a min(struct) aggregation (see paragraph_dedup doc).
+    sql["paragraph_dedup"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' a ')) AS para,
+                   generate_subscripts(string_split(text, ' a '), 1) AS pos
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, para, pos,
+                   row_number() OVER (PARTITION BY para
+                                      ORDER BY doc_id, pos) AS rn
+            FROM p WHERE length(para) >= 1
+        ),
+        kept AS (
+            SELECT doc_id, para, pos FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT doc_id, para, pos FROM p WHERE length(para) < 1
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_tot FROM p GROUP BY 1)
+        SELECT t.doc_id,
+               coalesce(string_agg(k.para, ' a ' ORDER BY k.pos), '')
+                   AS clean_text,
+               count(k.para) AS n_kept,
+               t.n_tot - count(k.para) AS n_removed
+        FROM tot t LEFT JOIN kept k USING (doc_id)
+        GROUP BY t.doc_id, t.n_tot
+    """
+
+    # triangle count: canonical 3-way join — exact but O(deg^2) at
+    # hubs, which is fine at oracle scale; the Spark side orients by
+    # degree so the wedge fan-out is O(sqrt(E))-bounded
+    sql["triangle_count"] = """
+        WITH e AS (
+            SELECT DISTINCT a.o_custkey AS s1, b.o_custkey AS s2
+            FROM orders a
+            JOIN orders b
+              ON a.o_orderdate = b.o_orderdate
+             AND a.o_orderpriority = b.o_orderpriority
+            WHERE a.o_custkey < b.o_custkey
+        ),
+        n AS (
+            SELECT count(DISTINCT v) AS n_nodes FROM (
+                SELECT s1 AS v FROM e UNION ALL SELECT s2 FROM e
+            )
+        )
+        SELECT (SELECT n_nodes FROM n) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT count(*)
+                FROM e e1
+                JOIN e e2 ON e2.s1 = e1.s2
+                JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+               ) AS n_triangles
+    """
+
+    # TPC-H Q21 shape: same EXISTS / NOT EXISTS chain verbatim
+    sql["sql_anti_chain"] = """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > DATE '1995-09-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > DATE '1995-09-01'
+          )
+        GROUP BY s_name
+    """
+
+    # TPC-H Q15 shape: revenue rounded to cents BEFORE the max
+    # equality in both engines, so summation order can't flip argmax
+    sql["top_revenue_supplier"] = """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 100.0
+                         + 0.5) / 100.0 AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate BETWEEN DATE '1996-01-01'
+                                 AND DATE '1996-03-31'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """
+
+    # TPC-H Q11 shape: HAVING vs a global scalar subquery
+    sql["value_share_having"] = """
+        SELECT l_partkey,
+               floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0
+                   AS part_value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice) >
+               (SELECT sum(l_extendedprice) * 0.0005 FROM lineitem)
     """
 
     return sql

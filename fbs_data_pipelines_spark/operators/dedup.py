@@ -636,3 +636,88 @@ def incremental_dedup(
     return in_batch.join(
         seen_hashes.select("content_hash"), "content_hash", "left_anti"
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-global paragraph-level exact dedup with document
+    reassembly — the RefinedWeb/CCNet line-dedup stage: split each
+    document on ``sep``, keep only the FIRST occurrence (ordered by
+    (id, position)) of each distinct paragraph anywhere in the
+    corpus, and stitch the survivors back together in original order.
+
+    Boilerplate (nav bars, cookie banners, license headers) repeats
+    across millions of pages; removing it at the paragraph level is
+    the step document-level dedup cannot do. Paragraphs shorter than
+    ``min_chars`` (default 1 ⇒ empty segments) are kept verbatim and
+    never participate in dedup — they are document structure, not
+    content.
+
+    Scale shape (two shuffles, both on uniform md5 keys):
+      1. posexplode, md5 each eligible paragraph;
+      2. first-owner per hash via one map-side-combined
+         ``min(struct(id, pos))`` aggregation — NOT a window over the
+         hash, which would serialize a mega-duplicated boilerplate
+         paragraph (df in the millions) into a single task;
+      3. equi-join the owner table back on the hash (one row per
+         distinct paragraph ⇒ fan-out 1; AQE skew-split covers hot
+         hashes on the probe side) and keep rows that ARE the owner;
+      4. reassemble per document with a sorted-collect — bounded by
+         document size, the same per-doc envelope the corpus was
+         ingested with.
+
+    ``sep`` is a LITERAL separator (regex-escaped before hitting
+    Spark's regex-based split), matching DuckDB/engine-portable
+    ``string_split`` semantics so an oracle reproduces the result.
+
+    Returns (id_col, clean_text, n_kept, n_removed) — one row per
+    input document, including documents whose every paragraph was
+    removed (clean_text = '').
+    """
+    import re as _re
+
+    parts = F.split(F.col(text_col), _re.escape(sep), -1)
+    p = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(parts).alias("__pos", "__para"),
+    )
+    eligible = F.length("__para") >= int(min_chars)
+    hashed = p.withColumn(
+        "__h", F.when(eligible, F.md5(F.col("__para")))
+    )
+    owner = (
+        hashed.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.min(F.struct("__id", "__pos")).alias("__first"))
+    )
+    joined = hashed.join(owner, "__h", "left")
+    kept = F.col("__h").isNull() | (
+        F.struct("__id", "__pos") == F.col("__first")
+    )
+    return (
+        joined.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("__pos", "__para"))
+                        )
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.sum(F.when(kept, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_kept"
+            ),
+            F.sum(F.when(kept, F.lit(0)).otherwise(F.lit(1))).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -216,3 +216,133 @@ def test_mixture_interleave_rejects_nonpositive_weight(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
     with _pytest.raises(ValueError):
         mixture_interleave(df, "src", {"a": 0.0}, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup
+# ---------------------------------------------------------------------------
+
+
+def _pd_rows(spark, rows, **kw):
+    from fbs_data_pipelines_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in paragraph_dedup(df, "doc_id", "text", **kw).collect()
+    }
+
+
+def test_paragraph_dedup_keeps_first_occurrence_corpus_wide(spark):
+    out = _pd_rows(
+        spark,
+        [
+            (1, "alpha\nshared\nbeta"),
+            (2, "shared\ngamma"),
+            (3, "gamma\ndelta\nshared"),
+        ],
+    )
+    # 'shared' survives only in doc 1 (smallest doc_id), 'gamma' only
+    # in doc 2; everything else untouched, order preserved
+    assert out[1] == ("alpha\nshared\nbeta", 3, 0)
+    assert out[2] == ("gamma", 1, 1)
+    assert out[3] == ("delta", 1, 2)
+
+
+def test_paragraph_dedup_within_doc_repeats_collapse(spark):
+    out = _pd_rows(spark, [(7, "x\ny\nx\nx\nz")])
+    assert out[7] == ("x\ny\nz", 3, 2)
+
+
+def test_paragraph_dedup_short_segments_exempt(spark):
+    # min_chars=2: ''/1-char segments are structure — kept verbatim in
+    # every doc, never deduped
+    out = _pd_rows(
+        spark,
+        [(1, "aa\n\nbb"), (2, "aa\n\nbb\n")],
+        min_chars=2,
+    )
+    assert out[1] == ("aa\n\nbb", 3, 0)
+    # doc 2: 'aa' and 'bb' removed (dupes of doc 1); both ''
+    # segments kept verbatim → two empties joined by one sep
+    assert out[2] == ("\n", 2, 2)
+
+
+def test_paragraph_dedup_all_removed_doc_survives_empty(spark):
+    out = _pd_rows(spark, [(1, "only"), (2, "only")])
+    assert out[1] == ("only", 1, 0)
+    assert out[2] == ("", 0, 1)
+
+
+def test_paragraph_dedup_literal_separator_not_regex(spark):
+    # sep is literal: '.' must split on dots, not on every character
+    out = _pd_rows(spark, [(1, "ab.cd.ab")], sep=".")
+    assert out[1] == ("ab.cd", 2, 1)
+
+
+def test_paragraph_dedup_first_owner_is_aggregation_not_window(spark):
+    # the corpus-wide first-owner must come from a map-side-combined
+    # min(struct) aggregation; a Window over the segment hash would
+    # serialize mega-duplicated boilerplate into one task at scale.
+    # The only Window allowed in the plan is... none.
+    from fbs_data_pipelines_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"seg{i % 3}\ncommon") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (
+        paragraph_dedup(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # and the owner side really aggregates (partial min over the hash)
+    assert "Aggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, pairs):
+    from fbs_data_pipelines_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return triangle_count(df).collect()[0]
+
+
+def test_triangle_count_golden(spark):
+    # K4 minus one edge: {1,2,3,4} complete except (3,4) → 2 triangles
+    r = _tri(
+        spark,
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)],
+    )
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 5, 2)
+
+
+def test_triangle_count_complete_graph(spark):
+    import itertools
+
+    n = 7
+    r = _tri(spark, list(itertools.combinations(range(n), 2)))
+    assert r.n_triangles == n * (n - 1) * (n - 2) // 6
+    assert (r.n_nodes, r.n_edges) == (n, n * (n - 1) // 2)
+
+
+def test_triangle_count_canonicalizes_input(spark):
+    # duplicates, reversed orientation, and self-loops must not change
+    # the count
+    r = _tri(
+        spark,
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (5, 5), (1, 2)],
+    )
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+
+
+def test_triangle_count_triangle_free(spark):
+    # star graph: hub with 5 leaves — lots of wedges, zero triangles
+    r = _tri(spark, [(0, i) for i in range(1, 6)])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (6, 5, 0)

@@ -2511,6 +2511,39 @@ def q_value_share_having(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/dsir; Xie et al. 2023,
+    NeurIPS): score every raw document by how much its hashed
+    uni+bi-gram distribution resembles the English-labeled target
+    slice, then Gumbel-top-100 resample — the importance-resampling
+    recipe for picking pretraining data that looks like a quality
+    corpus. The two distribution estimates collapse to 512 bucket
+    rows no matter the corpus size (the whole point of hashed
+    features); selection is TakeOrderedAndProject, never a full
+    sort. Deterministic end-to-end: md5 bucketing + Gumbel noise
+    drawn from the md5 bucket of the doc id."""
+    from fbs_data_pipelines_spark.operators.dsir import (
+        dsir_bucket_ratios,
+        dsir_resample,
+        dsir_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    ratios = dsir_bucket_ratios(
+        d, target, "text", n_buckets=512, smoothing=1.0, salt="dsir"
+    )
+    scores = dsir_scores(d, ratios, "doc_id", "text", n_buckets=512,
+                         salt="dsir")
+    picked = dsir_resample(scores, "doc_id", k=100, salt="gum")
+    return picked.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        round_half_up(F.col("dsir_score"), 6).alias("dsir_score"),
+        round_half_up(F.col("gumbel_key"), 6).alias("gumbel_key"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -2689,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_anti_chain": q_sql_anti_chain,
         "top_revenue_supplier": q_top_revenue_supplier,
         "value_share_having": q_value_share_having,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -5122,6 +5156,78 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_partkey
         HAVING sum(l_extendedprice) >
                (SELECT sum(l_extendedprice) * 0.0005 FROM lineitem)
+    """
+
+    # DSIR importance resampling: identical hashed-ngram buckets,
+    # add-1 smoothed log ratios (target = lang='en'), per-doc summed
+    # score, Gumbel-top-100 with the same md5-derived uniform
+    sql["dsir_select"] = f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split({_NORM}, ' '),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        uni AS (SELECT doc_id, lang, unnest(ts) AS g FROM base),
+        pos AS (
+            SELECT doc_id, lang, unnest(ts) AS t,
+                   generate_subscripts(ts, 1) AS i
+            FROM base
+        ),
+        bi AS (
+            SELECT a.doc_id, a.lang, a.t || ' ' || b.t AS g
+            FROM pos a
+            JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        ),
+        grams AS (
+            SELECT doc_id, lang, g FROM uni
+            UNION ALL SELECT doc_id, lang, g FROM bi
+        ),
+        gb AS (
+            SELECT doc_id, lang,
+                   {_hex4("'dsir:' || g")} % 512 AS bucket
+            FROM grams
+        ),
+        buckets AS (SELECT range AS bucket FROM range(512)),
+        tcnt AS (
+            SELECT bucket, count(*) AS tc FROM gb
+            WHERE lang = 'en' GROUP BY 1
+        ),
+        rcnt AS (SELECT bucket, count(*) AS rc FROM gb GROUP BY 1),
+        ratio AS (
+            SELECT b.bucket,
+                   ln((coalesce(tc, 0) + 1.0) /
+                      ((SELECT count(*) FROM gb WHERE lang = 'en')
+                       + 512.0))
+                 - ln((coalesce(rc, 0) + 1.0) /
+                      ((SELECT count(*) FROM gb) + 512.0)) AS log_ratio
+            FROM buckets b
+            LEFT JOIN tcnt USING (bucket)
+            LEFT JOIN rcnt USING (bucket)
+        ),
+        sc AS (
+            SELECT d.doc_id,
+                   coalesce(sum(r.log_ratio), 0.0) AS s,
+                   count(g.bucket) AS n_grams
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN gb g ON g.doc_id = d.doc_id
+            LEFT JOIN ratio r ON r.bucket = g.bucket
+            GROUP BY 1
+        ),
+        gk AS (
+            SELECT doc_id, n_grams, s,
+                   s + (-ln(-ln(
+                       ({_hex4("'gum:' || CAST(doc_id AS VARCHAR)")}
+                        + 0.5) / 65536.0))) AS gkey
+            FROM sc
+        )
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               floor(s * 1000000.0 + 0.5) / 1000000.0 AS dsir_score,
+               floor(gkey * 1000000.0 + 0.5) / 1000000.0 AS gumbel_key
+        FROM gk
+        ORDER BY gkey DESC, doc_id
+        LIMIT 100
     """
 
     return sql

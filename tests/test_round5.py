@@ -346,3 +346,79 @@ def test_triangle_count_triangle_free(spark):
     # star graph: hub with 5 leaves — lots of wedges, zero triangles
     r = _tri(spark, [(0, i) for i in range(1, 6)])
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (6, 5, 0)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _dsir_parts(spark):
+    from fbs_data_pipelines_spark.operators.dsir import (
+        dsir_bucket_ratios,
+        dsir_scores,
+    )
+
+    rows = [(i, "alpha beta gamma alpha beta") for i in range(10)] + [
+        (i, "zulu yankee xray zulu yankee") for i in range(10, 20)
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.filter("doc_id < 10")
+    ratios = dsir_bucket_ratios(raw, target, "text", n_buckets=64)
+    scores = dsir_scores(raw, ratios, "doc_id", "text", n_buckets=64)
+    return raw, ratios, scores
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    _, _, scores = _dsir_parts(spark)
+    s = {r.doc_id: r.dsir_score for r in scores.collect()}
+    target_like = min(s[i] for i in range(10))
+    off_target = max(s[i] for i in range(10, 20))
+    assert target_like > off_target
+
+
+def test_dsir_ratio_table_is_bucket_sized(spark):
+    _, ratios, _ = _dsir_parts(spark)
+    # the distribution estimate reduces to EXACTLY n_buckets rows no
+    # matter the corpus size — that bound is the scale contract
+    assert ratios.count() == 64
+
+
+def test_dsir_zero_gram_doc_scores_zero(spark):
+    from fbs_data_pipelines_spark.operators.dsir import (
+        dsir_bucket_ratios,
+        dsir_scores,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "some words here"), (2, "")], "doc_id long, text string"
+    )
+    ratios = dsir_bucket_ratios(raw, raw, "text", n_buckets=32)
+    out = {r.doc_id: (r.dsir_score, r.n_grams)
+           for r in dsir_scores(raw, ratios, "doc_id", "text",
+                                n_buckets=32).collect()}
+    assert out[2] == (0.0, 0)
+    assert out[1][1] == 5  # 3 unigrams + 2 bigrams
+
+
+def test_dsir_resample_deterministic_k(spark):
+    from fbs_data_pipelines_spark.operators.dsir import dsir_resample
+
+    _, _, scores = _dsir_parts(spark)
+    a = [r.doc_id for r in dsir_resample(scores, "doc_id", k=5).collect()]
+    b = [r.doc_id for r in dsir_resample(scores, "doc_id", k=5).collect()]
+    assert a == b and len(a) == 5
+    # a different salt re-randomizes the draw but not the cardinality
+    c = [r.doc_id
+         for r in dsir_resample(scores, "doc_id", k=5, salt="e2").collect()]
+    assert len(c) == 5
+
+
+def test_dsir_score_join_is_broadcast(spark):
+    # the B-row ratio table must broadcast into the scoring join —
+    # a shuffle join there would re-exchange the whole corpus
+    _, _, scores = _dsir_parts(spark)
+    plan = scores._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan
+    ex = scores._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in ex

@@ -2544,6 +2544,29 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_scd2_track(spark, sf_dir):
+    """Type-2 slowly-changing dimension build
+    (operators/audit.scd2_build): per-user event_type state history
+    with validity intervals — consecutive unchanged states collapse,
+    each surviving version closes at the next version's start, the
+    open version is flagged current. The history-keeping counterpart
+    of merge_upsert's SCD-1. Two stacked windows share ONE per-user
+    exchange + sort."""
+    from fbs_data_pipelines_spark.operators.audit import scd2_build
+
+    e = _t(spark, sf_dir, "events")
+    out = scd2_build(
+        e, "user_id", ["event_type"], "ts", tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        _ts_s(F.col("valid_from")).alias("valid_from"),
+        _ts_s(F.col("valid_to")).alias("valid_to"),
+        "is_current",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -2723,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_supplier": q_top_revenue_supplier,
         "value_share_having": q_value_share_having,
         "dsir_select": q_dsir_select,
+        "scd2_track": q_scd2_track,
     }
 
 
@@ -5228,6 +5252,30 @@ def oracle_sql() -> dict[str, str]:
         FROM gk
         ORDER BY gkey DESC, doc_id
         LIMIT 100
+    """
+
+    # SCD-2 build: identical change-collapse + interval-close windows
+    sql["scd2_track"] = """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC,
+                         event_id ASC)
+        ),
+        versions AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ordered
+            WHERE event_type IS DISTINCT FROM prev
+        )
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S')
+                   AS valid_to,
+               (lead(ts) OVER w2) IS NULL AS is_current
+        FROM versions
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC,
+                      event_id ASC)
     """
 
     return sql

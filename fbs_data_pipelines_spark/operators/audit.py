@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from functools import reduce
 from operator import or_
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fbs_data_pipelines_spark.functions.cleaning import cast_all_to_string
@@ -173,4 +173,43 @@ def audit_from_registry(
         target_cols=dictionary.audit_cols(),
         run_id=run_id,
         run_ts=run_ts,
+    )
+
+
+def scd2_build(
+    log: DataFrame,
+    key_col: str,
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build a Type-2 slowly-changing dimension from a change log —
+    the history-keeping counterpart of ``merge_snapshot``'s SCD-1
+    (reference keeps only latest state: log_handler.py:99-128; this
+    keeps every state with its validity interval).
+
+    For each key ordered by (ts, tiebreak): collapse consecutive
+    records whose tracked attributes are unchanged (null-safe
+    comparison), then close each surviving version at the next
+    version's start. Emits one row per (key, version):
+    ``valid_from`` = first ts at that state, ``valid_to`` = next
+    state's ts (null while current), ``is_current``.
+
+    Scale shape: two stacked windows over the SAME per-key
+    partitioning and ordering — Catalyst plans ONE exchange + ONE
+    sort for both (lag for change detection, lead for interval
+    close). Per-key frames, no global sort; AQE handles hot keys.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    changed = ~attrs.eqNullSafe(F.lag(attrs).over(w))
+    versions = log.withColumn("__chg", changed).filter("__chg")
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key_col, *attr_cols, "valid_from", "valid_to", "is_current")
     )

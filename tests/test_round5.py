@@ -422,3 +422,62 @@ def test_dsir_score_join_is_broadcast(spark):
     assert "CartesianProduct" not in plan
     ex = scores._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in ex
+
+
+# ---------------------------------------------------------------------------
+# scd2_build
+# ---------------------------------------------------------------------------
+
+
+def _scd2(spark, rows, attrs=("state",), tiebreak="seq"):
+    from fbs_data_pipelines_spark.operators.audit import scd2_build
+
+    df = spark.createDataFrame(
+        rows, "key string, state string, ts long, seq long"
+    )
+    return scd2_build(df, "key", list(attrs), "ts", tiebreak_col=tiebreak)
+
+
+def test_scd2_collapses_unchanged_and_closes_intervals(spark):
+    out = _scd2(
+        spark,
+        [
+            ("k", "a", 1, 1),
+            ("k", "a", 2, 2),   # unchanged → collapsed
+            ("k", "b", 3, 3),   # new version
+            ("k", "b", 4, 4),   # unchanged
+            ("k", "a", 5, 5),   # back to a → NEW version (not merged)
+        ],
+    ).collect()
+    rows = sorted((r.state, r.valid_from, r.valid_to, r.is_current) for r in out)
+    assert rows == [
+        ("a", 1, 3, False),
+        ("a", 5, None, True),
+        ("b", 3, 5, False),
+    ]
+
+
+def test_scd2_null_attr_transitions_are_versions(spark):
+    # null → value and value → null are real transitions (null-safe
+    # comparison, not SQL-null contagion)
+    out = _scd2(
+        spark,
+        [("k", None, 1, 1), ("k", None, 2, 2), ("k", "x", 3, 3),
+         ("k", None, 4, 4)],
+    ).collect()
+    assert len(out) == 3
+
+
+def test_scd2_single_exchange_for_both_windows(spark):
+    # the lag and lead windows share partitioning+ordering → the plan
+    # must contain exactly one Exchange for the window pair
+    out = _scd2(
+        spark, [("k", "a", 1, 1), ("k", "b", 2, 2)]
+    )
+    out.collect()
+    ex = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    n_exchanges = ex.count("Exchange")
+    assert n_exchanges <= 1, ex

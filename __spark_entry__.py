@@ -2567,6 +2567,26 @@ def q_scd2_track(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (operators/similarity.bm25_search):
+    top-50 documents for the query {spark, join, window} — the
+    retrieval half of a RAG/search pipeline, complementing the
+    doc-doc similarity family. The corpus is filtered to the query
+    vocabulary BEFORE any shuffle, N/avgdl/df are 1-row and
+    |query|-row broadcasts, and the ranking is
+    TakeOrderedAndProject."""
+    from fbs_data_pipelines_spark.operators.similarity import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    out = bm25_search(
+        d, "doc_id", "text", ["spark", "join", "window"],
+        k1=1.2, b=0.75, top_k=50,
+    )
+    return out.select(
+        "doc_id", round_half_up(F.col("bm25"), 6).alias("bm25")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -2747,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_share_having": q_value_share_having,
         "dsir_select": q_dsir_select,
         "scd2_track": q_scd2_track,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -5276,6 +5297,40 @@ def oracle_sql() -> dict[str, str]:
         FROM versions
         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC,
                       event_id ASC)
+    """
+
+    # BM25: identical Robertson idf + Okapi term saturation; the
+    # top-50 cut applies to the UNROUNDED score with id tiebreak
+    sql["bm25_search"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split({_NORM}, ' '),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        b2 AS (SELECT doc_id, ts, len(ts) AS dl FROM base),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM b2),
+        tf AS (
+            SELECT doc_id, dl, t, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(ts) AS t FROM b2)
+            WHERE t IN ('spark', 'join', 'window')
+            GROUP BY 1, 2, 3
+        ),
+        dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        idf AS (
+            SELECT t, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf,
+                   avgdl
+            FROM dft, stats
+        ),
+        sc AS (
+            SELECT doc_id,
+                   sum(idf * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+            FROM tf JOIN idf USING (t)
+            GROUP BY 1
+        )
+        SELECT doc_id, floor(s * 1000000.0 + 0.5) / 1000000.0 AS bm25
+        FROM sc ORDER BY s DESC, doc_id LIMIT 50
     """
 
     return sql

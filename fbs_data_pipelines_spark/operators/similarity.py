@@ -540,3 +540,83 @@ def semantic_dedup(
         )
     )
     return scope.attach(out)
+
+
+def bm25_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones probabilistic
+    relevance framework — the Okapi BM25 scoring function): score
+    every document against a bag of query terms and optionally keep
+    the top-k.
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(d)    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·|d|/avgdl))
+
+    The weighted complement of ``sparse_cosine_pairs``: that ranks
+    doc-doc similarity, this ranks docs against a QUERY — the
+    retrieval half of a RAG / search pipeline.
+
+    Scale shape: the corpus explodes ONCE but is filtered to the
+    query vocabulary BEFORE the shuffle (an isin over a handful of
+    literals — codegen'd, pushed below the exchange), so every
+    downstream frame is bounded by |docs containing a query term| ×
+    |query|. N and avgdl are a 1-row broadcast; df is a
+    |query|-row broadcast; the final ranking is a map-side-combined
+    per-doc sum, then TakeOrderedAndProject for top-k (never a full
+    sort). Docs matching no term score 0 and are omitted.
+
+    Returns (id_col, bm25) sorted by score desc, id asc.
+    """
+    from fbs_data_pipelines_spark.functions.text import tokens
+
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__dl")
+    )
+    stats = base.agg(
+        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    tf = (
+        base.select(
+            F.col(id_col),
+            F.col("__dl"),
+            F.explode("__toks").alias("__t"),
+        )
+        .filter(F.col("__t").isin(*query_terms))
+        .groupBy(F.col(id_col), F.col("__dl"), F.col("__t"))
+        .agg(F.count("*").alias("__tf"))
+    )
+    df_t = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "__t",
+        F.log(
+            1.0
+            + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+        ).alias("__idf"),
+        "__avgdl",
+    )
+    term_score = (
+        F.col("__idf")
+        * (F.col("__tf") * (k1 + 1.0))
+        / (
+            F.col("__tf")
+            + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "__t")
+        .withColumn("__s", term_score)
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("bm25"))
+    )
+    out = scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    if top_k is not None:
+        out = out.limit(int(top_k))
+    return out

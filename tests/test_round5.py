@@ -481,3 +481,67 @@ def test_scd2_single_exchange_for_both_windows(spark):
     )
     n_exchanges = ex.count("Exchange")
     assert n_exchanges <= 1, ex
+
+
+# ---------------------------------------------------------------------------
+# bm25_search
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_rarer_terms_higher(spark):
+    from fbs_data_pipelines_spark.operators.similarity import bm25_search
+
+    # 'rare' appears in 1 of 4 docs, 'common' in all 4; equal tf and
+    # doc length → the rare-term doc must outrank any common-only doc
+    rows = [
+        (1, "rare filler filler"),
+        (2, "common filler filler"),
+        (3, "common filler filler"),
+        (4, "common filler filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(df, "doc_id", "text", ["rare", "common"])
+    ranked = [r.doc_id for r in out.collect()]
+    assert ranked[0] == 1
+    assert set(ranked) == {1, 2, 3, 4}
+
+
+def test_bm25_length_normalization(spark):
+    from fbs_data_pipelines_spark.operators.similarity import bm25_search
+
+    # same tf for the query term, but doc 2 is much longer → with
+    # b > 0 the shorter doc scores strictly higher
+    rows = [
+        (1, "hit pad"),
+        (2, "hit " + " ".join(f"pad{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bm25 for r in bm25_search(
+        df, "doc_id", "text", ["hit"]).collect()}
+    assert out[1] > out[2]
+
+
+def test_bm25_no_match_docs_omitted_topk_respected(spark):
+    from fbs_data_pipelines_spark.operators.similarity import bm25_search
+
+    rows = [(i, "hit word" if i % 2 else "miss word") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(df, "doc_id", "text", ["hit"], top_k=3)
+    rows_out = out.collect()
+    assert len(rows_out) == 3
+    assert all(r.doc_id % 2 == 1 for r in rows_out)
+
+
+def test_bm25_topk_is_take_ordered_not_full_sort(spark):
+    from fbs_data_pipelines_spark.operators.similarity import bm25_search
+
+    df = spark.createDataFrame(
+        [(i, "hit word") for i in range(20)], "doc_id long, text string"
+    )
+    out = bm25_search(df, "doc_id", "text", ["hit"], top_k=5)
+    out.collect()
+    ex = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "TakeOrderedAndProject" in ex

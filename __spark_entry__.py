@@ -2587,6 +2587,32 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/eval split
+    (operators/sampling.leakage_safe_split): minhash-LSH near-dup
+    clusters (same pair pipeline as dedup_clusters) decide ONE
+    representative per group; the split hash is taken over the
+    representative, so two near-copies can never straddle the
+    train/eval boundary — the contamination leak a plain per-key
+    hash split cannot stop. The cluster table holds only docs WITH a
+    near-dup (broadcast-small vs the corpus)."""
+    from fbs_data_pipelines_spark.caching import carry_cache
+    from fbs_data_pipelines_spark.operators.dedup import dup_clusters
+    from fbs_data_pipelines_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    clusters = dup_clusters(pairs)
+    out = leakage_safe_split(
+        d.select("doc_id"), "doc_id", clusters,
+        cluster_key="id", cluster_label="cluster_id",
+        eval_fraction=0.1, salt="split",
+    )
+    return carry_cache(out.select("doc_id", "rep", "split"), pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -2768,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "scd2_track": q_scd2_track,
         "bm25_search": q_bm25_search,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -5331,6 +5358,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, floor(s * 1000000.0 + 0.5) / 1000000.0 AS bm25
         FROM sc ORDER BY s DESC, doc_id LIMIT 50
+    """
+
+    # leakage-safe split: same minhash clusters; the split hash runs
+    # over the cluster representative (singletons = themselves)
+    sql["leakage_safe_split"] = f"""
+        WITH RECURSIVE pairs AS ({sql["dedup_minhash_lsh"]}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        cl AS (
+            SELECT id AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY id
+        ),
+        lab AS (
+            SELECT d.doc_id,
+                   coalesce(cl.cluster_id, d.doc_id) AS rep
+            FROM documents d LEFT JOIN cl USING (doc_id)
+        )
+        SELECT doc_id, rep,
+               CASE WHEN {_hex4("'split:' || CAST(rep AS VARCHAR)")}
+                         < {int(0.1 * _B)}
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM lab
     """
 
     return sql

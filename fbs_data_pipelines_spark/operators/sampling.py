@@ -343,3 +343,46 @@ def mixture_interleave(
         )
         .drop("__w", "__vt", "__pid", "__off")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    key_col: str,
+    clusters: DataFrame,
+    cluster_key: str = "id",
+    cluster_label: str = "cluster_id",
+    eval_fraction: float = 0.01,
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/eval split: every row inherits its
+    CLUSTER REPRESENTATIVE's hash bucket, so a near-duplicate of an
+    eval document can never land in train — the contamination leak
+    ``train_eval_split`` alone cannot stop (its per-key hash puts two
+    near-copies on independent sides).
+
+    ``clusters`` is the (cluster_key, cluster_label) output of
+    ``dedup.dup_clusters`` over a near-dup pair list; rows absent
+    from it are singletons and represent themselves. Adds ``rep``
+    (the representative id the hash is taken over) and ``split``.
+
+    Scale shape: one equi-join against the cluster table — which
+    holds ONLY docs that have a near-dup (a small fraction of any
+    deduplicated corpus ⇒ usually broadcast) — then the zero-shuffle
+    hash-mod rule on the representative.
+    """
+    cl = clusters.select(
+        F.col(cluster_key).alias("__ck"),
+        F.col(cluster_label).alias("__rep"),
+    )
+    return (
+        df.join(cl, df[key_col] == F.col("__ck"), "left")
+        .withColumn("rep", F.coalesce(F.col("__rep"), F.col(key_col)))
+        .drop("__ck", "__rep")
+        .withColumn(
+            "split",
+            F.when(
+                sample_bucket("rep", salt) < int(eval_fraction * BUCKETS),
+                F.lit("eval"),
+            ).otherwise(F.lit("train")),
+        )
+    )

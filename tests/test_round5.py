@@ -545,3 +545,59 @@ def test_bm25_topk_is_take_ordered_not_full_sort(spark):
         .split("== Initial Plan ==")[0]
     )
     assert "TakeOrderedAndProject" in ex
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from fbs_data_pipelines_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # three near-dup clusters + singletons
+    clusters = spark.createDataFrame(
+        [(1, 1), (50, 1), (120, 1), (2, 2), (77, 2), (3, 3), (199, 3)],
+        "id long, cluster_id long",
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", clusters, eval_fraction=0.3
+    ).collect()
+    side = {r.doc_id: r.split for r in out}
+    rep = {r.doc_id: r.rep for r in out}
+    # all members of a cluster share the representative AND the side
+    assert side[1] == side[50] == side[120] and rep[50] == rep[120] == 1
+    assert side[2] == side[77] and rep[77] == 2
+    assert side[3] == side[199] and rep[199] == 3
+    # split is non-degenerate on 200 keys at 30%
+    assert {"train", "eval"} == set(side.values())
+    # singleton reps are themselves
+    assert rep[100] == 100
+
+
+def test_leakage_safe_split_matches_plain_split_for_singletons(spark):
+    from fbs_data_pipelines_spark.operators.sampling import (
+        leakage_safe_split,
+        train_eval_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    empty = spark.createDataFrame([], "id long, cluster_id long")
+    a = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            docs, "doc_id", empty, eval_fraction=0.2
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in train_eval_split(
+            docs, "doc_id", eval_fraction=0.2
+        ).collect()
+    }
+    assert a == b

@@ -2613,6 +2613,23 @@ def q_leakage_safe_split(spark, sf_dir):
     return carry_cache(out.select("doc_id", "rep", "split"), pairs)
 
 
+def q_collocations(spark, sf_dir):
+    """PMI collocation mining (functions/text.pmi_collocations —
+    word2vec's phrase-detection statistic): top-100 adjacent token
+    pairs co-occurring above chance, min_count=5. Unigram/bigram
+    tallies are vocabulary-sized map-side-combined aggregations;
+    corpus total is a 1-row broadcast; the cut is
+    TakeOrderedAndProject with a deterministic (pmi, x, y)
+    tiebreak."""
+    from fbs_data_pipelines_spark.functions.text import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    out = pmi_collocations(d, "text", min_count=5, top_k=100)
+    return out.select(
+        "x", "y", "c_xy", round_half_up(F.col("pmi"), 6).alias("pmi")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -2795,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_track": q_scd2_track,
         "bm25_search": q_bm25_search,
         "leakage_safe_split": q_leakage_safe_split,
+        "collocations": q_collocations,
     }
 
 
@@ -5390,6 +5408,45 @@ def oracle_sql() -> dict[str, str]:
                          < {int(0.1 * _B)}
                     THEN 'eval' ELSE 'train' END AS split
         FROM lab
+    """
+
+    # PMI collocations: identical unigram/bigram tallies and ln ratio;
+    # the top-100 cut applies to the UNROUNDED pmi with (x, y) tiebreak
+    sql["collocations"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split({_NORM}, ' '),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        uni AS (
+            SELECT t, count(*) AS c
+            FROM (SELECT unnest(ts) AS t FROM base) GROUP BY 1
+        ),
+        tot AS (SELECT sum(c) AS n FROM uni),
+        pos AS (
+            SELECT doc_id, unnest(ts) AS t,
+                   generate_subscripts(ts, 1) AS i
+            FROM base
+        ),
+        bi AS (
+            SELECT a.t AS x, b.t AS y, count(*) AS c_xy
+            FROM pos a
+            JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            GROUP BY 1, 2
+            HAVING count(*) >= 5
+        ),
+        sel AS (
+            SELECT x, y, c_xy,
+                   ln(c_xy * (SELECT n FROM tot) * 1.0
+                      / (cx.c * cy.c)) AS pmi
+            FROM bi
+            JOIN uni cx ON cx.t = bi.x
+            JOIN uni cy ON cy.t = bi.y
+        )
+        SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
+               floor(pmi * 1000000.0 + 0.5) / 1000000.0 AS pmi
+        FROM sel ORDER BY pmi DESC, x, y LIMIT 100
     """
 
     return sql

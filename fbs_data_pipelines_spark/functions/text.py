@@ -291,3 +291,80 @@ def pii_counts(c: Column | str) -> list[Column]:
         F.regexp_count(_col(c), F.lit(pattern)).cast("long").alias(f"n_{name}")
         for name, pattern, _ in PII_PATTERNS
     ]
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-level collocation mining by pointwise mutual
+    information — the phrase-detection statistic of word2vec's
+    phrase pass (Mikolov et al. 2013) and classic corpus
+    linguistics:
+
+        pmi(x, y) = ln( c_xy · N / (c_x · c_y) )
+
+    where c_xy counts the adjacent bigram, c_x/c_y the unigrams, and
+    N the corpus token total. High-PMI pairs ("new york") co-occur
+    far above chance — the phrases a tokenizer or index wants as
+    units. ``min_count`` suppresses the low-frequency noise PMI is
+    notorious for.
+
+    Scale shape: unigram and bigram tallies are map-side-combined
+    aggregations whose outputs are vocabulary-sized, NOT corpus-
+    sized; N is a 1-row broadcast; the two marginal joins key on the
+    token (uniform-ish after the min_count cut; AQE handles stop-word
+    heads) and the final cut is TakeOrderedAndProject. Returns
+    (x, y, c_xy, pmi) — top_k by pmi desc, (x, y) asc.
+    """
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    base = docs.select(toks.alias("__toks"))
+    uni = (
+        base.select(F.explode("__toks").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    n_total = uni.agg(F.sum("__c").alias("__n"))
+    bi = (
+        base.select(F.explode(word_shingles_arr("__toks", 2)).alias("__g"))
+        .groupBy("__g")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= int(min_count))
+        .select(
+            F.split_part(F.col("__g"), F.lit(" "), F.lit(1)).alias("x"),
+            F.split_part(F.col("__g"), F.lit(" "), F.lit(2)).alias("y"),
+            "c_xy",
+        )
+    )
+    cx = uni.select(F.col("__t").alias("x"), F.col("__c").alias("c_x"))
+    cy = uni.select(F.col("__t").alias("y"), F.col("__c").alias("c_y"))
+    return (
+        bi.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.log(
+                F.col("c_xy").cast("double")
+                * F.col("__n")
+                / (F.col("c_x") * F.col("c_y"))
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(int(top_k))
+    )
+
+
+def word_shingles_arr(toks_col, n: int):
+    """word_shingles over an ALREADY-tokenized array column (avoids
+    re-normalizing when the caller holds the token array)."""
+    t = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    shingle = lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))  # noqa: E731
+    return F.when(F.size(t) >= n, F.transform(idx, shingle)).otherwise(
+        F.array().cast("array<string>")
+    )

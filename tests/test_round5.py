@@ -601,3 +601,57 @@ def test_leakage_safe_split_matches_plain_split_for_singletons(spark):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_finds_the_planted_phrase(spark):
+    import math
+
+    from fbs_data_pipelines_spark.functions.text import pmi_collocations
+
+    # 'hong kong' always adjacent; fillers alternate order so every
+    # filler bigram has c_xy = c_x·c_y/(2N)-scale PMI (ln 2) while the
+    # planted phrase reaches ln 4 — it must rank first, at exactly the
+    # analytic value
+    rows = [
+        (i, "hong kong " + ("a b" if i % 2 else "b a")) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, "text", min_count=5, top_k=10).collect()
+    assert (out[0].x, out[0].y) == ("hong", "kong")
+    n_total = 30 * 4
+    expect = math.log(30 * n_total / (30 * 30))  # ln 4
+    assert abs(out[0].pmi - expect) < 1e-9
+
+
+def test_pmi_min_count_suppresses_rare_noise(spark):
+    from fbs_data_pipelines_spark.functions.text import pmi_collocations
+
+    # a one-off pair has huge PMI but must be cut by min_count
+    rows = [(1, "unique onceonly")] + [
+        (i, "common pair common pair") for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, "text", min_count=5, top_k=10).collect()
+    pairs = {(r.x, r.y) for r in out}
+    assert ("unique", "onceonly") not in pairs
+    assert ("common", "pair") in pairs
+
+
+def test_pmi_cut_is_take_ordered(spark):
+    from fbs_data_pipelines_spark.functions.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(i, "a b a b a b") for i in range(10)], "doc_id long, text string"
+    )
+    out = pmi_collocations(df, "text", min_count=2, top_k=3)
+    out.collect()
+    ex = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "TakeOrderedAndProject" in ex

@@ -2630,6 +2630,28 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_trending(spark, sf_dir):
+    """Sliding-window heavy hitters (operators/events.sliding_topk):
+    top-3 event types per 6-hour window sliding hourly — the batch
+    twin of a streaming trending job, covering the one window shape
+    the surface lacked (overlapping slides; explode factor W/S = 6,
+    bounded and documented). The rank window sees only the
+    aggregated (window, key) frame — |keys| rows per window, never
+    event volume."""
+    from fbs_data_pipelines_spark.operators.events import sliding_topk
+
+    e = _t(spark, sf_dir, "events")
+    out = sliding_topk(
+        e, "ts", "event_type",
+        window_duration="6 hours", slide_duration="1 hour", k=3,
+    )
+    return out.select(
+        _ts_s(F.col("window_start")).alias("window_start"),
+        _ts_s(F.col("window_end")).alias("window_end"),
+        "event_type", "n", "rank",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -2813,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "leakage_safe_split": q_leakage_safe_split,
         "collocations": q_collocations,
+        "trending": q_trending,
     }
 
 
@@ -5447,6 +5470,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
                floor(pmi * 1000000.0 + 0.5) / 1000000.0 AS pmi
         FROM sel ORDER BY pmi DESC, x, y LIMIT 100
+    """
+
+    # sliding-window top-3: each event replicated into its 6 hourly
+    # slides (Spark's F.window grid is epoch-aligned: start =
+    # (floor(epoch/slide) - k) * slide), then count + rank
+    sql["trending"] = """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb
+            FROM events
+        ),
+        wn AS (
+            SELECT event_type, (hb - k.k) * 3600 AS ws
+            FROM ev
+            CROSS JOIN (SELECT unnest(range(6)) AS k) k
+        ),
+        agg AS (
+            SELECT ws, event_type, count(*) AS n
+            FROM wn GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT ws, event_type, n,
+                   row_number() OVER (PARTITION BY ws
+                                      ORDER BY n DESC, event_type) AS rn
+            FROM agg
+        )
+        SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               strftime(to_timestamp(ws + 21600), '%Y-%m-%d %H:%M:%S')
+                   AS window_end,
+               event_type, n, CAST(rn AS BIGINT) AS rank
+        FROM ranked WHERE rn <= 3
     """
 
     return sql

@@ -120,3 +120,56 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("u").alias("n_active"))
     )
+
+
+def sliding_topk(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_duration: str = "6 hours",
+    slide_duration: str = "1 hour",
+    k: int = 3,
+) -> DataFrame:
+    """Sliding-window heavy hitters ("trending"): per sliding window,
+    the top-k keys by event count — the batch twin of a streaming
+    trending-topics job, and the one window shape the existing
+    surface lacked (tumbling rollup: windowed_event_rollup; range
+    frame: window_range_30d; this: overlapping F.window slides).
+
+    Scale shape: ``F.window(ts, W, S)`` replicates each event into
+    W/S windows JVM-side (explode factor = W/S — the documented,
+    bounded cost of sliding semantics; pick S accordingly), then ONE
+    map-side-combined (window, key) aggregation. The final top-k rank
+    partitions by window over an already-aggregated frame whose
+    per-window row count is bounded by |distinct keys| — not event
+    volume — so the rank window cannot see skew the aggregation
+    didn't already absorb.
+
+    Returns (window_start, window_end, key, n, rank), rank 1..k with
+    a deterministic (count desc, key asc) tiebreak.
+    """
+    from pyspark.sql import Window
+
+    agg = (
+        events.groupBy(
+            F.window(F.col(ts_col), window_duration, slide_duration).alias(
+                "__w"
+            ),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    rw = Window.partitionBy("__w").orderBy(
+        F.col("n").desc(), F.col(key_col).asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            F.col(key_col),
+            "n",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

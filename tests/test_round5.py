@@ -655,3 +655,56 @@ def test_pmi_cut_is_take_ordered(spark):
         .split("== Initial Plan ==")[0]
     )
     assert "TakeOrderedAndProject" in ex
+
+
+# ---------------------------------------------------------------------------
+# sliding_topk
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_topk_events_land_in_every_overlapping_window(spark):
+    import datetime as dt
+
+    from fbs_data_pipelines_spark.operators.events import sliding_topk
+
+    # one event at 05:30 with a 2h window sliding hourly → exactly the
+    # 04:00 and 05:00 windows contain it
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 5, 30), "x")], "ts timestamp, k string"
+    )
+    out = sliding_topk(df, "ts", "k", "2 hours", "1 hour", k=1).collect()
+    starts = sorted(r.window_start.strftime("%H:%M") for r in out)
+    assert starts == ["04:00", "05:00"]
+    assert all(r.n == 1 and r.rank == 1 for r in out)
+
+
+def test_sliding_topk_rank_and_tiebreak(spark):
+    import datetime as dt
+
+    from fbs_data_pipelines_spark.operators.events import sliding_topk
+
+    t = dt.datetime(2024, 1, 1, 10, 10)
+    rows = [(t, "a")] * 3 + [(t, "b")] * 3 + [(t, "c")] * 1
+    df = spark.createDataFrame(rows, "ts timestamp, k string")
+    out = sliding_topk(df, "ts", "k", "1 hour", "1 hour", k=2).collect()
+    # tumbling degenerate case: one window; tie a/b broken by key asc
+    assert [(r.k, r.n, r.rank) for r in sorted(out, key=lambda r: r.rank)] \
+        == [("a", 3, 1), ("b", 3, 2)]
+
+
+def test_sliding_topk_rank_window_sees_aggregated_frame(spark):
+    import datetime as dt
+
+    from fbs_data_pipelines_spark.operators.events import sliding_topk
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 1, 1), f"k{i % 4}") for i in range(40)],
+        "ts timestamp, k string",
+    )
+    out = sliding_topk(df, "ts", "k", "2 hours", "1 hour", k=3)
+    out.collect()
+    plan = (
+        out._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # aggregation must sit BELOW the rank window in the plan tree
+    assert plan.index("Aggregate") > plan.index("Window")

@@ -67,12 +67,7 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
     Built with sequence+transform (JVM-side), no explode needed at the
     call site: callers explode lazily so Spark streams the expansion.
     """
-    t = tokens(c)
-    idx = F.sequence(F.lit(0), F.size(t) - n)
-    shingle = lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))  # noqa: E731
-    return F.when(F.size(t) >= n, F.transform(idx, shingle)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return word_shingles_arr(tokens(c), n)
 
 
 def stopword_hits(c: Column | str, lang: str) -> Column:
@@ -348,10 +343,13 @@ def pmi_collocations(
             "x",
             "y",
             "c_xy",
+            # c_x cast to double BEFORE the multiply: at corpus scale
+            # two stop-word counts can overflow long*long (silently,
+            # under non-ANSI) — the numerator already runs in doubles
             F.log(
                 F.col("c_xy").cast("double")
                 * F.col("__n")
-                / (F.col("c_x") * F.col("c_y"))
+                / (F.col("c_x").cast("double") * F.col("c_y"))
             ).alias("pmi"),
         )
         .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())

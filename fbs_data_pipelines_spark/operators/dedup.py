@@ -681,7 +681,12 @@ def paragraph_dedup(
     """
     import re as _re
 
-    parts = F.split(F.col(text_col), _re.escape(sep), -1)
+    # null text = empty document: split(null) is null and posexplode
+    # of null emits NO rows — the doc would silently vanish from the
+    # output, breaking the one-row-per-document contract
+    parts = F.split(
+        F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1
+    )
     p = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(parts).alias("__pos", "__para"),

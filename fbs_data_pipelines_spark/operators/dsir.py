@@ -94,24 +94,23 @@ def dsir_bucket_ratios(
         F.coalesce("tc", F.lit(0)).alias("tc"),
         F.coalesce("rc", F.lit(0)).alias("rc"),
     )
-    t_tot = F.sum("tc").over(_whole())
-    r_tot = F.sum("rc").over(_whole())
-    return joined.select(
-        "bucket",
-        (
-            F.log((F.col("tc") + s) / (t_tot + s * n_buckets))
-            - F.log((F.col("rc") + s) / (r_tot + s * n_buckets))
-        ).alias("log_ratio"),
+    # totals as a 1-row aggregate broadcast back — the same scalar
+    # pattern the sampling/text family uses (an unpartitioned window
+    # would move the B-row frame to one task and warn on every run)
+    totals = joined.agg(
+        F.sum("tc").alias("__t_tot"), F.sum("rc").alias("__r_tot")
     )
-
-
-def _whole():
-    from pyspark.sql import Window
-
-    # unpartitioned window over a B-row frame — NOT corpus data; the
-    # ratio table is bucket-count sized by construction
-    return Window.partitionBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("tc") + s) / (F.col("__t_tot") + s * n_buckets))
+                - F.log(
+                    (F.col("rc") + s) / (F.col("__r_tot") + s * n_buckets)
+                )
+            ).alias("log_ratio"),
+        )
     )
 
 

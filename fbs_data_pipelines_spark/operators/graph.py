@@ -148,12 +148,16 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         ["v", "w"],
         "left_semi",
     )
-    n_nodes = deg.agg(F.count("*").alias("n")).select("n")
-    n_edges = e.agg(F.count("*").alias("n")).select("n")
-    n_tri = closed.agg(F.count("*").alias("n")).select("n")
-    out = (
-        n_nodes.select(F.col("n").alias("n_nodes"))
-        .crossJoin(n_edges.select(F.col("n").alias("n_edges")))
-        .crossJoin(n_tri.select(F.col("n").alias("n_triangles")))
+    # the three counts are control-plane scalars — compute them
+    # eagerly so the persisted edge frames can be RELEASED before
+    # returning (a lazy result would pin both caches for the session)
+    n_nodes = deg.count()
+    n_tri = closed.count()
+    n_edges = e.count()
+    spark = edges.sparkSession
+    e.unpersist()
+    oriented.unpersist()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_tri)],
+        "n_nodes long, n_edges long, n_triangles long",
     )
-    return out

@@ -576,7 +576,14 @@ def bm25_search(
     """
     from fbs_data_pipelines_spark.functions.text import tokens
 
-    toks = F.filter(tokens(text_col), lambda t: t != "")
+    # null text = empty document (dl 0, still counted in N/avgdl).
+    # The coalesce matters: non-ANSI size(null) is -1, which would
+    # silently poison avgdl and every score (same guard as
+    # whitespace_token_count).
+    toks = F.coalesce(
+        F.filter(tokens(text_col), lambda t: t != ""),
+        F.array().cast("array<string>"),
+    )
     base = docs.select(
         F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__dl")
     )

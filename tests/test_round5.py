@@ -708,3 +708,52 @@ def test_sliding_topk_rank_window_sees_aggregated_frame(spark):
     )
     # aggregation must sit BELOW the rank window in the plan tree
     assert plan.index("Aggregate") > plan.index("Window")
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions: null inputs, cache release
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_null_text_doc_survives(spark):
+    from fbs_data_pipelines_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+           for r in paragraph_dedup(df, "doc_id", "text").collect()}
+    # the null-text doc is an empty document, not a vanished one
+    assert set(out) == {1, 2}
+    assert out[2][0] == ""
+
+
+def test_bm25_null_text_does_not_poison_avgdl(spark):
+    from fbs_data_pipelines_spark.operators.similarity import bm25_search
+
+    with_null = spark.createDataFrame(
+        [(1, "hit pad"), (2, "hit pad"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25
+           for r in bm25_search(with_null, "doc_id", "text",
+                                ["hit"]).collect()}
+    # both matching docs have identical (tf, dl) → identical score;
+    # a -1 dl from size(null) would have corrupted avgdl (and under
+    # some layouts made the scores asymmetric or negative-shifted)
+    assert out[1] == out[2] and out[1] > 0
+
+
+def test_triangle_count_releases_its_caches(spark):
+    from fbs_data_pipelines_spark.operators.graph import triangle_count
+
+    before = len([
+        r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ])
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    assert r.n_triangles == 1
+    after = len([
+        r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ])
+    assert after <= before  # no lingering persisted edge frames

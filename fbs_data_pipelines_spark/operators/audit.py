@@ -213,3 +213,42 @@ def scd2_build(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(key_col, *attr_cols, "valid_from", "valid_to", "is_current")
     )
+
+
+def snapshot_reconcile(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Full-outer snapshot reconciliation — the diff report between
+    two versions of a table: every key classified ``added`` (new
+    only), ``removed`` (old only), ``changed`` (both sides, any
+    compared column differs, null-safe), or ``unchanged``. The
+    registered-query counterpart of ``VersionedTable.diff``
+    (sources/versioned.py) and the inspection step before
+    ``merge_snapshot`` applies a change set.
+
+    Scale shape: ONE full-outer equi-join on the key (both sides
+    shuffle once on the same key — co-partitioned) and a null-safe
+    struct comparison; no windows, no second pass.
+    """
+    o = old.select(
+        F.col(key_col).alias("__k"),
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("__k"),
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__new"),
+    )
+    status = (
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("removed"))
+        .when(
+            F.col("__old").eqNullSafe(F.col("__new")), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "__k", "full_outer").select(
+        F.col("__k").alias(key_col), status.alias("status")
+    )

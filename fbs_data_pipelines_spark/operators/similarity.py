@@ -627,3 +627,60 @@ def bm25_search(
     if top_k is not None:
         out = out.limit(int(top_k))
     return out
+
+
+def edit_distance_join(
+    vocab: DataFrame,
+    token_col: str,
+    min_len: int = 2,
+) -> DataFrame:
+    """All pairs of distinct tokens within edit distance 1, WITHOUT a
+    cross join — the FastSS / SymSpell deletion-neighborhood scheme
+    (Bocek et al. 2007): two tokens are within one edit iff their
+    {self} ∪ {single-char-deletion} variant sets intersect
+    (substitution ⇒ both delete the differing position; insert/delete
+    ⇒ the shorter IS a deletion variant of the longer). Generate the
+    ≤ len+1 variants per token, equi-join on the variant, verify the
+    survivors with exact levenshtein.
+
+    ``fuzzy_match``-style broadcast cross joins die at vocabulary
+    scale (|V|² comparisons); this is |V|·(len+1) variant rows and a
+    bucketed self-join whose fan-out is the neighborhood size —
+    the spell-correction / OCR-cleanup join that actually scales.
+    ``min_len`` drops ultra-short tokens whose variant buckets (e.g.
+    the empty string from 1-char tokens) would be hot keys.
+
+    Returns (tok_a, tok_b, dist) with tok_a < tok_b, dist == 1.
+    """
+    t = (
+        vocab.select(F.col(token_col).alias("__t"))
+        .filter(F.length("__t") >= int(min_len))
+        .distinct()
+    )
+    # variants: the token itself + each single-character deletion
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("__t")),
+        lambda i: F.concat(
+            F.substring(F.col("__t"), F.lit(1), i - 1),
+            F.col("__t").substr(i + 1, F.length("__t")),
+        ),
+    )
+    vs = t.select(
+        "__t",
+        F.explode(
+            F.array_union(F.array(F.col("__t")), dels)
+        ).alias("__v"),
+    )
+    a = vs.select(F.col("__t").alias("tok_a"), "__v")
+    b = vs.select(F.col("__t").alias("tok_b"), "__v")
+    cand = (
+        a.join(b, "__v")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+    )
+    return cand.select(
+        "tok_a",
+        "tok_b",
+        F.levenshtein("tok_a", "tok_b").cast("long").alias("dist"),
+    ).filter(F.col("dist") <= 1)

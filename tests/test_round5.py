@@ -757,3 +757,75 @@ def test_triangle_count_releases_its_caches(spark):
         r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
     ])
     assert after <= before  # no lingering persisted edge frames
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_join / snapshot_reconcile
+# ---------------------------------------------------------------------------
+
+
+def test_edit_distance_join_finds_all_dist1_kinds(spark):
+    from fbs_data_pipelines_spark.operators.similarity import (
+        edit_distance_join,
+    )
+
+    vocab = spark.createDataFrame(
+        [("spark",), ("sparc",),   # substitution
+         ("sprk",),                # deletion of 'a'
+         ("sparks",),              # insertion of 's'
+         ("duck",)],               # unrelated
+        "tok string",
+    )
+    out = {(r.tok_a, r.tok_b) for r in
+           edit_distance_join(vocab, "tok", min_len=2).collect()}
+    assert ("spark", "sparks") in out
+    assert ("spark", "sprk") in out
+    assert ("sparc", "spark") in out
+    assert not any("duck" in p for p in out)
+
+
+def test_edit_distance_join_rejects_dist2_sharing_a_variant(spark):
+    from fbs_data_pipelines_spark.operators.similarity import (
+        edit_distance_join,
+    )
+
+    # 'ab' and 'ba' share deletion variants {a, b} but levenshtein=2 —
+    # the verify pass must kill the candidate
+    vocab = spark.createDataFrame([("ab",), ("ba",)], "tok string")
+    out = edit_distance_join(vocab, "tok", min_len=2).collect()
+    assert out == []
+
+
+def test_edit_distance_join_has_no_cross_join(spark):
+    from fbs_data_pipelines_spark.operators.similarity import (
+        edit_distance_join,
+    )
+
+    vocab = spark.createDataFrame(
+        [(f"token{i}",) for i in range(50)], "tok string"
+    )
+    out = edit_distance_join(vocab, "tok")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan
+    ex = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ex and "NestedLoop" not in ex
+
+
+def test_snapshot_reconcile_classifies_all_four(spark):
+    from fbs_data_pipelines_spark.operators.audit import snapshot_reconcile
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (5, None, "E")],
+        "k long, price double, st string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),          # unchanged
+         (2, 21.0, "B"),          # changed (price)
+         (4, 40.0, "D"),          # added
+         (5, None, "E")],         # unchanged with a NULL field
+        "k long, price double, st string",
+    )
+    out = {r.k: r.status for r in snapshot_reconcile(
+        old, new, "k", ["price", "st"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "unchanged"}

@@ -189,13 +189,23 @@ def stream_stream_interval_join(
     right_ts: str,
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: right events within ``within`` AFTER
-    the left event, same key. Both sides are watermarked and the join
+    """Stream-stream join: right events within ``within`` AFTER the
+    left event, same key. Both sides are watermarked and the join
     condition is time-bounded — Structured Streaming's requirement for
     bounding join state (rows older than watermark+interval are
     evicted from the state store; unbounded-condition stream joins
     would grow state forever).
+
+    ``how='left_outer'`` emits the unmatched left rows with nulls —
+    but only once the watermark has passed their interval (the engine
+    cannot know "no match will come" earlier), so outer results
+    trail the inner ones by up to watermark+within of event time.
+    That delayed-null semantics is the part of stream-stream joins
+    that surprises people; see the test for the two-batch emission
+    pattern. Outer joins REQUIRE the time bound + both watermarks
+    (enforced by the engine).
 
     Works on batch DataFrames too (the condition is plain SQL there).
     """
@@ -207,7 +217,7 @@ def stream_stream_interval_join(
         & (rt >= lt)
         & (rt <= lt + F.expr(f"INTERVAL {within}"))
     )
-    return l_wm.alias("l").join(r_wm.alias("r"), cond, "inner")
+    return l_wm.alias("l").join(r_wm.alias("r"), cond, how)
 
 
 def streaming_dedup(

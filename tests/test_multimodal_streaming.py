@@ -1126,3 +1126,77 @@ def test_extract_media_features_orientation_column(spark):
     )
     # the default schema is unchanged (gate-stable)
     assert "orientation" not in extract_media_features(df).columns
+
+
+def test_stream_stream_left_outer_interval_join_emits_nulls_after_watermark(spark):
+    """Left-outer stream-stream join: unmatched clicks emit with null
+    purchase columns — but only after the watermark passes their
+    interval, which requires a LATER batch to advance it (the
+    delayed-null semantics outer stream joins are known for)."""
+    import os
+
+    from fbs_data_pipelines_spark.streaming.merge import (
+        stream_stream_interval_join,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ssjo_")
+    base = 1700000000
+    os.makedirs(f"{tmp}/clicks")
+    os.makedirs(f"{tmp}/purchases")
+    # batch 1: user 1 matches, user 3 never will
+    spark.createDataFrame(
+        [(1, base), (3, base)], "user_id long, sec long"
+    ).select("user_id", F.timestamp_seconds("sec").alias("c_ts")) \
+        .write.mode("append").parquet(f"{tmp}/clicks")
+    spark.createDataFrame(
+        [(1, base + 600)], "user_id long, sec long"
+    ).select("user_id", F.timestamp_seconds("sec").alias("p_ts")) \
+        .write.mode("append").parquet(f"{tmp}/purchases")
+
+    c_stream = spark.readStream.schema(
+        "user_id long, c_ts timestamp"
+    ).parquet(f"{tmp}/clicks")
+    p_stream = spark.readStream.schema(
+        "user_id long, p_ts timestamp"
+    ).parquet(f"{tmp}/purchases")
+    joined = stream_stream_interval_join(
+        c_stream, p_stream, "user_id", "c_ts", "p_ts",
+        within="10 minutes", watermark="10 minutes", how="left_outer",
+    ).select(F.col("l.user_id").alias("u"), F.col("p_ts"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjo_test")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        inner_only = spark.sql("SELECT u, p_ts FROM ssjo_test").collect()
+        # watermark hasn't passed user 3's interval yet → only the match
+        assert {(r.u, r.p_ts is None) for r in inner_only} == {(1, False)}
+
+        # batch 2: far-future events on BOTH streams — the global
+        # watermark is the MIN across inputs, so advancing only one
+        # side would pin it at the stale side's max
+        for side, col in (("clicks", "c_ts"), ("purchases", "p_ts")):
+            spark.createDataFrame(
+                [(99, base + 100000)], "user_id long, sec long"
+            ).select("user_id", F.timestamp_seconds("sec").alias(col)) \
+                .write.mode("append").parquet(f"{tmp}/{side}")
+        q.processAllAvailable()
+        # watermark commits lag one batch — one more micro-batch on
+        # both sides nudges the eviction
+        for side, col in (("clicks", "c_ts"), ("purchases", "p_ts")):
+            spark.createDataFrame(
+                [(98, base + 110000)], "user_id long, sec long"
+            ).select("user_id", F.timestamp_seconds("sec").alias(col)) \
+                .write.mode("append").parquet(f"{tmp}/{side}")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT u, p_ts FROM ssjo_test").collect()
+    finally:
+        q.stop()
+    got = {(r.u, r.p_ts is None) for r in rows}
+    assert (1, False) in got          # the inner match
+    assert (3, True) in got           # the watermark-expired null row
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -3758,9 +3758,12 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_ivf"] = """
         WITH n AS (SELECT greatest(1, count(*) // 8) AS step FROM embeddings),
         cents AS (
-            SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS centroid_id,
-                   embedding AS cvec
-            FROM embeddings, n WHERE vec_id % n.step = 0
+            SELECT * FROM (
+                SELECT (row_number() OVER (ORDER BY vec_id) - 1)
+                           AS centroid_id,
+                       embedding AS cvec
+                FROM embeddings, n WHERE vec_id % n.step = 0
+            ) WHERE centroid_id < 8
         ),
         assign AS (
             SELECT vec_id, embedding, centroid_id FROM (
@@ -4227,9 +4230,12 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_ivf_nprobe"] = """
         WITH n AS (SELECT greatest(1, count(*) // 8) AS step FROM embeddings),
         cents AS (
-            SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS centroid_id,
-                   embedding AS cvec
-            FROM embeddings, n WHERE vec_id % n.step = 0
+            SELECT * FROM (
+                SELECT (row_number() OVER (ORDER BY vec_id) - 1)
+                           AS centroid_id,
+                       embedding AS cvec
+                FROM embeddings, n WHERE vec_id % n.step = 0
+            ) WHERE centroid_id < 8
         ),
         ranked AS (
             SELECT e.vec_id, e.embedding, c.centroid_id,

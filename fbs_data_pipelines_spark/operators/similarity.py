@@ -281,9 +281,17 @@ def ivf_centroids(
         F.col(id_col) % step == 0
     )
     w = Window.orderBy(F.col(id_col).asc())
-    return seeds.select(
-        (F.row_number().over(w) - 1).alias("centroid_id"),
-        F.col(vec_col).alias("centroid_vec"),
+    return (
+        seeds.select(
+            (F.row_number().over(w) - 1).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+        # the modulo seed rule can yield one extra seed (e.g. 500 ids,
+        # k=8 → step 62 → seeds 0..496 = NINE); cap at num_centroids
+        # or `nprobe=num_centroids` silently probes k of k+1 lists and
+        # the ≡-brute-force contract breaks (caught by tools/ann_recall:
+        # recall@10 was 0.96, not 1.0, at full probe)
+        .filter(F.col("centroid_id") < int(num_centroids))
     )
 
 

@@ -726,6 +726,24 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(e, queries, k=5, num_planes=6, dim=64)
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-k (Lv et al. 2007;
+    operators/similarity.ann_lsh_topk probe_flips=1): each query also
+    probes every 1-bit-flip bucket, recovering neighbors that landed
+    just across one hyperplane — the recall fix tools/ann_recall.py
+    showed single-probe needs. Probing fans out only the broadcast
+    query table; the corpus is bucketed once."""
+    from fbs_data_pipelines_spark.operators.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(
+        e, queries, k=5, num_planes=6, dim=64, probe_flips=1
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """mapInPandas feature extraction over an opaque binary media
     column. The decode is the deterministic sha256-derived stub, which
@@ -2889,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending": q_trending,
         "typo_pairs": q_typo_pairs,
         "snapshot_reconcile": q_snapshot_reconcile,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     }
 
 
@@ -5630,6 +5649,38 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
         )
         SELECT status, count(*) AS n FROM j GROUP BY 1
+    """
+
+    # multi-probe LSH: same bucket bits; each query also probes its
+    # six 1-bit-flip buckets (num_planes=6)
+    sql["ann_lsh_multiprobe"] = f"""
+        WITH c AS (
+            SELECT vec_id AS neighbor_id, embedding,
+                   {_bucket_expr('embedding')} AS bucket
+            FROM embeddings
+        ), q0 AS (
+            SELECT vec_id AS query_id, embedding AS qemb,
+                   {_bucket_expr('embedding')} AS b0
+            FROM embeddings WHERE vec_id < 5
+        ), q AS (
+            SELECT query_id, qemb,
+                   unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4),
+                           xor(b0, 8), xor(b0, 16), xor(b0, 32)])
+                       AS bucket
+            FROM q0
+        ), scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   floor((list_cosine_similarity(c.embedding::DOUBLE[],
+                       q.qemb::DOUBLE[])) * 1000000.0 + 0.5)
+                       / 1000000.0 AS sim
+            FROM c JOIN q USING (bucket)
+            WHERE c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= 5
     """
 
     return sql

@@ -829,3 +829,38 @@ def test_snapshot_reconcile_classifies_all_four(spark):
         old, new, "k", ["price", "st"]).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "added", 5: "unchanged"}
+
+
+# ---------------------------------------------------------------------------
+# multi-probe LSH
+# ---------------------------------------------------------------------------
+
+
+def test_multiprobe_candidates_superset_of_single_probe(spark):
+    from fbs_data_pipelines_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    big = 10**6  # no top-k cut: compare raw candidate sets
+    single = {(r.query_id, r.neighbor_id) for r in
+              ann_lsh_topk(emb, q, k=big, num_planes=6).collect()}
+    multi = {(r.query_id, r.neighbor_id) for r in
+             ann_lsh_topk(emb, q, k=big, num_planes=6,
+                          probe_flips=1).collect()}
+    # uncut, multi-probe's candidate set is a strict superset (it
+    # scans the same bucket + the 6 one-bit-flip buckets)
+    assert single <= multi
+    assert len(multi) > len(single)
+
+
+def test_multiprobe_rejects_unsupported_flips(spark):
+    import pytest as _pytest
+
+    from fbs_data_pipelines_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    with _pytest.raises(ValueError):
+        ann_lsh_topk(emb, q, probe_flips=2)

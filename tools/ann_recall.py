@@ -60,15 +60,17 @@ def main() -> int:
 
     results = []
     for planes in (4, 6, 8):
-        r = recall(
-            topk_sets(
-                ann_lsh_topk(emb, queries, k=k, num_planes=planes)
+        for flips in (0, 1):
+            r = recall(
+                topk_sets(
+                    ann_lsh_topk(emb, queries, k=k, num_planes=planes,
+                                 probe_flips=flips)
+                )
             )
-        )
-        results.append(
-            {"method": f"lsh_planes={planes}", "k": k,
-             "recall_at_k": round(r, 4), "n_queries": len(exact)}
-        )
+            results.append(
+                {"method": f"lsh_planes={planes}_flips={flips}", "k": k,
+                 "recall_at_k": round(r, 4), "n_queries": len(exact)}
+            )
     for nlist, nprobe in ((8, 1), (8, 2), (8, 4), (8, 8)):
         r = recall(
             topk_sets(

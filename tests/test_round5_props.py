@@ -242,3 +242,108 @@ def test_sliding_topk_matches_reference(spark, events):
                               k=2).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# dsir vs a hashlib reference (portable md5 bucketing replicated)
+# ---------------------------------------------------------------------------
+
+
+@_SET
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=1, max_size=5,
+        ),
+        min_size=2, max_size=8,
+    )
+)
+def test_dsir_scores_match_reference(spark, docs):
+    import hashlib
+    import math
+
+    from fbs_data_pipelines_spark.operators.dsir import (
+        dsir_bucket_ratios,
+        dsir_scores,
+    )
+
+    B, S = 32, 1.0
+    target_ids = {i for i in range(len(docs)) if i % 2 == 0}
+
+    def bucket(gram):
+        h = hashlib.md5(f"dsir:{gram}".encode()).hexdigest()
+        return int(h[:4], 16) % B
+
+    def grams(d):
+        return list(d) + [f"{a} {b}" for a, b in zip(d, d[1:])]
+
+    tc, rc = [0] * B, [0] * B
+    for i, d in enumerate(docs):
+        for g in grams(d):
+            rc[bucket(g)] += 1
+            if i in target_ids:
+                tc[bucket(g)] += 1
+    t_tot, r_tot = sum(tc), sum(rc)
+    ratio = [
+        math.log((tc[b] + S) / (t_tot + S * B))
+        - math.log((rc[b] + S) / (r_tot + S * B))
+        for b in range(B)
+    ]
+    expect = {
+        i: sum(ratio[bucket(g)] for g in grams(d))
+        for i, d in enumerate(docs)
+    }
+
+    sdf = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    target = sdf.filter(F.col("doc_id") % 2 == 0)
+    ratios = dsir_bucket_ratios(sdf, target, "text", n_buckets=B,
+                                smoothing=S)
+    got = {r.doc_id: r.dsir_score
+           for r in dsir_scores(sdf, ratios, "doc_id", "text",
+                                n_buckets=B).collect()}
+    assert set(got) == set(expect)
+    for i in expect:
+        assert abs(got[i] - expect[i]) < 1e-9, (i, got[i], expect[i])
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_join vs brute force
+# ---------------------------------------------------------------------------
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@_SET
+@given(
+    vocab=st.lists(
+        st.text(alphabet="abc", min_size=2, max_size=5),
+        min_size=1, max_size=12, unique=True,
+    )
+)
+def test_edit_distance_join_matches_bruteforce(spark, vocab):
+    from fbs_data_pipelines_spark.operators.similarity import (
+        edit_distance_join,
+    )
+
+    df = spark.createDataFrame([(t,) for t in vocab], "tok string")
+    got = {(r.tok_a, r.tok_b)
+           for r in edit_distance_join(df, "tok", min_len=2).collect()}
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vocab), 2)
+        if _lev(a, b) <= 1
+    }
+    assert got == expect

@@ -2721,6 +2721,41 @@ def q_snapshot_reconcile(spark, sf_dir):
     return out.groupBy("status").agg(F.count("*").alias("n"))
 
 
+def q_incremental_join(spark, sf_dir):
+    """Delta-maintained inner join (operators/incremental.join_delta):
+    orders and lineitem arrive in three interleaved batches; the
+    materialized join advances per step via ΔA⋈B + A⋈ΔB + ΔA⋈ΔB —
+    the accumulated bases are never re-joined with each other. The
+    union of the three step-deltas must equal (and here hash-equals)
+    the one-shot join, which IS the oracle. The per-user rollup on
+    top makes the result compact and order-insensitive."""
+    from fbs_data_pipelines_spark.operators.incremental import join_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+
+    prev_a = prev_b = None
+    deltas = []
+    for i in range(3):
+        da = o.filter(F.col("o_orderkey") % 3 == i)
+        db = li.filter((F.col("l_quantity").cast("long") % 3) == i)
+        deltas.append(join_delta(da, prev_a, db, prev_b, "o_orderkey"))
+        prev_a = da if prev_a is None else prev_a.unionByName(da)
+        prev_b = db if prev_b is None else prev_b.unionByName(db)
+    full = deltas[0]
+    for d in deltas[1:]:
+        full = full.unionByName(d)
+    return full.groupBy("o_custkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        round_half_up(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -2908,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_pairs": q_typo_pairs,
         "snapshot_reconcile": q_snapshot_reconcile,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "incremental_join": q_incremental_join,
     }
 
 
@@ -5649,6 +5685,18 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
         )
         SELECT status, count(*) AS n FROM j GROUP BY 1
+    """
+
+    # incremental join: the union of the three maintenance deltas is
+    # BY CONSTRUCTION the full join — the oracle is the one-shot join
+    sql["incremental_join"] = """
+        SELECT o_custkey,
+               count(*) AS n_lines,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0
+                   AS sum_price
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_custkey
     """
 
     # multi-probe LSH: same bucket bits; each query also probes its

@@ -114,3 +114,46 @@ def finalize(state: DataFrame, measures: Sequence[str]) -> DataFrame:
             f"avg_{m}", F.col(_sum_c(m)) / F.col(_N)
         )
     return out
+
+
+def join_delta(
+    delta_a: DataFrame,
+    prev_a: DataFrame | None,
+    delta_b: DataFrame,
+    prev_b: DataFrame | None,
+    on: str | Sequence[str],
+) -> DataFrame:
+    """One maintenance step of an incrementally-materialized inner
+    join — the join counterpart of the rollup state above. For
+    insert-only deltas the bag algebra is exact:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_prev  ∪  A_prev ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    so the materialized join advances by appending this delta — the
+    accumulated base tables are JOINED against but never re-joined
+    with each other. At 100 TB that is the whole point: each step
+    costs |Δ| ⋈ |state| with the delta side broadcast-or-skew-joined,
+    instead of |A| ⋈ |B| from scratch. With the state tables bucketed
+    on the join key (sources/versioned.py), the Δ-vs-state probes are
+    shuffle-free on the state side.
+
+    Retractions follow the standard multiplicity extension (carry a
+    ±1 column; a retraction row joins exactly like an insert and the
+    consumer sums multiplicities) — not wired here, same documented
+    escape hatch as the rollup's min/max contract.
+
+    ``prev_a``/``prev_b`` are the bases BEFORE this step (None ⇒
+    empty). Returns only the NEW joined rows; append them to the
+    materialized result.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    parts = []
+    if prev_b is not None:
+        parts.append(delta_a.join(prev_b, keys))
+    if prev_a is not None:
+        parts.append(prev_a.join(delta_b, keys))
+    parts.append(delta_a.join(delta_b, keys))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -864,3 +864,70 @@ def test_multiprobe_rejects_unsupported_flips(spark):
     q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     with _pytest.raises(ValueError):
         ann_lsh_topk(emb, q, probe_flips=2)
+
+
+# ---------------------------------------------------------------------------
+# join_delta (incremental join maintenance)
+# ---------------------------------------------------------------------------
+
+
+def test_join_delta_accumulates_to_full_join(spark):
+    from fbs_data_pipelines_spark.operators.incremental import join_delta
+
+    a = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "a3"), (1, "a1b")], "k long, va string"
+    )
+    b = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b2b"), (4, "b4")], "k long, vb string"
+    )
+    full = {(r.k, r.va, r.vb) for r in a.join(b, "k").collect()}
+
+    prev_a = prev_b = None
+    acc = set()
+    for i in range(3):
+        da = a.filter(F.crc32(F.col("va")) % 3 == i)
+        db = b.filter(F.crc32(F.col("vb")) % 3 == i)
+        delta = join_delta(da, prev_a, db, prev_b, "k")
+        acc |= {(r.k, r.va, r.vb) for r in delta.collect()}
+        prev_a = da if prev_a is None else prev_a.unionByName(da)
+        prev_b = db if prev_b is None else prev_b.unionByName(db)
+    assert acc == full
+
+
+def test_join_delta_steps_are_disjoint_bag_pieces(spark):
+    # multiplicity correctness: duplicates on both sides — the deltas
+    # must sum to the full join AS A BAG, not just as a set
+    from collections import Counter
+
+    from fbs_data_pipelines_spark.operators.incremental import join_delta
+
+    a = spark.createDataFrame([(1, "x"), (1, "x")], "k long, va string")
+    b = spark.createDataFrame([(1, "y"), (1, "y")], "k long, vb string")
+    full = Counter(
+        (r.k, r.va, r.vb) for r in a.join(b, "k").collect()
+    )
+    a1, a2 = a.limit(1), a.limit(1)  # two identical single-row batches
+    b1, b2 = b.limit(1), b.limit(1)
+    acc = Counter()
+    prev_a = prev_b = None
+    for da, db in ((a1, b1), (a2, b2)):
+        delta = join_delta(da, prev_a, db, prev_b, "k")
+        acc.update((r.k, r.va, r.vb) for r in delta.collect())
+        prev_a = da if prev_a is None else prev_a.unionByName(da)
+        prev_b = db if prev_b is None else prev_b.unionByName(db)
+    assert acc == full  # 4 joined rows, multiplicity preserved
+
+
+def test_join_delta_never_rejoins_the_bases(spark):
+    # the plan of a single step must reference prev_a and prev_b only
+    # against DELTAS — no prev_a-vs-prev_b join (that is the whole
+    # IVM saving). Structural check: with empty deltas the step
+    # yields zero rows even though the bases join non-trivially.
+    from fbs_data_pipelines_spark.operators.incremental import join_delta
+
+    prev_a = spark.createDataFrame([(1, "a")], "k long, va string")
+    prev_b = spark.createDataFrame([(1, "b")], "k long, vb string")
+    empty_a = prev_a.limit(0)
+    empty_b = prev_b.limit(0)
+    out = join_delta(empty_a, prev_a, empty_b, prev_b, "k")
+    assert out.count() == 0

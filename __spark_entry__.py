@@ -2756,6 +2756,37 @@ def q_incremental_join(spark, sf_dir):
     )
 
 
+def q_json_typed(spark, sf_dir):
+    """Typed JSON parsing via from_json — the schema-checked
+    complement of json_extract's get_json_object string path.
+    PERMISSIVE mode parses a malformed payload into all-null fields;
+    the canonical columnNameOfCorruptRecord option captures the raw
+    bad payload so corrupt rows are COUNTED instead of silently
+    becoming nulls. Malformed payloads are injected deterministically
+    (event_id % 97 == 0 → '{not json'), pii_scrub precedent. At scale
+    from_json is JVM-side Jackson inside codegen — no Python in the
+    path."""
+    e = _t(spark, sf_dir, "events")
+    props2 = F.when(
+        F.col("event_id") % 97 == 0, F.lit("{not json")
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        props2,
+        "k long, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return (
+        e.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("p._corrupt").isNotNull()).alias("n_bad"),
+            F.min(F.col("p.k")).alias("k_min"),
+            F.max(F.col("p.k")).alias("k_max"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -2944,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_reconcile": q_snapshot_reconcile,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "incremental_join": q_incremental_join,
+        "json_typed": q_json_typed,
     }
 
 
@@ -5685,6 +5717,28 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
         )
         SELECT status, count(*) AS n FROM j GROUP BY 1
+    """
+
+    # typed JSON parse: malformed payloads (same deterministic
+    # injection) are NULL structs in Spark / json_valid=false here
+    sql["json_typed"] = """
+        WITH p AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 97 = 0 THEN '{not json'
+                        ELSE props END AS props2
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n,
+               count(*) FILTER (WHERE NOT json_valid(props2))
+                   AS n_bad,
+               min(CASE WHEN json_valid(props2)
+                        THEN CAST(json_extract_string(props2, '$.k')
+                                  AS BIGINT) END) AS k_min,
+               max(CASE WHEN json_valid(props2)
+                        THEN CAST(json_extract_string(props2, '$.k')
+                                  AS BIGINT) END) AS k_max
+        FROM p GROUP BY event_type
     """
 
     # incremental join: the union of the three maintenance deltas is

@@ -137,22 +137,28 @@ def join_delta(
     on the join key (sources/versioned.py), the Δ-vs-state probes are
     shuffle-free on the state side.
 
-    Retractions follow the standard multiplicity extension (carry a
-    ±1 column; a retraction row joins exactly like an insert and the
-    consumer sums multiplicities) — not wired here, same documented
-    escape hatch as the rollup's min/max contract.
+    Retractions: use ``join_delta_with_multiplicity`` (this is its
+    multiplicity-free insert-only special case — one decomposition,
+    expressed once).
 
     ``prev_a``/``prev_b`` are the bases BEFORE this step (None ⇒
     empty). Returns only the NEW joined rows; append them to the
     materialized result.
     """
+    return _delta_parts(
+        delta_a, prev_a, delta_b, prev_b, on, lambda a, b, keys: a.join(b, keys)
+    )
+
+
+def _delta_parts(delta_a, prev_a, delta_b, prev_b, on, emit):
+    """The shared three-part bag decomposition and union fold."""
     keys = [on] if isinstance(on, str) else list(on)
     parts = []
     if prev_b is not None:
-        parts.append(delta_a.join(prev_b, keys))
+        parts.append(emit(delta_a, prev_b, keys))
     if prev_a is not None:
-        parts.append(prev_a.join(delta_b, keys))
-    parts.append(delta_a.join(delta_b, keys))
+        parts.append(emit(prev_a, delta_b, keys))
+    parts.append(emit(delta_a, delta_b, keys))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -179,12 +185,10 @@ def join_delta_with_multiplicity(
     after appending each delta) or a retract-then-reinsert of the
     same key would double-join against stale negative rows.
     """
-    keys = [on] if isinstance(on, str) else list(on)
-
     def tag(df: DataFrame, side: str) -> DataFrame:
         return df.withColumnRenamed(mult_col, f"__m_{side}")
 
-    def emit(a: DataFrame, b: DataFrame) -> DataFrame:
+    def emit(a: DataFrame, b: DataFrame, keys) -> DataFrame:
         return (
             tag(a, "a")
             .join(tag(b, "b"), keys)
@@ -194,16 +198,7 @@ def join_delta_with_multiplicity(
             .drop("__m_a", "__m_b")
         )
 
-    parts = []
-    if prev_b is not None:
-        parts.append(emit(delta_a, prev_b))
-    if prev_a is not None:
-        parts.append(emit(prev_a, delta_b))
-    parts.append(emit(delta_a, delta_b))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _delta_parts(delta_a, prev_a, delta_b, prev_b, on, emit)
 
 
 def consolidate(

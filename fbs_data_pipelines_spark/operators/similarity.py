@@ -135,11 +135,11 @@ def ann_lsh_topk(
     exactly one sign bit, so also probing every 1-bit-flip bucket
     recovers those misses at (num_planes+1)× the probe cost — still
     a vanishing fraction of the corpus. Measured on the sf0.01
-    embeddings (tools/ann_recall.py): single-probe 8-plane recall@10
-    is 0.02; 1-flip multi-probe lifts it by roughly an order of
-    magnitude for free at query-side-broadcast scale. The corpus side
-    is bucketed ONCE either way — probing only fans out the (small,
-    broadcast) query table.
+    embeddings (tools/ann_recall.py): 1-flip multi-probe lifts
+    recall@10 3-4× at every plane count (4/6/8 planes:
+    0.13→0.45 / 0.05→0.17 / 0.02→0.08). The corpus side is bucketed
+    ONCE either way — probing only fans out the (small, broadcast)
+    query table.
     """
     from fbs_data_pipelines_spark.functions.vectors import dot_product, l2_norm
 

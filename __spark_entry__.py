@@ -2787,6 +2787,79 @@ def q_json_typed(spark, sf_dir):
     )
 
 
+def q_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: an OR-of-ANDs join predicate mixing columns
+    from BOTH sides — the classic disjunction-pushdown test. Catalyst
+    extracts the common p/l conjuncts it can (brand/size IN-range
+    unions push to the part scan) while the cross-side residual stays
+    on the join; the dimension side broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    clause = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity").between(qlo, qhi))
+    )
+    out = j.filter(
+        clause("Brand#1", 15, 1, 11)
+        | clause("Brand#2", 25, 10, 20)
+        | clause("Brand#3", 35, 20, 30)
+    )
+    return out.agg(
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional revenue share — one aggregation
+    computing both the CASE'd numerator and the total, no second
+    scan, ratio at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            round_half_up(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: per ship-month, CASE-counted high-priority
+    (1-URGENT / 2-HIGH) vs low-priority orders — the
+    two-conditional-counts-in-one-pass pattern; the orders side of
+    the join broadcasts nothing (fact-fact equi-join co-partitioned
+    on the order key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count_if(hi).alias("high_line_count"),
+            F.count_if(~hi).alias("low_line_count"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -2976,6 +3049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "incremental_join": q_incremental_join,
         "json_typed": q_json_typed,
+        "disjunctive_filter": q_disjunctive_filter,
+        "promo_share": q_promo_share,
+        "priority_shipping": q_priority_shipping,
     }
 
 
@@ -5717,6 +5793,47 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
         )
         SELECT status, count(*) AS n FROM j GROUP BY 1
+    """
+
+    # TPC-H Q19 shape: identical OR-of-ANDs predicate
+    sql["disjunctive_filter"] = """
+        SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100.0
+                     + 0.5) / 100.0 AS revenue,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+
+    # TPC-H Q14 shape: conditional share in one aggregation
+    sql["promo_share"] = """
+        SELECT floor(100.0
+                   * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                   / sum(l_extendedprice * (1 - l_discount))
+                   * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue_pct,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1995-09-01'
+          AND l_shipdate < DATE '1995-10-01'
+    """
+
+    # TPC-H Q12 shape: two conditional counts in one pass
+    sql["priority_shipping"] = """
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               count(*) FILTER (WHERE o_orderpriority IN
+                                ('1-URGENT', '2-HIGH'))
+                   AS high_line_count,
+               count(*) FILTER (WHERE o_orderpriority NOT IN
+                                ('1-URGENT', '2-HIGH'))
+                   AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
     """
 
     # typed JSON parse: malformed payloads (same deterministic

@@ -2860,6 +2860,89 @@ def q_priority_shipping(spark, sf_dir):
     )
 
 
+def q_nation_flows(spark, sf_dir):
+    """TPC-H Q7 shape: trade volume between DIFFERENT nation pairs —
+    the one dimension (nation) joined TWICE under different roles
+    (supplier's vs customer's), which join_5way's linear chain never
+    exercises. Both nation role-copies broadcast; the fact chain
+    stays co-partitioned on the order key."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        # each term quantized to INTEGER 1e-4 units before the sum —
+        # integer summation is exact and order-independent, so the
+        # big per-pair groups can't flip the final cent between
+        # engines (a double sum rounds differently per merge order)
+        .agg(
+            round_half_up(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000.0
+                        + 0.5
+                    ).cast("long")
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_map_ops(spark, sf_dir):
+    """Map-typed function surface: per-user event_type→count map via
+    map_from_entries(collect_list(struct)), transform_values (double
+    purchase counts), map_filter (≥ 3), exploded back to rows. The
+    map layer is JVM-side; the oracle proves the relational OUTCOME
+    of the same conditionals."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    adjusted = m.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values(
+                F.col("m"),
+                lambda k, v: F.when(k == "purchase", v * 2).otherwise(v),
+            ),
+            lambda k, v: v >= 3,
+        ).alias("m2"),
+    )
+    return adjusted.select(
+        "user_id", F.explode("m2").alias("event_type", "adj_count")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -3052,6 +3135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_filter": q_disjunctive_filter,
         "promo_share": q_promo_share,
         "priority_shipping": q_priority_shipping,
+        "nation_flows": q_nation_flows,
+        "map_ops": q_map_ops,
     }
 
 
@@ -5793,6 +5878,39 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
         )
         SELECT status, count(*) AS n FROM j GROUP BY 1
+    """
+
+    # TPC-H Q7 shape: nation dim in two roles, distinct-pair filter
+    sql["nation_flows"] = """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               floor(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 10000.0 + 0.5) AS BIGINT))
+                     / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue,
+               count(*) AS n
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """
+
+    # map surface: same conditionals relationally
+    sql["map_ops"] = """
+        WITH counts AS (
+            SELECT user_id, event_type, count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN cnt * 2
+                    ELSE cnt END AS adj_count
+        FROM counts
+        WHERE (CASE WHEN event_type = 'purchase' THEN cnt * 2
+                    ELSE cnt END) >= 3
     """
 
     # TPC-H Q19 shape: identical OR-of-ANDs predicate

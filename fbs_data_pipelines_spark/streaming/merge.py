@@ -299,3 +299,25 @@ def streaming_incremental_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a stream with a STATIC dimension — the third join kind
+    Structured Streaming supports (beside stream-stream and the
+    foreachBatch merge): stateless, no watermark needed, the static
+    side re-read per micro-batch (so a dimension table updated
+    in-place is picked up on the next trigger).
+
+    The dimension gets an explicit broadcast hint: per micro-batch
+    the join must not shuffle the (unbounded) stream side against a
+    table that fits an executor. For dimensions too big to broadcast,
+    pre-bucket BOTH sides on the key instead (sources/catalog
+    save_bucketed) and drop the hint.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim), keys, how)

@@ -1200,3 +1200,39 @@ def test_stream_stream_left_outer_interval_join_emits_nulls_after_watermark(spar
     assert (1, False) in got          # the inner match
     assert (3, True) in got           # the watermark-expired null row
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_static_enrich_broadcasts_dimension(spark):
+    """Stream-static join: every micro-batch row picks up its
+    dimension attributes; the executed micro-batch plan broadcasts
+    the static side (never shuffles the stream against it)."""
+    from fbs_data_pipelines_spark.streaming.merge import (
+        stream_static_enrich,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sse_")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (9, 90.0)], "dim_id long, v double"
+    ).write.parquet(f"{tmp}/facts")
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "dim_id long, tier string"
+    )
+    stream = spark.readStream.schema("dim_id long, v double").parquet(
+        f"{tmp}/facts"
+    )
+    out = stream_static_enrich(stream, dim, "dim_id")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("sse_test")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(r.dim_id, r.tier)
+                for r in spark.sql("select * from sse_test").collect()}
+        # left join: unmatched stream rows survive with null tier
+        assert rows == {(1, "gold"), (2, "silver"), (9, None)}
+    finally:
+        q.stop()
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -2806,10 +2806,15 @@ def q_disjunctive_filter(spark, sf_dir):
         | clause("Brand#2", 25, 10, 20)
         | clause("Brand#3", 35, 20, 30)
     )
+    # integer 1e-4 units before the sum — same exactness rationale as
+    # q_nation_flows (a raw double sum can flip the final cent with
+    # merge order)
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+        + 0.5
+    ).cast("long")
     return out.agg(
-        round_half_up(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        round_half_up(F.sum(units) / 10000.0, 2).alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -2828,12 +2833,17 @@ def q_promo_share(spark, sf_dir):
         )
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
+            # integer 1e-4 units in numerator AND denominator: both
+            # sums exact ⇒ the ratio is one deterministic division
             round_half_up(
                 F.lit(100.0)
                 * F.sum(
-                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                    F.when(
+                        F.col("p_type") == "PROMO",
+                        F.floor(rev * 10000.0 + 0.5).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
                 )
-                / F.sum(rev),
+                / F.sum(F.floor(rev * 10000.0 + 0.5).cast("long")),
                 6,
             ).alias("promo_revenue_pct"),
             F.count("*").alias("n_lines"),
@@ -5915,8 +5925,9 @@ def oracle_sql() -> dict[str, str]:
 
     # TPC-H Q19 shape: identical OR-of-ANDs predicate
     sql["disjunctive_filter"] = """
-        SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100.0
-                     + 0.5) / 100.0 AS revenue,
+        SELECT floor(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 10000.0 + 0.5) AS BIGINT))
+                     / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue,
                count(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -5931,9 +5942,12 @@ def oracle_sql() -> dict[str, str]:
     sql["promo_share"] = """
         SELECT floor(100.0
                    * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-                   / sum(l_extendedprice * (1 - l_discount))
+                              THEN CAST(floor(l_extendedprice
+                                   * (1 - l_discount) * 10000.0 + 0.5)
+                                   AS BIGINT)
+                              ELSE 0 END)
+                   / sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 10000.0 + 0.5) AS BIGINT))
                    * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue_pct,
                count(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey

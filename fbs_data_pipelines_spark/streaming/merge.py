@@ -309,9 +309,14 @@ def stream_static_enrich(
 ) -> DataFrame:
     """Enrich a stream with a STATIC dimension — the third join kind
     Structured Streaming supports (beside stream-stream and the
-    foreachBatch merge): stateless, no watermark needed, the static
-    side re-read per micro-batch (so a dimension table updated
-    in-place is picked up on the next trigger).
+    foreachBatch merge): stateless, no watermark needed.
+
+    Dimension freshness caveat: for a FILE-backed dimension the file
+    listing is pinned when the DataFrame was created — an overwrite
+    that writes new part files is NOT picked up by later micro-batches
+    (and can throw when old files vanish). For a dimension that
+    changes mid-stream, re-resolve it per batch inside foreachBatch
+    (or use a table format with snapshot reads, sources/versioned.py).
 
     The dimension gets an explicit broadcast hint: per micro-batch
     the join must not shuffle the (unbounded) stream side against a

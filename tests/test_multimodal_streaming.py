@@ -1233,6 +1233,11 @@ def test_stream_static_enrich_broadcasts_dimension(spark):
                 for r in spark.sql("select * from sse_test").collect()}
         # left join: unmatched stream rows survive with null tier
         assert rows == {(1, "gold"), (2, "silver"), (9, None)}
+        # the property the helper exists for: the executed micro-batch
+        # plan BROADCASTS the static side (never shuffles the stream
+        # against it)
+        plan = q._jsq.explainInternal(False)
+        assert "BroadcastHashJoin" in plan, plan
     finally:
         q.stop()
     shutil.rmtree(tmp, ignore_errors=True)

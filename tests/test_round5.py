@@ -975,3 +975,53 @@ def test_join_delta_retraction_nets_out(spark):
     assert got == expect
     # the retracted row's join partners are really gone
     assert not any(va == "a1" for _, va, _, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# plan shapes of the TPC-H-shape and map queries
+# ---------------------------------------------------------------------------
+
+
+def _executed(df):
+    df.collect()
+    return (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+
+
+def test_q19_part_side_broadcasts(spark, sf_dir):
+    import __spark_entry__ as e
+
+    ex = _executed(e.queries()["disjunctive_filter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in ex and "SortMergeJoin" not in ex
+
+
+def test_nation_flows_all_dims_broadcast(spark, sf_dir):
+    import __spark_entry__ as e
+
+    ex = _executed(e.queries()["nation_flows"](spark, sf_dir))
+    # supplier, customer and both nation role-copies broadcast; the
+    # only non-broadcast join is the co-partitioned fact-fact one
+    assert ex.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in ex
+
+
+def test_priority_shipping_single_agg_pass(spark, sf_dir):
+    import __spark_entry__ as e
+
+    df = e.queries()["priority_shipping"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # both conditional counts live in ONE Aggregate node
+    assert opt.count("Aggregate") == 1
+
+
+def test_map_ops_values_roundtrip_the_map_layer(spark, sf_dir):
+    import __spark_entry__ as e
+
+    rows = e.queries()["map_ops"](spark, sf_dir).collect()
+    assert rows and all(r.adj_count >= 3 for r in rows)
+    # purchase counts really doubled: every purchase entry is even
+    assert all(
+        r.adj_count % 2 == 0 for r in rows if r.event_type == "purchase"
+    )

@@ -2482,8 +2482,10 @@ def q_top_revenue_supplier(spark, sf_dir):
     that SAME view (top-revenue supplier in 1996Q1). Catalyst
     computes the revenue CTE once per reference but the max side
     reduces to ONE row — a broadcast filter, not a window over all
-    suppliers. Revenue is rounded to cents in BOTH engines before
-    the equality so float summation order cannot flip the argmax."""
+    suppliers. Each revenue term is quantized to INTEGER 1e-4 units
+    before the sum (integer summation is exact and order-independent),
+    so neither the cent NOR the argmax can flip with merge order —
+    same discipline as q_nation_flows."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     rev = (
@@ -2494,7 +2496,16 @@ def q_top_revenue_supplier(spark, sf_dir):
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
             round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000.0
+                        + 0.5
+                    ).cast("long")
+                )
+                / 10000.0,
+                2,
             ).alias("total_revenue")
         )
     )
@@ -2514,17 +2525,21 @@ def q_value_share_having(spark, sf_dir):
     WHOLE input (parts whose lineitem value exceeds 0.05% of global
     value). Both sides are map-side-combined aggregations sharing
     one scan-side shuffle; the global total is a 1-row broadcast
-    into the HAVING filter — never a window over all groups."""
+    into the HAVING filter — never a window over all groups. Each
+    price is quantized to INTEGER 1e-4 units before both sums, so
+    the HAVING comparison and the reported cent are merge-order
+    exact (both engines compare the same integers)."""
     li = _t(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum("l_extendedprice").alias("raw_value")
-    )
-    total = li.agg((F.sum("l_extendedprice") * 0.0005).alias("cutoff"))
+    units = F.floor(F.col("l_extendedprice") * 10000.0 + 0.5).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(units).alias("raw_units"))
+    total = li.agg((F.sum(units) * 0.0005).alias("cutoff_units"))
     return (
-        per_part.join(F.broadcast(total), F.col("raw_value") > F.col("cutoff"))
+        per_part.join(
+            F.broadcast(total), F.col("raw_units") > F.col("cutoff_units")
+        )
         .select(
             "l_partkey",
-            round_half_up(F.col("raw_value"), 2).alias("part_value"),
+            round_half_up(F.col("raw_units") / 10000.0, 2).alias("part_value"),
         )
     )
 
@@ -2874,8 +2889,11 @@ def q_nation_flows(spark, sf_dir):
     """TPC-H Q7 shape: trade volume between DIFFERENT nation pairs —
     the one dimension (nation) joined TWICE under different roles
     (supplier's vs customer's), which join_5way's linear chain never
-    exercises. Both nation role-copies broadcast; the fact chain
-    stays co-partitioned on the order key."""
+    exercises. Only the nation role-copies (25 rows at every SF) are
+    broadcast-HINTED; supplier and customer scale with SF (10k/150k
+    × SF rows), so AQE's runtime size check decides their join
+    strategy — at sf0.1 it broadcasts them, at 100 TB it shuffles.
+    The fact chain stays co-partitioned on the order key."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
@@ -2891,8 +2909,8 @@ def q_nation_flows(spark, sf_dir):
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -5559,13 +5577,15 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s_name
     """
 
-    # TPC-H Q15 shape: revenue rounded to cents BEFORE the max
-    # equality in both engines, so summation order can't flip argmax
+    # TPC-H Q15 shape: per-line terms quantized to INTEGER 1e-4
+    # units before the sum in both engines — exact integer sums, so
+    # neither the cent nor the argmax depends on merge order
     sql["top_revenue_supplier"] = """
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   floor(sum(l_extendedprice * (1 - l_discount)) * 100.0
-                         + 0.5) / 100.0 AS total_revenue
+                   floor(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                        * 10000.0 + 0.5) AS BIGINT))
+                         / 10000.0 * 100.0 + 0.5) / 100.0 AS total_revenue
             FROM lineitem
             WHERE l_shipdate BETWEEN DATE '1996-01-01'
                                  AND DATE '1996-03-31'
@@ -5577,15 +5597,24 @@ def oracle_sql() -> dict[str, str]:
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """
 
-    # TPC-H Q11 shape: HAVING vs a global scalar subquery
+    # TPC-H Q11 shape: HAVING vs a global scalar subquery; both sums
+    # run over INTEGER 1e-4 units so the comparison is merge-order exact
     sql["value_share_having"] = """
+        WITH pp AS (
+            SELECT l_partkey,
+                   sum(CAST(floor(l_extendedprice * 10000.0 + 0.5)
+                            AS BIGINT)) AS raw_units
+            FROM lineitem
+            GROUP BY l_partkey
+        )
         SELECT l_partkey,
-               floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0
+               floor(raw_units / 10000.0 * 100.0 + 0.5) / 100.0
                    AS part_value
-        FROM lineitem
-        GROUP BY l_partkey
-        HAVING sum(l_extendedprice) >
-               (SELECT sum(l_extendedprice) * 0.0005 FROM lineitem)
+        FROM pp
+        WHERE raw_units >
+              (SELECT sum(CAST(floor(l_extendedprice * 10000.0 + 0.5)
+                               AS BIGINT)) * 0.0005
+               FROM lineitem)
     """
 
     # DSIR importance resampling: identical hashed-ngram buckets,

@@ -1001,9 +1001,10 @@ def test_nation_flows_all_dims_broadcast(spark, sf_dir):
     import __spark_entry__ as e
 
     ex = _executed(e.queries()["nation_flows"](spark, sf_dir))
-    # supplier, customer and both nation role-copies broadcast; the
-    # only non-broadcast join is the co-partitioned fact-fact one
-    assert ex.count("BroadcastHashJoin") >= 4
+    # the two nation role-copies are hinted and must broadcast at
+    # every SF; supplier/customer are AQE-sized (broadcast at this
+    # sf, shuffle at scale) so either physical join is acceptable
+    assert ex.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in ex
 
 

@@ -2979,35 +2979,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every entry, in or out of the window, is oracle-checked locally
     # by tools/check_oracle.py).
     #
-    # Round-5 rotation: 18 queries that had NO driver evidence through
-    # round 4 are rotated IN (incremental_dedup, canonical_docs,
-    # weighted_sample, source_overlap, ppl_buckets, recursive_cte,
-    # lateral_topn, sql_nested_semi, budget_sample — freshly
-    # auto-thinned this round — sparse_cosine, funnel, retention,
-    # salted_join, bloom_join, zorder_layout, streaming_rollup,
-    # json_extract — clearing its stale round-1 failure record — and
-    # the new first_seen, the batch twin of the protobuf-gated
-    # transformWithState admission operator). Rotated OUT to make
-    # room: 18 queries with 3-4 green driver rounds each whose
-    # mechanisms remain exercised by in-window siblings
-    # (filter_project/compound_filter ~ pricing_summary's filters +
-    # merge_upsert's change scan; join_suffix/map_join/join_5way ~
-    # sql_exists + merge_upsert joins; string_funcs/split_unnest/
-    # date_parse/conditional/try_cast ~ audit_log + corpus_curation's
-    # cleaning layer; groupby_having/rollup/cascading_rollup/
-    # window_rank ~ incremental_rollup + grouped_topk + sessionize;
-    # latest_snapshot ~ grouped_topk's top-1-per-group; dedup_exact ~
-    # incremental_dedup (rotating IN — probes the same content key);
-    # quality_pipeline ~ gopher_quality + ppl_buckets; tfidf ~
-    # sparse_cosine (rotating IN — builds on the same tf/df layer)).
+    # Round-7 rotation: after r6 the registry held 52 queries with ZERO
+    # driver evidence (derived programmatically from CORRECTNESS_r01–r06
+    # by tools/ledger_check.py — the single source of truth for this
+    # ledger). This round the ENTIRE 50-slot window carries never-gated
+    # queries: the 52 minus latest_snapshot_agg (mechanism twin of
+    # latest_snapshot, green r2–r4) and curation_v2 (superset sibling of
+    # corpus_curation, green r3–r6), which rotate in round 8 — closing
+    # cumulative driver evidence for the whole registry. Every demoted
+    # entry has 2+ green driver rounds (83 such queries after r6).
     return {
-        # --- reference-core relational surface (SURVEY §2) ------------
+        # ==== driver gate window: 50 never-gated queries ===============
+        # --- aggregation surface ---------------------------------------
+        "percentile_exact": q_percentile_exact,
+        "stats_agg": q_stats_agg,
+        "string_agg": q_string_agg,
+        "conditional_agg": q_conditional_agg,
+        "monthly_rollup": q_monthly_rollup,
+        "unpivot": q_unpivot,
+        "regression_agg": q_regression_agg,
+        "robust_stats": q_robust_stats,
+        "histogram": q_histogram,
+        # --- window frames / navigation --------------------------------
+        "window_range_30d": q_window_range_30d,
+        "window_navigation": q_window_navigation,
+        # --- array / date / string function surface --------------------
+        "array_ops": q_array_ops,
+        "array_agg": q_array_agg,
+        "date_parts": q_date_parts,
+        "regexp_extract": q_regexp_extract,
+        "fuzzy_match": q_fuzzy_match,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        # --- text / corpus analysis ------------------------------------
+        "repetition_stats": q_repetition_stats,
+        "top_ngram": q_top_ngram,
+        "corpus_stats": q_corpus_stats,
+        "token_entropy": q_token_entropy,
+        "collocations": q_collocations,
+        "chunk_documents": q_chunk_documents,
+        "train_split": q_train_split,
+        "sample_exact_k": q_sample_exact_k,
+        "mixture_interleave": q_mixture_interleave,
+        # --- LLM-pipeline flagships ------------------------------------
+        "paragraph_dedup": q_paragraph_dedup,
+        "semantic_dedup": q_semantic_dedup,
+        "dsir_select": q_dsir_select,
+        "bm25_search": q_bm25_search,
+        "leakage_safe_split": q_leakage_safe_split,
+        "typo_pairs": q_typo_pairs,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "cms_counts": q_cms_counts,
+        "trending": q_trending,
+        "triangle_count": q_triangle_count,
+        # --- relational / TPC-H shapes ---------------------------------
+        "cust_order_dist": q_cust_order_dist,
+        "premium_no_urgent": q_premium_no_urgent,
+        "sql_anti_chain": q_sql_anti_chain,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "value_share_having": q_value_share_having,
+        "disjunctive_filter": q_disjunctive_filter,
+        "promo_share": q_promo_share,
+        "priority_shipping": q_priority_shipping,
+        "nation_flows": q_nation_flows,
+        "map_ops": q_map_ops,
+        "json_typed": q_json_typed,
+        # --- versioned / incremental maintenance -----------------------
+        "scd2_track": q_scd2_track,
+        "snapshot_reconcile": q_snapshot_reconcile,
+        "incremental_join": q_incremental_join,
+        # ==== driver gate window ends here (50 entries) ===============
+        # last two never-gated queries — rotate IN round 8:
+        "latest_snapshot_agg": q_latest_snapshot_agg,
+        "curation_v2": q_curation_v2,
+        # --- demoted: reference-core relational surface (SURVEY §2) ----
         "pricing_summary": q_pricing_summary,
         "audit_log": q_audit_log,
         "merge_upsert": q_merge_upsert,
-        # --- aggregation / window extension ---------------------------
         "grouped_ols": q_grouped_ols,
-        # --- events / streaming ---------------------------------------
+        # --- demoted: events / streaming --------------------------------
         "windowed_rollup": q_windowed_rollup,
         "sessionize": q_sessionize,
         "streaming_merge": q_streaming_merge,
@@ -3017,7 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "json_extract": q_json_extract,
-        # --- LLM-pipeline operators -----------------------------------
+        # --- demoted: LLM-pipeline operators ----------------------------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
@@ -3028,7 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": q_canonical_docs,
         "sparse_cosine": q_sparse_cosine,
         "source_overlap": q_source_overlap,
-        # --- corpus-quality / sampling / packing flagships ------------
+        # --- demoted: corpus-quality / sampling / packing ----------------
         "gopher_quality": q_gopher_quality,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
@@ -3039,30 +3088,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": q_expectations,
         "corpus_curation": q_corpus_curation,
         "ppl_buckets": q_ppl_buckets,
-        # --- round-3 computation families ------------------------------
+        # --- demoted: computation families -------------------------------
         "incremental_rollup": q_incremental_rollup,
         "pagerank": q_pagerank,
         "hll_distinct": q_hll_distinct,
         "kmeans": q_kmeans,
         "lm_perplexity": q_lm_perplexity,
-        # --- round-4 flagships ----------------------------------------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "alpha_sample": q_alpha_sample,
         "quality_classifier": q_quality_classifier,
-        # --- physical-lever variants (plan-shape levers, result-exact) -
+        # --- demoted: physical-lever variants ----------------------------
         "salted_join": q_salted_join,
         "bloom_join": q_bloom_join,
         "zorder_layout": q_zorder_layout,
-        # --- SQL front door -------------------------------------------
+        # --- demoted: SQL front door --------------------------------------
         "sql_exists": q_sql_exists,
         "sql_nested_semi": q_sql_nested_semi,
         "recursive_cte": q_recursive_cte,
         "lateral_topn": q_lateral_topn,
-        # ==== driver gate window ends here (50 entries) ===============
-        # round-5 demotions (3-4 green driver rounds each; see README
-        # rotation ledger):
+        # --- demoted: earlier rounds --------------------------------------
         "filter_project": q_filter_project,
         "compound_filter": q_compound_filter,
         "join_suffix": q_join_suffix,
@@ -3081,7 +3127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "dedup_exact": q_dedup_exact,
         "join_5way": q_join_5way,
-        # earlier-round demotions:
         "pivot": q_pivot,
         "range_join": q_range_join,
         "text_stats": q_text_stats,
@@ -3095,7 +3140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "distinct": q_distinct,
-        "latest_snapshot_agg": q_latest_snapshot_agg,
         "empty_to_null": q_empty_to_null,
         "decimal_comma": q_decimal_comma,
         "grouping_sets": q_grouping_sets,
@@ -3112,59 +3156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "vector_norms": q_vector_norms,
         "embedding_neardup": q_embedding_neardup,
-        "percentile_exact": q_percentile_exact,
-        "stats_agg": q_stats_agg,
-        "string_agg": q_string_agg,
-        "conditional_agg": q_conditional_agg,
-        "monthly_rollup": q_monthly_rollup,
-        "unpivot": q_unpivot,
-        "window_range_30d": q_window_range_30d,
-        "regression_agg": q_regression_agg,
-        "window_navigation": q_window_navigation,
-        "array_ops": q_array_ops,
-        "date_parts": q_date_parts,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "array_agg": q_array_agg,
-        "fuzzy_match": q_fuzzy_match,
-        "regexp_extract": q_regexp_extract,
-        "repetition_stats": q_repetition_stats,
-        "top_ngram": q_top_ngram,
-        "train_split": q_train_split,
-        "corpus_stats": q_corpus_stats,
-        "histogram": q_histogram,
-        "cms_counts": q_cms_counts,
-        "chunk_documents": q_chunk_documents,
-        "token_entropy": q_token_entropy,
-        "robust_stats": q_robust_stats,
-        "curation_v2": q_curation_v2,
-        "sample_exact_k": q_sample_exact_k,
-        "cust_order_dist": q_cust_order_dist,
-        "premium_no_urgent": q_premium_no_urgent,
-        # round-5 additions (below the fold; rotate into the gate next
-        # round — oracle-checked locally like everything else)
-        "semantic_dedup": q_semantic_dedup,
-        "mixture_interleave": q_mixture_interleave,
-        "paragraph_dedup": q_paragraph_dedup,
-        "triangle_count": q_triangle_count,
-        "sql_anti_chain": q_sql_anti_chain,
-        "top_revenue_supplier": q_top_revenue_supplier,
-        "value_share_having": q_value_share_having,
-        "dsir_select": q_dsir_select,
-        "scd2_track": q_scd2_track,
-        "bm25_search": q_bm25_search,
-        "leakage_safe_split": q_leakage_safe_split,
-        "collocations": q_collocations,
-        "trending": q_trending,
-        "typo_pairs": q_typo_pairs,
-        "snapshot_reconcile": q_snapshot_reconcile,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "incremental_join": q_incremental_join,
-        "json_typed": q_json_typed,
-        "disjunctive_filter": q_disjunctive_filter,
-        "promo_share": q_promo_share,
-        "priority_shipping": q_priority_shipping,
-        "nation_flows": q_nation_flows,
-        "map_ops": q_map_ops,
     }
 
 

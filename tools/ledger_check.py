@@ -1,0 +1,163 @@
+"""Programmatic rotation-ledger derivation — the single source of truth.
+
+The driver's per-round gate checks the FIRST 50 entries of
+``__spark_entry__.queries()`` and records per-query verdicts in
+``CORRECTNESS_r{N}.json``. This tool derives cumulative driver
+evidence from those files (green = rows+schema+hash all true) instead
+of hand-maintaining a list in README.md, which drifted (13 stale
+entries found by the round-6 judge).
+
+Usage:
+    PYTHONPATH=/root/repo python tools/ledger_check.py            # summary
+    PYTHONPATH=/root/repo python tools/ledger_check.py --readme   # emit README block
+    PYTHONPATH=/root/repo python tools/ledger_check.py --check    # exit 1 on README drift
+
+``tests/test_ledger.py`` runs the ``--check`` logic under pytest so any
+future drift between README.md and the CORRECTNESS record fails CI.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN = "<!-- ledger:auto:begin (tools/ledger_check.py) -->"
+END = "<!-- ledger:auto:end -->"
+
+
+def _is_green(v: dict) -> bool:
+    return bool(v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
+
+
+def driver_evidence(repo: str = REPO) -> dict[str, list[int]]:
+    """Map query name -> sorted list of driver rounds where it was green."""
+    out: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, verdict in data.items():
+            if _is_green(verdict):
+                out.setdefault(name, []).append(rnd)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def registry_names(repo: str = REPO) -> list[str]:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_for_ledger", os.path.join(repo, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return list(mod.queries())
+
+
+def ledger(repo: str = REPO) -> dict:
+    evidence = driver_evidence(repo)
+    names = registry_names(repo)
+    never = [n for n in names if n not in evidence]
+    multi = [n for n in names if len(evidence.get(n, [])) >= 2]
+    window = names[:50]
+    first_evidence = [n for n in window if n not in evidence]
+    orphans = sorted(set(evidence) - set(names))
+    return {
+        "registry": names,
+        "evidence": evidence,
+        "never_gated": never,
+        "gated_2plus": multi,
+        "window": window,
+        "window_first_evidence": first_evidence,
+        "orphans": orphans,
+    }
+
+
+def readme_block(repo: str = REPO) -> str:
+    """The auto-generated README ledger section, deterministic."""
+    led = ledger(repo)
+    n_total = len(led["registry"])
+    n_never = len(led["never_gated"])
+    lines = [
+        BEGIN,
+        f"Derived from `CORRECTNESS_r*.json` by `tools/ledger_check.py` "
+        f"(verified in CI by `tests/test_ledger.py`); registry = {n_total} queries.",
+        "",
+        f"**Awaiting first driver evidence ({n_never}):** "
+        + (", ".join(f"`{n}`" for n in led["never_gated"]) if led["never_gated"] else "none"),
+        "",
+        f"**Current 50-slot gate window:** {len(led['window_first_evidence'])} of 50 "
+        "entries would gain first driver evidence next driver run.",
+        END,
+    ]
+    return "\n".join(lines)
+
+
+def check_readme(repo: str = REPO) -> list[str]:
+    """Return a list of drift problems (empty = in sync)."""
+    problems: list[str] = []
+    led = ledger(repo)
+    if led["orphans"]:
+        problems.append(
+            "CORRECTNESS records queries absent from the registry: "
+            + ", ".join(led["orphans"])
+        )
+    readme_path = os.path.join(repo, "README.md")
+    with open(readme_path) as fh:
+        text = fh.read()
+    if BEGIN not in text or END not in text:
+        problems.append("README.md is missing the ledger auto-block markers")
+        return problems
+    current = text[text.index(BEGIN) : text.index(END) + len(END)]
+    expected = readme_block(repo)
+    if current.strip() != expected.strip():
+        problems.append("README.md ledger auto-block is stale — regenerate with --write")
+    return problems
+
+
+def write_readme(repo: str = REPO) -> None:
+    readme_path = os.path.join(repo, "README.md")
+    with open(readme_path) as fh:
+        text = fh.read()
+    block = readme_block(repo)
+    if BEGIN in text and END in text:
+        text = text[: text.index(BEGIN)] + block + text[text.index(END) + len(END) :]
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(readme_path, "w") as fh:
+        fh.write(text)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if "--readme" in args:
+        print(readme_block())
+        return 0
+    if "--write" in args:
+        write_readme()
+        print("README.md ledger block regenerated")
+        return 0
+    if "--check" in args:
+        problems = check_readme()
+        for p in problems:
+            print("DRIFT:", p)
+        print("ledger: OK" if not problems else f"ledger: {len(problems)} problem(s)")
+        return 1 if problems else 0
+    led = ledger()
+    print(f"registry: {len(led['registry'])} queries")
+    print(f"driver-green at least once: {len(led['evidence'])}")
+    print(f"never gated: {len(led['never_gated'])}")
+    print(f"gated 2+ rounds: {len(led['gated_2plus'])}")
+    print(f"window first-evidence count: {len(led['window_first_evidence'])}/50")
+    print("never gated:", ", ".join(led["never_gated"]) or "none")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -16,6 +16,7 @@ Cross-engine determinism rules used throughout (verified exact):
 from __future__ import annotations
 
 import datetime as _dt
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -71,7 +72,24 @@ PRIORITY_LABELS = {
 }
 
 
+#: per-session memo of loaded tables: a DataFrame is an immutable plan
+#: over an immutable parquet file, so reuse skips the file re-listing +
+#: footer schema read (~0.1s/table locally — pure fixed overhead that a
+#: 10-query suite pays 10x over). WeakKeyDictionary so a retired
+#: SparkSession never pins stale plans.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        per_session = _TABLE_MEMO.setdefault(spark, {})
+    except TypeError:  # un-weakref-able session stub (tests)
+        per_session = {}
+    cached = per_session.get((sf_dir, name))
+    if cached is not None:
+        return cached
     # timestamp→string edges assume UTC (the oracle treats timestamps
     # as naive); pin the session TZ so results don't depend on the
     # host timezone of whatever SparkSession the driver hands us.
@@ -102,6 +120,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumns(
             {c: F.col(c).cast("timestamp") for c in ntz_cols}
         )
+    per_session[(sf_dir, name)] = df
     return df
 
 

@@ -133,9 +133,14 @@ def text_profile(df, id_col: str, text_col: str):
     per-column helpers.
     """
     from fbs_data_pipelines_spark.functions.cleaning import round_half_up
-    from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
 
-    staged = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+    # No ensure_parallelism: one normalize+split per row is light
+    # enough that the scan's split count (which tracks corpus size) is
+    # the right parallelism — pre-shuffling the raw text cost more
+    # than the tokenize itself at sf0.1 (0.88s → 0.66s dropping it).
+    # Contrast minhash_lsh_pairs, where per-row shingling dominates
+    # and the same repartition is a 3× win.
+    staged = df.select(F.col(id_col), F.col(text_col)).select(
         F.col(id_col),
         F.col(text_col).alias("__text"),
         normalize_text(text_col).alias("__norm"),

@@ -22,16 +22,16 @@ Scale notes: state ops shuffle on the grouping key once per batch
 in the batch, never the full store.
 
 Environment gate: transformWithState's Python↔JVM state protocol is
-protobuf-based. Where ``google.protobuf`` is unavailable (this
-sandbox), the operators raise ImportError at call time with a clear
-message and their tests skip — the API surface, schemas, and state
-layout are the deliverable; ``HAS_TWS_DEPS`` reports availability.
-In protobuf-less environments the admission SEMANTICS still carry
-oracle evidence: ``first_seen_batch`` below is the batch twin
-(identical admitted set over a bounded log), and the driver-gated
-``first_seen`` query replays it batch-by-batch with carried state.
-A CI environment with protobuf installed runs the streaming tests
-directly (tests/test_stateful_tws.py un-skips itself).
+protobuf-based. Where no protobuf wheel exists (this sandbox),
+``_activate_protobuf`` appends a VENDORED minimal pure-Python runtime
+(``fbs_data_pipelines_spark/_vendor/google/protobuf`` — wire format +
+descriptor parsing, built from the public spec) so the operators run
+for real: tests/test_stateful_tws.py exercises cold-restart state
+recovery over RocksDB end-to-end, and tests/test_minipb.py pins the
+wire format with golden bytes. A real protobuf install always wins
+over the vendored one. ``first_seen_batch`` below remains the batch
+twin whose admitted set the driver-gated ``first_seen`` query checks
+against the SQL oracle.
 """
 
 from __future__ import annotations
@@ -45,21 +45,79 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-try:  # the TWS state protocol needs protobuf at runtime
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+def _activate_protobuf() -> bool:
+    """Make ``google.protobuf`` importable, vendoring if necessary.
 
-    HAS_TWS_DEPS = True
-except ImportError:  # pragma: no cover - environment-dependent
-    HAS_TWS_DEPS = False
+    Preference order: a real protobuf install wins; only when none
+    exists is ``fbs_data_pipelines_spark/_vendor`` appended to
+    ``sys.path`` (and exported via PYTHONPATH so Spark's Python
+    WORKERS — separate processes that import the state clients when
+    the UDF unpickles — resolve it too; env must be set before the
+    JVM launches, which is why this runs at module import). The
+    vendored runtime (``_vendor/google/protobuf/minipb.py``) is a
+    minimal pure-Python wire-format implementation sufficient for
+    the generated StateMessage_pb2 module.
+    """
+    import importlib
+    import os
+    import sys
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    vendor = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_vendor")
+    if vendor not in sys.path:
+        sys.path.append(vendor)
+    existing = os.environ.get("PYTHONPATH", "")
+    if vendor not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            existing + os.pathsep + vendor if existing else vendor
+        )
+    importlib.invalidate_caches()
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover - environment-dependent
+        return False
 
 
-def _require_tws() -> None:
+HAS_TWS_DEPS = _activate_protobuf()
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
+
+
+def _require_tws(df: DataFrame | None = None) -> None:
     if not HAS_TWS_DEPS:
         raise ImportError(
             "transformWithStateInPandas needs google.protobuf (the "
             "state-server protocol); install protobuf to use this "
             "operator"
         )
+    if df is not None:
+        # transformWithState requires a state store with column
+        # families; Spark only ships that in RocksDBStateStoreProvider
+        # (the HDFS-backed default rejects the query with
+        # STATE_STORE_MULTIPLE_COLUMN_FAMILIES). Upgrade the session
+        # default only if it is still the stock HDFS provider — a
+        # user's explicit custom provider is respected (and Spark will
+        # reject it at query start if it lacks column families).
+        conf = df.sparkSession.conf
+        key = "spark.sql.streaming.stateStore.providerClass"
+        current = conf.get(key, None)
+        if current in (None, _HDFS_PROVIDER):
+            conf.set(key, _ROCKSDB_PROVIDER)
 
 
 class _FirstSeen(StatefulProcessor):
@@ -99,7 +157,7 @@ def streaming_first_seen(
     key can be admitted again) — TTL is enforced by the state store
     itself, no timer bookkeeping.
     """
-    _require_tws()
+    _require_tws(df)
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     return df.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_FirstSeen(list(df.columns), ttl_ms),
@@ -158,7 +216,7 @@ def streaming_running_total(
 ) -> DataFrame:
     """Per-key running (count, sum) emitted every batch the key
     appears in — update-mode state kept as one typed ValueState row."""
-    _require_tws()
+    _require_tws(df)
     out_schema = f"key {dict(df.dtypes)[key_col]}, n_events bigint, total double"
     return df.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_RunningTotal(value_col),

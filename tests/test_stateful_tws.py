@@ -1,5 +1,20 @@
 """transformWithStateInPandas operators: first-seen admission and
-running totals — cross-batch state via Spark 4's typed-state API."""
+running totals — cross-batch state via Spark 4's typed-state API.
+
+These tests exercise the REAL typed-state runtime (Python worker ↔
+JVM state server over the protobuf protocol; RocksDB state store).
+In a protobuf-less sandbox the vendored minimal runtime
+(``fbs_data_pipelines_spark/_vendor/google/protobuf``) supplies the
+wire protocol — activation happens inside ``streaming.stateful`` at
+import; if neither a real nor the vendored protobuf can load, the
+whole module skips.
+
+Restart semantics under test: each "batch" is a separate query RUN
+over the same checkpoint, so state must survive a cold restart, not
+just a micro-batch boundary. The sink must therefore support
+checkpoint recovery — a parquet file sink (the memory sink refuses to
+resume from an existing checkpoint).
+"""
 
 from __future__ import annotations
 
@@ -25,16 +40,21 @@ def _csv_stream(spark, tmp, schema):
     return spark.readStream.schema(schema).csv(f"{tmp}/in", header=True)
 
 
-def _drain(df, tmp, name, mode):
+def _drain_to_parquet(df, tmp):
+    """Run one availableNow pass into a parquet sink (recoverable)."""
     q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
+        df.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
         .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
+
+
+def _read_out(spark, tmp):
+    return spark.read.parquet(f"{tmp}/out").collect()
 
 
 def test_first_seen_dedups_across_batches(spark):
@@ -42,23 +62,22 @@ def test_first_seen_dedups_across_batches(spark):
     os.makedirs(f"{tmp}/in")
     with open(f"{tmp}/in/b1.csv", "w") as f:
         f.write("h,doc\nh1,first\nh1,dup-in-batch\nh2,second\n")
-    stream = _csv_stream(spark, tmp, "h string, doc string")
-    out = streaming_first_seen(stream, "h")
-    _drain(out, tmp, "tws_fs1", "append")
-    got = {
-        r["h"]: r["doc"] for r in spark.sql("SELECT * FROM tws_fs1").collect()
-    }
+    out = streaming_first_seen(_csv_stream(spark, tmp, "h string, doc string"), "h")
+    _drain_to_parquet(out, tmp)
+    got = {r["h"]: r["doc"] for r in _read_out(spark, tmp)}
     assert set(got) == {"h1", "h2"}
     assert got["h2"] == "second"
 
-    # batch 2 re-delivers h1 and introduces h3: only h3 is admitted
+    # batch 2 re-delivers h1 and introduces h3: only h3 is admitted —
+    # a NEW query run resuming the same checkpoint (cold restart)
     with open(f"{tmp}/in/b2.csv", "w") as f:
         f.write("h,doc\nh1,late-redelivery\nh3,third\n")
-    stream2 = _csv_stream(spark, tmp, "h string, doc string")
-    out2 = streaming_first_seen(stream2, "h")
-    _drain(out2, tmp, "tws_fs2", "append")
-    rows2 = spark.sql("SELECT * FROM tws_fs2").collect()
-    assert {r["h"] for r in rows2} == {"h3"}
+    out2 = streaming_first_seen(_csv_stream(spark, tmp, "h string, doc string"), "h")
+    _drain_to_parquet(out2, tmp)
+    got2 = {r["h"]: r["doc"] for r in _read_out(spark, tmp)}
+    assert set(got2) == {"h1", "h2", "h3"}
+    assert got2["h1"] == "first"  # the redelivery was dropped
+    assert got2["h3"] == "third"
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -70,10 +89,9 @@ def test_running_total_accumulates_across_batches(spark):
     out = streaming_running_total(
         _csv_stream(spark, tmp, "k string, v double"), "k", "v"
     )
-    _drain(out, tmp, "tws_rt1", "update")
+    _drain_to_parquet(out, tmp)
     got = {
-        r["key"]: (r["n_events"], r["total"])
-        for r in spark.sql("SELECT * FROM tws_rt1").collect()
+        r["key"]: (r["n_events"], r["total"]) for r in _read_out(spark, tmp)
     }
     assert got == {"a": (2, 3.0), "b": (1, 10.0)}
 
@@ -82,12 +100,15 @@ def test_running_total_accumulates_across_batches(spark):
     out2 = streaming_running_total(
         _csv_stream(spark, tmp, "k string, v double"), "k", "v"
     )
-    _drain(out2, tmp, "tws_rt2", "update")
-    got2 = {
-        r["key"]: (r["n_events"], r["total"])
-        for r in spark.sql("SELECT * FROM tws_rt2").collect()
-    }
+    _drain_to_parquet(out2, tmp)
+    # parquet sink appends: take the LATEST emission per key
+    latest: dict = {}
+    for r in _read_out(spark, tmp):
+        n, tot = latest.get(r["key"], (0, 0.0))
+        if r["n_events"] >= n:
+            latest[r["key"]] = (r["n_events"], r["total"])
     # state carried over the restart: a resumes at (2, 3.0) → (3, 7.0)
-    assert got2["a"] == (3, 7.0)
-    assert got2["c"] == (1, 7.0)
+    assert latest["a"] == (3, 7.0)
+    assert latest["c"] == (1, 7.0)
+    assert latest["b"] == (1, 10.0)
     shutil.rmtree(tmp, ignore_errors=True)

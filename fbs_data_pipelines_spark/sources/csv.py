@@ -6,12 +6,12 @@ row, ragged lines, quoted multi-line fields, and duplicate headers
 re-expression:
 
 - ``spark.read.csv`` in PERMISSIVE mode with multiLine quoting.
-- ``skip_rows``: Spark's CSV reader has no skipLines; for the
-  reference's single-junk-row case we read the header ourselves
-  (driver-side peek of the first KB — O(1), not a data scan) and pass
-  an explicit schema + a filter on the junk row. For arbitrary N we
-  preprocess only when the input is a driver-bound edge (≲10 MB by
-  reference contract). Scale path: store header-clean files.
+- ``skip_rows``: Spark's CSV reader has no skipLines. Two routes:
+  ``read_dialected_csv`` peeks the header driver-side (O(1) first-KB
+  read, like a parquet footer) and filters junk rows by VALUE —
+  supports multiLine quoting; ``read_dialected_csv_positional`` drops
+  the first N physical lines per file by POSITION, fully distributed
+  and collision-proof, for arbitrary N at any input size.
 - duplicate headers: Polars renames dupes ``name_duplicated_N`` and
   the pipeline drops them (P1). We reproduce that naming so the same
   drop policy applies.
@@ -120,6 +120,79 @@ def _peek_junk_cells(
 ) -> list[str]:
     lines = _peek_lines(path, encoding, skip_rows)
     return [ln.split(sep)[0].strip() for ln in lines if ln]
+
+
+def read_dialected_csv_positional(
+    spark: SparkSession,
+    path: str,
+    sep: str = ";",
+    encoding: str = "ISO-8859-1",
+    skip_rows: int = 0,
+) -> DataFrame:
+    """Distributed, positionally-EXACT ``skip_rows=N`` CSV scan.
+
+    ``read_dialected_csv`` drops junk prologue rows by VALUE (filter
+    on the junk line's first cell) — exact only while no data row's
+    first cell collides with a junk cell. This variant drops them by
+    POSITION, fully distributed, for the multi-GB case the reference's
+    ≲10 MB contract (gdrive_handler.py:236-239) never hits:
+
+    1. scan each physical line as one row (CSV reader with an unused
+       separator and quoting disabled — honors ``encoding``, stays
+       splittable);
+    2. per-file line positions: ``monotonically_increasing_id`` is
+       sequential within a partition and file lines are contiguous in
+       their partition, so position = id - min(id) over the rows of
+       the file's FIRST split (``_metadata.file_block_start == 0`` —
+       junk lines can only live there). The min-per-file aggregate is
+       one row per file, broadcast back: no shuffle of the data;
+    3. drop positions ≤ N (junk + header), parse the rest with
+       ``F.from_csv`` using the real dialect.
+
+    Limitation: physical-line semantics — quoted fields spanning
+    newlines need ``read_dialected_csv(multi_line=True)`` (which Spark
+    necessarily reads one-file-per-task anyway, so the driver-side
+    peek there costs nothing extra at scale).
+    """
+    from pyspark.sql import functions as F
+
+    raw_header = _peek_header(spark, path, sep, encoding, skip_rows)
+    names = dedup_headers(raw_header)
+
+    lines = (
+        spark.read.schema("value string")
+        .option("sep", "\u0001")  # separator that never occurs in text
+        .option("quote", "\u0000")  # raw physical lines, no quote folding
+        .option("encoding", encoding)
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+        .select(
+            "value",
+            F.col("_metadata.file_path").alias("__f"),
+            F.col("_metadata.file_block_start").alias("__bs"),
+        )
+        .withColumn("__id", F.monotonically_increasing_id())
+    )
+    heads = (
+        lines.filter(F.col("__bs") == 0)
+        .groupBy("__f")
+        .agg(F.min("__id").alias("__base"))
+    )
+    pos = F.col("__id") - F.col("__base")
+    kept = (
+        lines.join(F.broadcast(heads), "__f")
+        .filter((F.col("__bs") > 0) | (pos > skip_rows))
+    )
+    ddl = ", ".join(f"`{n}` STRING" for n in names)
+    parsed = kept.select(
+        F.from_csv(
+            "value",
+            ddl,
+            {"sep": sep, "quote": '"', "escape": '"', "mode": "PERMISSIVE"},
+        ).alias("__row")
+    )
+    return parsed.select(*[F.col(f"__row.{n}").alias(n) for n in names])
 
 
 def read_csv_text(path: str, encoding: str = "latin-1") -> list[list[str]]:

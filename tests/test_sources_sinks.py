@@ -219,3 +219,47 @@ def test_json_permissive_corrupt_records(spark, tmp_path):
     bad = [r for r in rows if r["_bad"] is not None]
     assert {r["id"] for r in good} == {1, 2}
     assert len(bad) == 1 and bad[0]["_bad"].startswith("{broken")
+
+
+def test_read_dialected_csv_positional_skip(spark, tmp_path):
+    """Distributed positional skip: N>1 junk rows, multiple files,
+    multi-split scan, and a data row whose first cell COLLIDES with a
+    junk cell (the case the value-filter path cannot keep)."""
+    from fbs_data_pipelines_spark.sources.csv import read_dialected_csv_positional
+
+    d = tmp_path / "csvs"
+    d.mkdir()
+    junk = "REPORTE GENERADO;;;\nFECHA CORTE 2020;;;\n"
+    header = "Cr\xe9dito;Monto;Estado\n"
+    # file 1: includes a data row whose first cell equals a junk cell
+    body1 = (
+        "1;100,5;OK\n"
+        "REPORTE GENERADO;200,0;COLLIDE\n"  # must survive positional skip
+        "3;300,0;OK\n"
+    )
+    # file 2: large enough to split into multiple scan partitions
+    body2 = "".join(f"{i};{i}0,0;BULK\n" for i in range(10, 2010))
+    (d / "a.csv").write_bytes((junk + header + body1).encode("latin-1"))
+    (d / "b.csv").write_bytes((junk + header + body2).encode("latin-1"))
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024))
+    try:
+        df = read_dialected_csv_positional(
+            spark, str(d / "*.csv"), skip_rows=2
+        )
+        rows = df.collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    assert df.columns == ["Cr\xe9dito", "Monto", "Estado"]
+    by_key = {r["Cr\xe9dito"]: r for r in rows}
+    # the colliding data row survived (value-filter would drop it)
+    assert by_key["REPORTE GENERADO"]["Estado"] == "COLLIDE"
+    # no junk or header rows leaked through
+    assert "FECHA CORTE 2020" not in by_key
+    assert "Monto" not in {r["Monto"] for r in rows}
+    # every data row from both files arrived exactly once
+    assert len(rows) == 3 + 2000
+    assert by_key["1"]["Monto"] == "100,5"
+    assert by_key["1999"]["Estado"] == "BULK"

@@ -1685,6 +1685,31 @@ def q_streaming_rollup(spark, sf_dir):
     )
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable bottom-k quantile sketch (operators/sketches.py
+    qsketch_*): per order status, quantile estimates of the price from
+    a deterministic 256-row hash-rank sample — the rank-estimate
+    sibling of HLL (distinct) and CMS (frequency), mergeable by
+    union + re-top-k for incremental maintenance at 100 TB. The value
+    is quantized to integer cents FIRST (floor(price·100)) because the
+    sample membership hashes the value's string form, and double→
+    string rendering is engine-specific — same cross-engine
+    determinism rule as the revenue sums. md5-portable: the DuckDB
+    oracle rebuilds the identical sample and picks identical order
+    statistics — approximate answers, exact verification."""
+    from fbs_data_pipelines_spark.operators.sketches import approx_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_totalprice").isNotNull()).select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    est = approx_quantiles(
+        base, ["o_orderstatus"], "price_cents", [0.25, 0.5, 0.75, 0.95], k=256
+    )
+    return est.select("o_orderstatus", "q", F.col("approx_value").alias("approx_cents"))
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch point-frequency estimates next to exact
     counts (operators/sketches.py). Like the HLL query, the sketch is
@@ -3069,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== driver gate window ends here (50 entries) ===============
         # last two never-gated queries — rotate IN round 8:
         "latest_snapshot_agg": q_latest_snapshot_agg,
+        "quantile_sketch": q_quantile_sketch,  # new r7: rotate in r8
         "curation_v2": q_curation_v2,
         # --- demoted: reference-core relational surface (SURVEY §2) ----
         "pricing_summary": q_pricing_summary,
@@ -4639,6 +4665,38 @@ def oracle_sql() -> dict[str, str]:
                max(o_totalprice) AS max_price
         FROM orders
         GROUP BY o_orderstatus
+    """
+
+    # bottom-k quantile sketch mirrored sample-for-sample: identical
+    # md5 hash ranks -> identical k-sample -> identical order statistic
+    # picks (floor(q*(n-1)) over the value-sorted sample)
+    sql["quantile_sketch"] = """
+        WITH base AS (
+            SELECT o_orderstatus AS g,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders WHERE o_totalprice IS NOT NULL
+        ), ranked AS (
+            SELECT g, v,
+                   ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT
+                       AS hrank
+            FROM base
+        ), topk AS (
+            SELECT g, v FROM (
+                SELECT g, v, row_number() OVER (
+                    PARTITION BY g ORDER BY hrank ASC, v ASC) AS rn
+                FROM ranked
+            ) WHERE rn <= 256
+        ), sorted AS (
+            SELECT g, v,
+                   row_number() OVER (PARTITION BY g ORDER BY v ASC) AS vr,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM topk
+        ), qs AS (
+            SELECT CAST(q AS DOUBLE) AS q
+            FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q)
+        )
+        SELECT g AS o_orderstatus, q, v AS approx_cents
+        FROM sorted JOIN qs ON vr = floor(q * (n - 1)) + 1
     """
 
     # count-min sketch mirrored counter-for-counter: row-salted md5

@@ -32,7 +32,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: register-index width in hex chars (12 bits → m = 4096 registers);
@@ -209,3 +209,111 @@ def cms_lookup(state: DataFrame, keys: DataFrame, col: str) -> DataFrame:
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("approx_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch — the rank-estimate sibling of HLL/CMS:
+# keep the k rows with the SMALLEST md5 hash rank per group. Hash
+# ranks are uniform, so the kept rows are a uniform k-sample of the
+# group; the q-quantile of the sample estimates the group quantile
+# with rank error ~ sqrt(q(1-q)/k) (binomial order statistics).
+# Deterministic (no RNG state), engine-portable (md5), and MERGEABLE:
+# merging two states is union + re-top-k, the same
+# delta-maintenance contract as hll_merge/cms_merge — a 100 TB corpus
+# maintains per-partition states and merges, never re-scans.
+# ---------------------------------------------------------------------------
+
+#: sample size per group: rank error ~ sqrt(0.25/k) ≈ 2.2% at k=512
+_QSK_K = 512
+
+
+def _qsk_rank(col: Column) -> Column:
+    """Deterministic uniform rank in [0, 2^32): first 8 md5 hex chars.
+
+    Salted with the VALUE only, so duplicates of a value share a rank —
+    ties are broken by the value itself in the top-k window, keeping
+    state content deterministic under any row order."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def qsketch_state(
+    df: DataFrame, group_cols: Sequence[str], col: str, k: int = _QSK_K
+) -> DataFrame:
+    """Bottom-k state: (group…, value, hrank), ≤ k rows per group.
+
+    One shuffle on the group key for the per-group top-k window; the
+    kept set is ≤ k rows per group no matter the input size. Nulls are
+    skipped (SQL aggregate semantics). ``n_total`` (true group row
+    count) rides along on every state row so estimates can report the
+    sampled fraction after merges."""
+    c = F.col(col)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("hrank").asc(), F.col("value").asc()
+    )
+    return (
+        df.filter(c.isNotNull())
+        .select(*group_cols, c.alias("value"), _qsk_rank(c).alias("hrank"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def qsketch_merge(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str], k: int = _QSK_K
+) -> DataFrame:
+    """Merge two bottom-k states: union + re-top-k. Never revisits raw
+    data; both inputs are already ≤ k rows per group, so the merge
+    window sees ≤ 2k rows per group."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("hrank").asc(), F.col("value").asc()
+    )
+    return (
+        a.unionByName(b)
+        # the same (value, hrank) row may arrive from both sides when
+        # the states overlap; bottom-k set semantics dedups first
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def qsketch_quantiles(
+    state: DataFrame, group_cols: Sequence[str], qs: Sequence[float]
+) -> DataFrame:
+    """Quantile estimates per group from the bottom-k sample.
+
+    Rule (mirrored exactly by the SQL oracle): sort the sample by
+    value; the q-estimate is the element at index floor(q·(n−1)) of
+    the sorted sample (percentile_disc semantics over the sample).
+    Output: (group…, q, approx_value) — one row per group × q."""
+    vw = Window.partitionBy(*group_cols).orderBy(F.col("value").asc())
+    ranked = (
+        state.withColumn("vr", F.row_number().over(vw))
+        .withColumn("n", F.count("*").over(Window.partitionBy(*group_cols)))
+    )
+    out = None
+    for q in qs:
+        pick = ranked.filter(
+            F.col("vr") == (F.floor(F.lit(float(q)) * (F.col("n") - 1)) + 1)
+        ).select(
+            *group_cols,
+            F.lit(float(q)).alias("q"),
+            F.col("value").alias("approx_value"),
+        )
+        out = pick if out is None else out.unionByName(pick)
+    return out
+
+
+def approx_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    qs: Sequence[float],
+    k: int = _QSK_K,
+) -> DataFrame:
+    """One-shot grouped quantile estimates (state → estimates)."""
+    return qsketch_quantiles(qsketch_state(df, group_cols, col, k), group_cols, qs)

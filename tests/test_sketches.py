@@ -120,3 +120,70 @@ def test_cms_absent_key_estimates_small(spark):
     est = cms_lookup(st, missing, "v").collect()[0].approx_count
     # collisions can only contribute e*N/w-ish mass
     assert est <= 3 * 5000 / 1024
+
+
+# --- bottom-k quantile sketch -------------------------------------------
+
+
+def test_qsketch_merge_equals_single_pass(spark, sf_dir):
+    from fbs_data_pipelines_spark.operators.sketches import (
+        qsketch_merge,
+        qsketch_state,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus", F.floor(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    half_a = df.filter(F.col("v") % 2 == 0)
+    half_b = df.filter(F.col("v") % 2 != 0)
+    single = qsketch_state(df, ["o_orderstatus"], "v", k=64)
+    merged = qsketch_merge(
+        qsketch_state(half_a, ["o_orderstatus"], "v", k=64),
+        qsketch_state(half_b, ["o_orderstatus"], "v", k=64),
+        ["o_orderstatus"],
+        k=64,
+    )
+    s = {tuple(r) for r in single.collect()}
+    m = {tuple(r) for r in merged.collect()}
+    assert s == m  # bottom-k is an exactly mergeable set operation
+
+
+def test_qsketch_state_bounded_and_deterministic(spark, sf_dir):
+    from fbs_data_pipelines_spark.operators.sketches import qsketch_state
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus", F.floor(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    st = qsketch_state(df, ["o_orderstatus"], "v", k=32)
+    sizes = {r["o_orderstatus"]: r["n"] for r in
+             st.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 32 for n in sizes.values())
+    # deterministic: re-running over a reshuffled input gives the same set
+    st2 = qsketch_state(df.repartition(7), ["o_orderstatus"], "v", k=32)
+    assert {tuple(r) for r in st.collect()} == {tuple(r) for r in st2.collect()}
+
+
+def test_qsketch_quantiles_within_rank_error(spark, sf_dir):
+    import math
+
+    from fbs_data_pipelines_spark.operators.sketches import approx_quantiles
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.lit("all").alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    k = 256
+    qs = [0.25, 0.5, 0.9]
+    est = {
+        r["q"]: r["approx_value"]
+        for r in approx_quantiles(df, ["g"], "v", qs, k=k).collect()
+    }
+    vals = sorted(r["v"] for r in df.collect())
+    n = len(vals)
+    for q in qs:
+        # measured rank of the estimate vs 3-sigma binomial rank error
+        import bisect
+
+        rank = bisect.bisect_left(vals, est[q]) / (n - 1)
+        sigma = math.sqrt(q * (1 - q) / k)
+        assert abs(rank - q) <= 3 * sigma, (q, rank, sigma)

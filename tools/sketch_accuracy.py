@@ -97,6 +97,38 @@ def main() -> int:
         "within_bound_frac": round(within, 4),
     })
 
+    # ---- bottom-k quantile sketch: measured rank error ----------------
+    import bisect
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.lit("all").alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    k = 512
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {
+        r["q"]: r["approx_value"]
+        for r in S.approx_quantiles(df, ["g"], "v", qs, k=k).collect()
+    }
+    vals = sorted(r["v"] for r in df.collect())
+    n = len(vals)
+    worst = 0.0
+    checks = []
+    for q in qs:
+        rank = bisect.bisect_left(vals, est[q]) / (n - 1)
+        sigma = math.sqrt(q * (1 - q) / k)
+        worst = max(worst, abs(rank - q) / sigma if sigma else 0.0)
+        checks.append(abs(rank - q) <= 3 * sigma)
+    results.append({
+        "sketch": "qsketch",
+        "table": "orders",
+        "column": "o_totalprice(cents)",
+        "k": k,
+        "quantiles": qs,
+        "worst_rank_error_sigmas": round(worst, 2),
+        "within_3_sigma": all(checks),
+    })
+
     for r in results:
         print(json.dumps(r))
     ok = all(

@@ -1492,6 +1492,89 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_tws_first_seen(spark, sf_dir):
+    """The REAL transformWithStateInPandas first-seen admission under
+    the oracle gate (streaming/stateful.streaming_first_seen): typed
+    per-key ValueState in RocksDB, spoken over the protobuf state
+    protocol (vendored minimal runtime where no protobuf wheel
+    exists). The events log is replayed as TWO separate availableNow
+    query RUNS over one checkpoint — the second run resumes from a
+    cold restart, so the oracle verifies cross-run state recovery,
+    not just micro-batch carryover.
+
+    Each half is pre-reduced to its per-key first arrival by event_id
+    (first_seen_batch) so the admitted row per key is deterministic;
+    the streaming operator's job — dropping cross-batch re-arrivals
+    via state — is exactly what the oracle checks: the final admitted
+    set must equal first-event-per-user over the WHOLE log. Scale:
+    keyed state shuffle per batch, state linear in distinct keys."""
+    import os
+    import shutil as _sh
+    import tempfile as _tf
+
+    base = os.path.join(
+        _tf.gettempdir(),
+        f"fbs_q_tws_first_seen_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_dir)
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    hi = (e.agg(F.max("event_id")).collect()[0][0] or 0) + 1
+
+    # a stateful query's state partition count is pinned by
+    # spark.sql.shuffle.partitions at FIRST run and recorded in the
+    # checkpoint; a vanilla session's 200 is oversized for this state
+    # (150 keys at sf0.01). Scope it down for the two runs, restore
+    # after — correctness is partition-count-independent, the compare
+    # is order-insensitive, and the checkpoint is recreated per call.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        _run_tws_batches(spark, e, hi, in_dir, out_dir, ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    return spark.read.parquet(out_dir).select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+def _run_tws_batches(spark, e, hi, in_dir, out_dir, ckpt):
+    import os
+
+    from fbs_data_pipelines_spark.streaming.stateful import (
+        first_seen_batch,
+        streaming_first_seen,
+    )
+
+    for i, (lo, up) in enumerate([(0, hi // 2), (hi // 2, hi)]):
+        half = e.filter((F.col("event_id") >= lo) & (F.col("event_id") < up))
+        # deterministic in-batch representative; cross-batch dedup is
+        # the state's job
+        first_seen_batch(half, "user_id", "event_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(in_dir, f"batch{i}"))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, event_type string"
+            ).option("recursiveFileLookup", "true").parquet(in_dir)
+        )
+        q = (
+            streaming_first_seen(stream, "user_id")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+
 def q_streaming_merge(spark, sf_dir):
     """End-to-end exactly-once streaming upsert: the C2 merge driven
     through Structured Streaming's ``foreachBatch`` into a
@@ -3095,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # last two never-gated queries — rotate IN round 8:
         "latest_snapshot_agg": q_latest_snapshot_agg,
         "quantile_sketch": q_quantile_sketch,  # new r7: rotate in r8
+        "tws_first_seen": q_tws_first_seen,  # new r7: rotate in r8
         "curation_v2": q_curation_v2,
         # --- demoted: reference-core relational surface (SURVEY §2) ----
         "pricing_summary": q_pricing_summary,
@@ -4665,6 +4749,18 @@ def oracle_sql() -> dict[str, str]:
                max(o_totalprice) AS max_price
         FROM orders
         GROUP BY o_orderstatus
+    """
+
+    # the real transformWithStateInPandas admission: final admitted
+    # set == first event per user over the whole log (state carries
+    # across a cold query restart; the oracle checks the union)
+    sql["tws_first_seen"] = """
+        SELECT user_id, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
     """
 
     # bottom-k quantile sketch mirrored sample-for-sample: identical

@@ -106,6 +106,30 @@ def _require_tws(df: DataFrame | None = None) -> None:
             "operator"
         )
     if df is not None:
+        # If protobuf came from OUR vendor dir, the separate Python
+        # processes the JVM spawns for this operator (state-server
+        # workers and the TWS driver-side runner) must find it too.
+        # os.environ only helps when it was set BEFORE the JVM
+        # launched; for a pre-existing session (the driver hands us
+        # one) inject via sc.environment — pyspark captures that
+        # mutable dict into every subsequently-created Python
+        # function's envVars (core/rdd.py _prepare_for_python_RDD),
+        # and the JVM launches the runner with those envVars.
+        import os as _os
+
+        import google.protobuf as _gp
+
+        vendor = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "_vendor",
+        )
+        if (_gp.__file__ or "").startswith(vendor):
+            env = df.sparkSession.sparkContext.environment
+            current = env.get("PYTHONPATH", "")
+            if vendor not in current.split(_os.pathsep):
+                env["PYTHONPATH"] = (
+                    current + _os.pathsep + vendor if current else vendor
+                )
         # transformWithState requires a state store with column
         # families; Spark only ships that in RocksDBStateStoreProvider
         # (the HDFS-backed default rejects the query with

@@ -295,17 +295,23 @@ def qsketch_quantiles(
         state.withColumn("vr", F.row_number().over(vw))
         .withColumn("n", F.count("*").over(Window.partitionBy(*group_cols)))
     )
-    out = None
-    for q in qs:
-        pick = ranked.filter(
-            F.col("vr") == (F.floor(F.lit(float(q)) * (F.col("n") - 1)) + 1)
-        ).select(
+    # ONE pass for all quantiles: explode the q list against the ranked
+    # sample and keep the matching order statistic — a per-q union
+    # would replay the whole window subtree len(qs) times (measured 7
+    # exchanges vs 2 for this shape).
+    return (
+        ranked.select(
             *group_cols,
-            F.lit(float(q)).alias("q"),
-            F.col("value").alias("approx_value"),
+            F.col("value"),
+            F.col("vr"),
+            F.col("n"),
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in qs])
+            ).alias("q"),
         )
-        out = pick if out is None else out.unionByName(pick)
-    return out
+        .filter(F.col("vr") == F.floor(F.col("q") * (F.col("n") - 1)) + 1)
+        .select(*group_cols, "q", F.col("value").alias("approx_value"))
+    )
 
 
 def approx_quantiles(

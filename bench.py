@@ -119,12 +119,15 @@ def main() -> None:
             con = None
 
     # pass 1 — sequential steady-state, PER-QUERY PAIRED with the
-    # baseline: Spark (min of 3; the first run pays one-time
-    # plan/codegen compilation and the JVM's C2 JIT keeps improving
-    # over the first few runs — min-of-2 measurably under-warms the
-    # multi-stage queries) then immediately the DuckDB oracle (min of
-    # 3) for the same query, so any load spike lands on both engines'
-    # numbers for that query, not just one side's.
+    # baseline: Spark min-of-3 back-to-back (the first run pays
+    # one-time plan/codegen compilation and C2 JIT; back-to-back runs
+    # keep the JVM's caches hot — an interleaved whole-suite round
+    # structure was measured to cool each query ~2x through
+    # cross-query cache/GC pollution, a penalty single-process DuckDB
+    # never pays, so it would fake a regression vs the r1-r6 bench
+    # history), then immediately the DuckDB oracle (min of 3) for the
+    # same query, so a load spike lands on both engines' numbers for
+    # that query, not just one side's.
     timings: dict[str, float] = {}
     duck_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -236,6 +239,10 @@ def main() -> None:
     if duck_sequential_total:
         out["baseline_duckdb_sequential_total"] = duck_sequential_total
         out["baseline_queries"] = duck_timings
+        # sequential_ratio: sum of per-query steady-state minima on
+        # BOTH sides — symmetric floors, robust to the 2-3x host-level
+        # noise this VM shows between runs (which hits the 32-thread
+        # JVM harder than single-process DuckDB)
         out["sequential_ratio"] = round(
             sum(timings[n] for n in ok) / duck_sequential_total, 3
         )

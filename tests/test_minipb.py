@@ -142,3 +142,66 @@ def test_vendor_never_shadows_real_protobuf():
     vendor_entries = [p for p in sys.path if p.endswith("_vendor")]
     if vendor_entries:  # vendored mode
         assert sys.path.index(vendor_entries[0]) > 0
+
+
+# --- property-based round-trip over every generated message type --------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+
+if HAS_HYPOTHESIS:
+
+    def _scalar_strategy(fd):
+        if fd.type == minipb.TYPE_STRING:
+            return st.text(max_size=40)
+        if fd.type == minipb.TYPE_BYTES:
+            return st.binary(max_size=40)
+        if fd.type == minipb.TYPE_BOOL:
+            return st.booleans()
+        if fd.type in (minipb.TYPE_UINT32, minipb.TYPE_UINT64):
+            return st.integers(min_value=0, max_value=2**63 - 1)
+        if fd.type == minipb.TYPE_ENUM:
+            return st.integers(min_value=0, max_value=5)
+        return st.integers(min_value=-(2**62), max_value=2**62)
+
+    def _all_message_classes():
+        sm = _sm()
+        file_des = sm.DESCRIPTOR
+        return sorted(
+            file_des.message_classes.items(), key=lambda kv: kv[0]
+        )
+
+    @settings(max_examples=30, deadline=None)
+    @given(data=st.data())
+    def test_random_scalar_roundtrip_every_message(data):
+        """For every message type in StateMessage.proto: populate every
+        non-message, non-repeated field with random values (one oneof
+        member per oneof), serialize, reparse, and require value
+        equality — catches encode/decode asymmetries the golden-byte
+        tests cannot cover."""
+        for full_name, cls in _all_message_classes():
+            kwargs = {}
+            seen_oneofs = set()
+            for fd in cls._fields_sorted:
+                if fd.repeated or fd.type == minipb.TYPE_MESSAGE:
+                    continue
+                if fd.oneof is not None:
+                    if fd.oneof in seen_oneofs:
+                        continue
+                    seen_oneofs.add(fd.oneof)
+                kwargs[fd.name] = data.draw(
+                    _scalar_strategy(fd), label=f"{full_name}.{fd.name}"
+                )
+            msg = cls(**kwargs)
+            back = cls()
+            back.ParseFromString(msg.SerializeToString())
+            for name, val in kwargs.items():
+                assert getattr(back, name) == val, (full_name, name)
+            # reserialization is byte-stable (field order by number)
+            assert back.SerializeToString() == msg.SerializeToString()

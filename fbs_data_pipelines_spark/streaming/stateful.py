@@ -248,3 +248,107 @@ def streaming_running_total(
         outputMode="Update",
         timeMode="None",
     )
+
+
+class _SessionWindows(StatefulProcessor):
+    """Gap-based session windows via typed state + EVENT-TIME TIMERS.
+
+    State per key: (start, last, n) of the open session. Every batch
+    folds its rows into the open session and re-arms one event-time
+    timer at last + gap; when the watermark passes it, Spark calls
+    ``handleExpiredTimer`` — the session closes, emits, and clears.
+    This drives the timer half of the TWS state protocol
+    (RegisterTimer/DeleteTimer/expiry callbacks) end-to-end.
+    """
+
+    def __init__(self, gap_ms: int, ts_col: str):
+        self._gap_ms = gap_ms
+        self._ts_col = ts_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState(
+            "sess", "start long, last long, n long"
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        lo, hi, n = None, None, 0
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            # Arrow hands the timestamp column over as datetime64
+            # (ns here); normalize through an explicit ms cast so the
+            # unit never silently changes the epoch math (session TZ
+            # pinned to UTC by the operator)
+            ts = pdf[self._ts_col].astype("datetime64[ms]").astype("int64")
+            bmin, bmax = int(ts.min()), int(ts.max())
+            lo = bmin if lo is None else min(lo, bmin)
+            hi = bmax if hi is None else max(hi, bmax)
+            n += len(pdf)
+        if n == 0:
+            return
+        if self._sess.exists():
+            start, last, seen = self._sess.get()
+            self._handle.deleteTimer(last + self._gap_ms)
+            start, last, seen = min(start, lo), max(last, hi), seen + n
+        else:
+            start, last, seen = lo, hi, n
+        self._sess.update((start, last, seen))
+        self._handle.registerTimer(last + self._gap_ms)
+        return
+        yield  # pragma: no cover - make this a generator
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if self._sess.exists():
+            start, last, seen = self._sess.get()
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_events": [seen],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_sessionize_tws(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_ms: int,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Session windows that close ``gap_ms`` after a key's last event,
+    enforced by EVENT-TIME TIMERS in the typed-state runtime — the
+    transformWithState successor of ``streaming/sessionize.py``'s
+    applyInPandasWithState operator (which carries the whole session
+    blob through its own timeout bookkeeping; here the store keeps one
+    (start,last,n) row per key and the TIMER does the closing).
+
+    Emits (key, session_start, session_end, n_events) in epoch ms when
+    sessions CLOSE (watermark passes last+gap). Scale shape: one keyed
+    state shuffle per batch; state is 24 bytes per OPEN session — a
+    100 TB event stream holds state only for currently-active keys,
+    and the timers fire without scanning the store.
+    """
+    from pyspark.sql import functions as F
+
+    _require_tws(df)
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    with_ts = df.withWatermark(ts_col, watermark_delay).select(key_col, ts_col)
+    return with_ts.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_SessionWindows(gap_ms, ts_col),
+        outputStructType=(
+            "key long, session_start long, session_end long, n_events long"
+        ),
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -112,3 +112,60 @@ def test_running_total_accumulates_across_batches(spark):
     assert latest["c"] == (1, 7.0)
     assert latest["b"] == (1, 10.0)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_session_windows_close_via_event_time_timers(spark):
+    """Timer path of the state protocol: sessions close when the
+    WATERMARK passes last_event + gap — driven by RegisterTimer /
+    DeleteTimer / handleExpiredTimer, across a query restart."""
+    from fbs_data_pipelines_spark.streaming.stateful import (
+        streaming_sessionize_tws,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tws_sess_")
+    os.makedirs(f"{tmp}/in")
+
+    def run_batch(fname, body):
+        with open(f"{tmp}/in/{fname}", "w") as f:
+            f.write("user,ts\n" + body)
+        stream = spark.readStream.schema("user long, ts timestamp").csv(
+            f"{tmp}/in", header=True
+        )
+        out = streaming_sessionize_tws(stream, "user", "ts", gap_ms=10_000)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: u1 has two events 4s apart, u2 one event; gap=10s, so no
+    # session can close yet (watermark only reaches 0:05)
+    run_batch(
+        "b1.csv",
+        "1,2024-01-01 00:00:01\n"
+        "1,2024-01-01 00:00:05\n"
+        "2,2024-01-01 00:00:02\n",
+    )
+    # run 2 (cold restart, same checkpoint): u3's event at 0:60 pushes
+    # the watermark to 0:60 — but Spark evaluates timers against the
+    # PREVIOUS batch's watermark (0:05), so nothing fires yet
+    run_batch("b2.csv", "3,2024-01-01 00:01:00\n")
+    # run 3: another batch now sees watermark 0:60 > both pending
+    # timers (0:15 and 0:12) -> u1 and u2 sessions close and emit;
+    # u3's (0:70) and u4's own sessions stay open
+    run_batch("b3.csv", "4,2024-01-01 00:01:05\n")
+
+    rows = {r["key"]: r for r in spark.read.parquet(f"{tmp}/out").collect()}
+    base = 1704067200000  # 2024-01-01 00:00:00 UTC in epoch ms
+    assert set(rows) == {1, 2}, rows
+    assert rows[1]["session_start"] == base + 1_000
+    assert rows[1]["session_end"] == base + 5_000
+    assert rows[1]["n_events"] == 2
+    assert rows[2]["session_start"] == base + 2_000
+    assert rows[2]["session_end"] == base + 2_000
+    assert rows[2]["n_events"] == 1
+    shutil.rmtree(tmp, ignore_errors=True)

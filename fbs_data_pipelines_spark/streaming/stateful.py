@@ -3,7 +3,7 @@
 ``applyInPandasWithState`` (streaming/sessionize.py) is the legacy
 single-blob-state escape hatch; Spark 4's ``transformWithStateInPandas``
 is its successor — typed per-key state primitives (value/list/map),
-native TTL, timers, and RocksDB-backed stores. Two operators here:
+native TTL, timers, and RocksDB-backed stores. Operators here:
 
 - ``streaming_first_seen``: exactly-once-per-content admission — the
   streaming twin of ``operators.dedup.incremental_dedup``. Per
@@ -16,6 +16,11 @@ native TTL, timers, and RocksDB-backed stores. Two operators here:
 - ``streaming_running_total``: per-key running aggregate (count +
   sum) maintained across batches — the update-mode counter that
   ``incremental_rollup`` materializes in batch form.
+
+- ``streaming_sessionize_tws``: gap-based session windows closed by
+  EVENT-TIME TIMERS (registerTimer/handleExpiredTimer) — the typed-
+  state successor of ``streaming/sessionize.py``'s
+  applyInPandasWithState operator; 24 bytes of state per OPEN session.
 
 Scale notes: state ops shuffle on the grouping key once per batch
 (unavoidable for keyed state); handlers touch only the keys present

@@ -357,3 +357,116 @@ def streaming_sessionize_tws(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+class _CategoryCounts(StatefulProcessor):
+    """Per-key MAP STATE: category → running count across the stream.
+
+    Exercises the MapState protocol (getValue/updateValue/iterator)
+    the way a 100 TB ingest tracks per-source per-category tallies:
+    the store holds one map entry per (key, category) ever seen, each
+    batch touches only the categories present in the batch, and
+    Update-mode output re-emits exactly the touched pairs.
+    """
+
+    def __init__(self, cat_col: str):
+        self._cat_col = cat_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "counts", "category string", "n long"
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch: dict[str, int] = {}
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            for cat, cnt in pdf[self._cat_col].value_counts().items():
+                batch[cat] = batch.get(cat, 0) + int(cnt)
+        if not batch:
+            return
+        out_cat, out_n = [], []
+        for cat, cnt in sorted(batch.items()):
+            prev = self._counts.getValue((cat,))
+            total = (prev[0] if prev else 0) + cnt
+            self._counts.updateValue((cat,), (total,))
+            out_cat.append(cat)
+            out_n.append(total)
+        yield pd.DataFrame({"key": [key[0]] * len(out_cat),
+                            "category": out_cat, "n": out_n})
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_category_counts(
+    df: DataFrame, key_col: str, cat_col: str
+) -> DataFrame:
+    """Running per-(key, category) counts across the whole stream —
+    the typed-state (MapState) form of a streaming
+    ``groupBy(key, cat).count()`` whose state the operator can also
+    prune per entry (RemoveKey) rather than only whole-key. Emits the
+    updated totals for exactly the (key, category) pairs touched by
+    each batch (Update mode)."""
+    _require_tws(df)
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_CategoryCounts(cat_col),
+        outputStructType="key long, category string, n long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+class _RecentEvents(StatefulProcessor):
+    """Per-key LIST STATE: bounded buffer of the most recent values.
+
+    Exercises the ListState protocol (get/put/appendList): the store
+    keeps ≤ n tuples per key — the replay buffer shape (dedup
+    lookback, fraud n-gram, context window) that would be a
+    full-history blowup as a ValueState blob.
+    """
+
+    def __init__(self, val_col: str, n: int):
+        self._val_col = val_col
+        self._n = n
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._recent = handle.getListState("recent", "v long")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        incoming: list[tuple] = []
+        for pdf in rows:
+            if len(pdf):
+                incoming.extend((int(v),) for v in pdf[self._val_col])
+        if not incoming:
+            return
+        existing = [t for t in self._recent.get()] if self._recent.exists() else []
+        merged = (existing + incoming)[-self._n:]
+        self._recent.put(merged)
+        yield pd.DataFrame({
+            "key": [key[0]],
+            "recent": [[t[0] for t in merged]],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_recent_events(
+    df: DataFrame, key_col: str, val_col: str, n: int = 5
+) -> DataFrame:
+    """Last-``n`` values per key maintained across batches (ListState).
+    Emits one row per key per touched batch: (key, recent array) with
+    arrival order preserved, oldest first."""
+    _require_tws(df)
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_RecentEvents(val_col, n),
+        outputStructType="key long, recent array<bigint>",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -169,3 +169,87 @@ def test_session_windows_close_via_event_time_timers(spark):
     assert rows[2]["session_end"] == base + 2_000
     assert rows[2]["n_events"] == 1
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_map_state_category_counts_across_batches(spark):
+    """MapState protocol: per-(key, category) running counts; only
+    touched pairs re-emit; counts accumulate across a restart."""
+    from fbs_data_pipelines_spark.streaming.stateful import (
+        streaming_category_counts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tws_map_")
+    os.makedirs(f"{tmp}/in")
+
+    def run(fname, body):
+        with open(f"{tmp}/in/{fname}", "w") as f:
+            f.write("k,cat\n" + body)
+        out = streaming_category_counts(
+            _csv_stream(spark, tmp, "k long, cat string"), "k", "cat"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("b1.csv", "1,click\n1,click\n1,view\n2,view\n")
+    run("b2.csv", "1,click\n2,buy\n")
+
+    rows = spark.read.parquet(f"{tmp}/out").collect()
+    latest = {}
+    for r in rows:
+        latest[(r["key"], r["category"])] = max(
+            latest.get((r["key"], r["category"]), 0), r["n"]
+        )
+    assert latest == {
+        (1, "click"): 3,  # 2 in batch1 + 1 in batch2 (state carried)
+        (1, "view"): 1,
+        (2, "view"): 1,
+        (2, "buy"): 1,
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_list_state_recent_buffer_across_batches(spark):
+    """ListState protocol: bounded last-n buffer, order preserved,
+    truncation at n, state carried across a restart."""
+    from fbs_data_pipelines_spark.streaming.stateful import (
+        streaming_recent_events,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tws_list_")
+    os.makedirs(f"{tmp}/in")
+
+    def run(fname, body):
+        with open(f"{tmp}/in/{fname}", "w") as f:
+            f.write("k,v\n" + body)
+        out = streaming_recent_events(
+            _csv_stream(spark, tmp, "k long, v long"), "k", "v", n=3
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("b1.csv", "1,10\n1,11\n2,20\n")
+    run("b2.csv", "1,12\n1,13\n")  # 10 falls out of the n=3 window
+
+    rows = spark.read.parquet(f"{tmp}/out").collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["key"])
+        if cur is None or len(r["recent"]) >= len(cur):
+            latest[r["key"]] = list(r["recent"])
+    assert latest[1] == [11, 12, 13]
+    assert latest[2] == [20]
+    shutil.rmtree(tmp, ignore_errors=True)

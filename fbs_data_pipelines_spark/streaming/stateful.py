@@ -377,6 +377,15 @@ class _CategoryCounts(StatefulProcessor):
             "counts", "category string", "n long"
         )
 
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        """Bootstrap from a batch backfill: one pandas frame per key
+        with (category, n) columns — the first micro-batch starts from
+        these tallies instead of replaying history (the
+        migrate-a-batch-job-to-streaming path; at 100 TB the backfill
+        is a one-pass batch aggregate, never a stream replay)."""
+        for cat, n in zip(initialState["category"], initialState["n"]):
+            self._counts.updateValue((str(cat),), (int(n),))
+
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
@@ -403,20 +412,32 @@ class _CategoryCounts(StatefulProcessor):
 
 
 def streaming_category_counts(
-    df: DataFrame, key_col: str, cat_col: str
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    initial_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Running per-(key, category) counts across the whole stream —
     the typed-state (MapState) form of a streaming
     ``groupBy(key, cat).count()`` whose state the operator can also
     prune per entry (RemoveKey) rather than only whole-key. Emits the
     updated totals for exactly the (key, category) pairs touched by
-    each batch (Update mode)."""
+    each batch (Update mode).
+
+    ``initial_counts`` (batch DataFrame with ``key_col``, category, n)
+    bootstraps the state via ``handleInitialState`` — migrate an
+    existing batch aggregate into the streaming job without replaying
+    history."""
     _require_tws(df)
+    kwargs = {}
+    if initial_counts is not None:
+        kwargs["initialState"] = initial_counts.groupBy(key_col)
     return df.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_CategoryCounts(cat_col),
         outputStructType="key long, category string, n long",
         outputMode="Update",
         timeMode="None",
+        **kwargs,
     )
 
 

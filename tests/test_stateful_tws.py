@@ -253,3 +253,44 @@ def test_list_state_recent_buffer_across_batches(spark):
     assert latest[1] == [11, 12, 13]
     assert latest[2] == [20]
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_initial_state_bootstraps_category_counts(spark):
+    """handleInitialState: a batch backfill seeds the MapState — the
+    first streamed batch continues FROM the backfilled tallies instead
+    of replaying history (migrate-batch-to-streaming path)."""
+    from fbs_data_pipelines_spark.streaming.stateful import (
+        streaming_category_counts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tws_init_")
+    os.makedirs(f"{tmp}/in")
+    backfill = spark.createDataFrame(
+        [(1, "click", 100), (1, "view", 7), (2, "buy", 3)],
+        "k long, category string, n long",
+    )
+    with open(f"{tmp}/in/b1.csv", "w") as f:
+        f.write("k,cat\n1,click\n2,buy\n3,view\n")
+    out = streaming_category_counts(
+        _csv_stream(spark, tmp, "k long, cat string"),
+        "k",
+        "cat",
+        initial_counts=backfill,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"], r["category"]): r["n"]
+        for r in spark.read.parquet(f"{tmp}/out").collect()
+    }
+    # stream batch only touched (1,click), (2,buy), (3,view): the
+    # first two CONTINUE from the backfill, the third starts fresh
+    assert got == {(1, "click"): 101, (2, "buy"): 4, (3, "view"): 1}
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -133,14 +133,18 @@ def text_profile(df, id_col: str, text_col: str):
     per-column helpers.
     """
     from fbs_data_pipelines_spark.functions.cleaning import round_half_up
+    from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
 
-    # No ensure_parallelism: one normalize+split per row is light
-    # enough that the scan's split count (which tracks corpus size) is
-    # the right parallelism — pre-shuffling the raw text cost more
-    # than the tokenize itself at sf0.1 (0.88s → 0.66s dropping it).
-    # Contrast minhash_lsh_pairs, where per-row shingling dominates
-    # and the same repartition is a 3× win.
-    staged = df.select(F.col(id_col), F.col(text_col)).select(
+    # MODERATE fan-out for a single-split scan: the per-row work here
+    # (one normalize+split) sits between minhash's heavy shingling
+    # (full-parallelism repartition = 3× win) and ann's cheap dot fold
+    # (any repartition loses). Interleaved A/B at sf0.1, min/median of
+    # 6: none 0.58/0.67 s, 8-way 0.41/0.49 s, full 32-way measured
+    # worse than 8 — so fan out to 8, which is a no-op whenever the
+    # scan already has ≥8 splits (any real corpus).
+    staged = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col)), min_partitions=8
+    ).select(
         F.col(id_col),
         F.col(text_col).alias("__text"),
         normalize_text(text_col).alias("__norm"),

@@ -1061,10 +1061,19 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_array_agg(spark, sf_dir):
-    """Distinct array aggregation with deterministic order."""
+    """Distinct array aggregation with deterministic order.
+
+    Emitted as a comma-joined STRING (not an array column): the
+    driver's pandas canonicalizer sorts result columns and cannot
+    hash/sort list-typed cells (r7 driver gate errored with
+    ``unhashable type: 'list'``), so the deterministic serialization
+    is part of the query contract. The underlying array op is the
+    same ``array_sort(collect_set(...))``."""
     n = _t(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_set("n_nationkey")).alias("nation_keys"),
+        F.array_join(
+            F.array_sort(F.collect_set("n_nationkey")).cast("array<string>"), ","
+        ).alias("nation_keys"),
         F.count_distinct("n_nationkey").alias("n_distinct"),
     )
 
@@ -3101,23 +3110,77 @@ def q_map_ops(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
-    # evidence eventually covers the whole registry (the full rotation
-    # ledger lives in README.md § "Correctness-gate rotation ledger";
-    # every entry, in or out of the window, is oracle-checked locally
-    # by tools/check_oracle.py).
+    # evidence eventually covers the whole registry (the rotation
+    # ledger is derived programmatically by tools/ledger_check.py and
+    # rendered into README.md; every entry, in or out of the window,
+    # is oracle-checked locally by tools/check_oracle.py).
     #
-    # Round-7 rotation: after r6 the registry held 52 queries with ZERO
-    # driver evidence (derived programmatically from CORRECTNESS_r01–r06
-    # by tools/ledger_check.py — the single source of truth for this
-    # ledger). This round the ENTIRE 50-slot window carries never-gated
-    # queries: the 52 minus latest_snapshot_agg (mechanism twin of
-    # latest_snapshot, green r2–r4) and curation_v2 (superset sibling of
-    # corpus_curation, green r3–r6), which rotate in round 8 — closing
-    # cumulative driver evidence for the whole registry. Every demoted
-    # entry has 2+ green driver rounds (83 such queries after r6).
+    # Round-8 rotation: leads with the FIVE queries that still lacked
+    # driver evidence after r7 (array_agg — r7 driver-canonicalizer
+    # err, now emitted as a joined string; curation_v2;
+    # latest_snapshot_agg; quantile_sketch; tws_first_seen). A green
+    # r8 row for these closes cumulative driver evidence for the
+    # WHOLE registry. The remaining 45 slots re-gate the oldest
+    # single-evidence queries (r1-r2 era) and keep the graded
+    # headline-bench suite fresh.
     return {
-        # ==== driver gate window: 50 never-gated queries ===============
-        # --- aggregation surface ---------------------------------------
+        # ==== driver gate window: r8 rotation (50 entries) =============
+        # --- 5 never-driver-gated queries lead (closes the ledger) -----
+        "array_agg": q_array_agg,
+        "curation_v2": q_curation_v2,
+        "latest_snapshot_agg": q_latest_snapshot_agg,
+        "quantile_sketch": q_quantile_sketch,
+        "tws_first_seen": q_tws_first_seen,
+        # --- second driver round for the r1-r2-era single-evidence set --
+        "ann_ivf": q_ann_ivf,
+        "grouping_sets": q_grouping_sets,
+        "session_window": q_session_window,
+        "simhash": q_simhash,
+        "lookup_join": q_lookup_join,
+        "scalar_subquery": q_scalar_subquery,
+        "multi_join_topn": q_multi_join_topn,
+        "window_running": q_window_running,
+        "cube": q_cube,
+        "intersect": q_intersect,
+        "except": q_except,
+        "minhash_signatures": q_minhash_signatures,
+        "vector_norms": q_vector_norms,
+        "embedding_neardup": q_embedding_neardup,
+        # --- headline bench suite (graded queries, keep evidence fresh) -
+        "pricing_summary": q_pricing_summary,
+        "datediff": q_datediff,
+        "groupby_having": q_groupby_having,
+        "window_rank": q_window_rank,
+        "merge_upsert": q_merge_upsert,
+        "text_stats": q_text_stats,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_topk": q_ann_topk,
+        "windowed_rollup": q_windowed_rollup,
+        "sessionize": q_sessionize,
+        # --- core reference / streaming / LLM-pipeline refresh ----------
+        "audit_log": q_audit_log,
+        "grouped_ols": q_grouped_ols,
+        "streaming_merge": q_streaming_merge,
+        "streaming_rollup": q_streaming_rollup,
+        "first_seen": q_first_seen,
+        "asof_join": q_asof_join,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "json_extract": q_json_extract,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "ann_ivf_nprobe": q_ann_ivf_nprobe,
+        "multimodal_features": q_multimodal_features,
+        "incremental_dedup": q_incremental_dedup,
+        "canonical_docs": q_canonical_docs,
+        "sparse_cosine": q_sparse_cosine,
+        "source_overlap": q_source_overlap,
+        "gopher_quality": q_gopher_quality,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        # ==== driver gate window ends here (50 entries) ===============
+        # --- r7 window (all green r7) ----------------------------------
         "percentile_exact": q_percentile_exact,
         "stats_agg": q_stats_agg,
         "string_agg": q_string_agg,
@@ -3127,17 +3190,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_agg": q_regression_agg,
         "robust_stats": q_robust_stats,
         "histogram": q_histogram,
-        # --- window frames / navigation --------------------------------
         "window_range_30d": q_window_range_30d,
         "window_navigation": q_window_navigation,
-        # --- array / date / string function surface --------------------
         "array_ops": q_array_ops,
-        "array_agg": q_array_agg,
         "date_parts": q_date_parts,
         "regexp_extract": q_regexp_extract,
         "fuzzy_match": q_fuzzy_match,
         "rolling_fingerprint": q_rolling_fingerprint,
-        # --- text / corpus analysis ------------------------------------
         "repetition_stats": q_repetition_stats,
         "top_ngram": q_top_ngram,
         "corpus_stats": q_corpus_stats,
@@ -3147,7 +3206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "sample_exact_k": q_sample_exact_k,
         "mixture_interleave": q_mixture_interleave,
-        # --- LLM-pipeline flagships ------------------------------------
         "paragraph_dedup": q_paragraph_dedup,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
@@ -3158,7 +3216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "trending": q_trending,
         "triangle_count": q_triangle_count,
-        # --- relational / TPC-H shapes ---------------------------------
         "cust_order_dist": q_cust_order_dist,
         "premium_no_urgent": q_premium_no_urgent,
         "sql_anti_chain": q_sql_anti_chain,
@@ -3170,46 +3227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_flows": q_nation_flows,
         "map_ops": q_map_ops,
         "json_typed": q_json_typed,
-        # --- versioned / incremental maintenance -----------------------
         "scd2_track": q_scd2_track,
         "snapshot_reconcile": q_snapshot_reconcile,
         "incremental_join": q_incremental_join,
-        # ==== driver gate window ends here (50 entries) ===============
-        # last two never-gated queries — rotate IN round 8:
-        "latest_snapshot_agg": q_latest_snapshot_agg,
-        "quantile_sketch": q_quantile_sketch,  # new r7: rotate in r8
-        "tws_first_seen": q_tws_first_seen,  # new r7: rotate in r8
-        "curation_v2": q_curation_v2,
-        # --- demoted: reference-core relational surface (SURVEY §2) ----
-        "pricing_summary": q_pricing_summary,
-        "audit_log": q_audit_log,
-        "merge_upsert": q_merge_upsert,
-        "grouped_ols": q_grouped_ols,
-        # --- demoted: events / streaming --------------------------------
-        "windowed_rollup": q_windowed_rollup,
-        "sessionize": q_sessionize,
-        "streaming_merge": q_streaming_merge,
-        "streaming_rollup": q_streaming_rollup,
-        "first_seen": q_first_seen,
-        "asof_join": q_asof_join,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "json_extract": q_json_extract,
-        # --- demoted: LLM-pipeline operators ----------------------------
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "ann_ivf_nprobe": q_ann_ivf_nprobe,
-        "multimodal_features": q_multimodal_features,
-        "incremental_dedup": q_incremental_dedup,
-        "canonical_docs": q_canonical_docs,
-        "sparse_cosine": q_sparse_cosine,
-        "source_overlap": q_source_overlap,
-        # --- demoted: corpus-quality / sampling / packing ----------------
-        "gopher_quality": q_gopher_quality,
-        "pii_scrub": q_pii_scrub,
-        "stratified_sample": q_stratified_sample,
+        # --- remainder: 2+ rounds of driver evidence each ---------------
         "budget_sample": q_budget_sample,
         "weighted_sample": q_weighted_sample,
         "sequence_packing": q_sequence_packing,
@@ -3217,7 +3238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": q_expectations,
         "corpus_curation": q_corpus_curation,
         "ppl_buckets": q_ppl_buckets,
-        # --- demoted: computation families -------------------------------
         "incremental_rollup": q_incremental_rollup,
         "pagerank": q_pagerank,
         "hll_distinct": q_hll_distinct,
@@ -3228,16 +3248,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "alpha_sample": q_alpha_sample,
         "quality_classifier": q_quality_classifier,
-        # --- demoted: physical-lever variants ----------------------------
         "salted_join": q_salted_join,
         "bloom_join": q_bloom_join,
         "zorder_layout": q_zorder_layout,
-        # --- demoted: SQL front door --------------------------------------
         "sql_exists": q_sql_exists,
         "sql_nested_semi": q_sql_nested_semi,
         "recursive_cte": q_recursive_cte,
         "lateral_topn": q_lateral_topn,
-        # --- demoted: earlier rounds --------------------------------------
         "filter_project": q_filter_project,
         "compound_filter": q_compound_filter,
         "join_suffix": q_join_suffix,
@@ -3248,8 +3265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parse": q_date_parse,
         "conditional": q_conditional,
         "try_cast": q_try_cast,
-        "groupby_having": q_groupby_having,
-        "window_rank": q_window_rank,
         "rollup": q_rollup,
         "cascading_rollup": q_cascading_rollup,
         "quality_pipeline": q_quality_pipeline,
@@ -3258,33 +3273,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_5way": q_join_5way,
         "pivot": q_pivot,
         "range_join": q_range_join,
-        "text_stats": q_text_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "ann_topk": q_ann_topk,
         "sort_limit": q_sort_limit,
-        "datediff": q_datediff,
         "union_all": q_union_all,
         "cast_all_string": q_cast_all_string,
-        "ann_ivf": q_ann_ivf,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "distinct": q_distinct,
         "empty_to_null": q_empty_to_null,
         "decimal_comma": q_decimal_comma,
-        "grouping_sets": q_grouping_sets,
-        "session_window": q_session_window,
-        "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
-        "lookup_join": q_lookup_join,
-        "scalar_subquery": q_scalar_subquery,
-        "multi_join_topn": q_multi_join_topn,
-        "window_running": q_window_running,
-        "cube": q_cube,
-        "intersect": q_intersect,
-        "except": q_except,
-        "minhash_signatures": q_minhash_signatures,
-        "vector_norms": q_vector_norms,
-        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -4207,7 +4205,8 @@ def oracle_sql() -> dict[str, str]:
     # (user, start, count) which both formulations agree on exactly
     sql["array_agg"] = """
         SELECT n_regionkey,
-               list_sort(list(DISTINCT n_nationkey)) AS nation_keys,
+               array_to_string(list_sort(list(DISTINCT n_nationkey)), ',')
+                   AS nation_keys,
                count(DISTINCT n_nationkey) AS n_distinct
         FROM nation
         GROUP BY n_regionkey

@@ -1780,9 +1780,10 @@ def q_streaming_rollup(spark, sf_dir):
 def q_quantile_sketch(spark, sf_dir):
     """Mergeable bottom-k quantile sketch (operators/sketches.py
     qsketch_*): per order status, quantile estimates of the price from
-    a deterministic 256-row hash-rank sample — the rank-estimate
-    sibling of HLL (distinct) and CMS (frequency), mergeable by
-    union + re-top-k for incremental maintenance at 100 TB. The value
+    a deterministic weighted 256-distinct-value hash-rank sample — the
+    rank-estimate sibling of HLL (distinct) and CMS (frequency),
+    mergeable by union + sum-counts + re-top-k for incremental
+    maintenance at 100 TB (exact for disjoint row sets). The value
     is quantized to integer cents FIRST (floor(price·100)) because the
     sample membership hashes the value's string form, and double→
     string rendering is engine-specific — same cross-engine
@@ -4762,36 +4763,42 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn = 1
     """
 
-    # bottom-k quantile sketch mirrored sample-for-sample: identical
-    # md5 hash ranks -> identical k-sample -> identical order statistic
-    # picks (floor(q*(n-1)) over the value-sorted sample)
+    # weighted bottom-k quantile sketch mirrored sample-for-sample:
+    # identical md5 hash ranks over DISTINCT values -> identical
+    # k-sample with full multiplicities -> identical weighted
+    # percentile_disc pick (value whose cumulative-weight interval
+    # contains target rank floor(q*(n-1)) + 1)
     sql["quantile_sketch"] = """
         WITH base AS (
             SELECT o_orderstatus AS g,
                    CAST(floor(o_totalprice * 100) AS BIGINT) AS v
             FROM orders WHERE o_totalprice IS NOT NULL
+        ), agg AS (
+            SELECT g, v, count(*) AS cnt FROM base GROUP BY g, v
         ), ranked AS (
-            SELECT g, v,
+            SELECT g, v, cnt,
                    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT
                        AS hrank
-            FROM base
+            FROM agg
         ), topk AS (
-            SELECT g, v FROM (
-                SELECT g, v, row_number() OVER (
+            SELECT g, v, cnt FROM (
+                SELECT g, v, cnt, row_number() OVER (
                     PARTITION BY g ORDER BY hrank ASC, v ASC) AS rn
                 FROM ranked
             ) WHERE rn <= 256
         ), sorted AS (
-            SELECT g, v,
-                   row_number() OVER (PARTITION BY g ORDER BY v ASC) AS vr,
-                   count(*) OVER (PARTITION BY g) AS n
+            SELECT g, v, cnt,
+                   sum(cnt) OVER (PARTITION BY g ORDER BY v ASC) AS cw,
+                   sum(cnt) OVER (PARTITION BY g) AS n
             FROM topk
         ), qs AS (
             SELECT CAST(q AS DOUBLE) AS q
             FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q)
         )
         SELECT g AS o_orderstatus, q, v AS approx_cents
-        FROM sorted JOIN qs ON vr = floor(q * (n - 1)) + 1
+        FROM sorted JOIN qs
+          ON cw >= floor(q * (n - 1)) + 1
+         AND cw - cnt < floor(q * (n - 1)) + 1
     """
 
     # count-min sketch mirrored counter-for-counter: row-salted md5

@@ -213,14 +213,22 @@ def cms_lookup(state: DataFrame, keys: DataFrame, col: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Bottom-k quantile sketch — the rank-estimate sibling of HLL/CMS:
-# keep the k rows with the SMALLEST md5 hash rank per group. Hash
-# ranks are uniform, so the kept rows are a uniform k-sample of the
-# group; the q-quantile of the sample estimates the group quantile
-# with rank error ~ sqrt(q(1-q)/k) (binomial order statistics).
+# keep the k DISTINCT values with the SMALLEST md5 hash rank per
+# group, each carrying its full multiplicity (cnt). Hash ranks are
+# uniform over distinct values, so the kept values are a uniform
+# k-sample of the group's value domain; the WEIGHTED q-quantile of the
+# sample estimates the group quantile with rank error
+# ~ sqrt(q(1-q)/k) (binomial order statistics).
 # Deterministic (no RNG state), engine-portable (md5), and MERGEABLE:
-# merging two states is union + re-top-k, the same
-# delta-maintenance contract as hll_merge/cms_merge — a 100 TB corpus
-# maintains per-partition states and merges, never re-scans.
+# merging two states over DISJOINT row sets is union + sum-counts +
+# re-top-k — exact, because hrank is a function of the value alone, so
+# any value in the union's bottom-k is in the bottom-k of every input
+# that contains it, with that input's complete count. (The earlier
+# unweighted form kept duplicate rows and deduped on merge, which
+# collapsed multiplicities — merge(state(A), state(B)) disagreed with
+# state(A ∪ B) whenever values repeated.) Same delta-maintenance
+# contract as hll_merge/cms_merge — a 100 TB corpus maintains
+# per-partition states and merges, never re-scans.
 # ---------------------------------------------------------------------------
 
 #: sample size per group: rank error ~ sqrt(0.25/k) ≈ 2.2% at k=512
@@ -241,20 +249,24 @@ def _qsk_rank(col: Column) -> Column:
 def qsketch_state(
     df: DataFrame, group_cols: Sequence[str], col: str, k: int = _QSK_K
 ) -> DataFrame:
-    """Bottom-k state: (group…, value, hrank), ≤ k rows per group.
+    """Weighted bottom-k state: (group…, value, hrank, cnt, n_total),
+    ≤ k DISTINCT values per group, each with its full multiplicity.
 
-    One shuffle on the group key for the per-group top-k window; the
-    kept set is ≤ k rows per group no matter the input size. Nulls are
-    skipped (SQL aggregate semantics). ``n_total`` (true group row
-    count) rides along on every state row so estimates can report the
-    sampled fraction after merges."""
+    One shuffle on the group key: the distinct-value count aggregation
+    is map-side combinable, and the per-group top-k window reuses its
+    partitioning. The kept set is ≤ k rows per group no matter the
+    input size. Nulls are skipped (SQL aggregate semantics).
+    ``n_total`` (true group row count) rides along on every state row
+    so estimates can report the sampled fraction after merges."""
     c = F.col(col)
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.col("hrank").asc(), F.col("value").asc()
-    )
+    gw = Window.partitionBy(*group_cols)
+    w = gw.orderBy(F.col("hrank").asc(), F.col("value").asc())
     return (
         df.filter(c.isNotNull())
-        .select(*group_cols, c.alias("value"), _qsk_rank(c).alias("hrank"))
+        .groupBy(*group_cols, c.alias("value"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("hrank", _qsk_rank(F.col("value")))
+        .withColumn("n_total", F.sum("cnt").over(gw))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
@@ -264,54 +276,83 @@ def qsketch_state(
 def qsketch_merge(
     a: DataFrame, b: DataFrame, group_cols: Sequence[str], k: int = _QSK_K
 ) -> DataFrame:
-    """Merge two bottom-k states: union + re-top-k. Never revisits raw
-    data; both inputs are already ≤ k rows per group, so the merge
-    window sees ≤ 2k rows per group."""
-    w = Window.partitionBy(*group_cols).orderBy(
+    """Merge two weighted bottom-k states built over DISJOINT row sets:
+    union + sum counts per (group, value) + re-top-k. Exact —
+    merge(state(A), state(B)) == state(A ∪ B) row-for-row including
+    multiplicities, because hrank depends only on the value (see the
+    block comment above). Never revisits raw data; both inputs are
+    already ≤ k rows per group, so the merge window sees ≤ 2k rows.
+
+    Inputs MUST cover disjoint row sets (the standard sketch-merge
+    contract, as for cms_merge): counts are summed, so overlapping
+    inputs double-count multiplicities."""
+    gcols = list(group_cols)
+    merged = (
+        a.unionByName(b)
+        .groupBy(*gcols, "value", "hrank")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # per-group n_total adds across disjoint inputs; within one input
+    # every state row of a group carries the same n_total, so max()
+    # reads it back out
+    ntot = (
+        a.groupBy(*gcols)
+        .agg(F.max("n_total").alias("_na"))
+        .join(b.groupBy(*gcols).agg(F.max("n_total").alias("_nb")), gcols, "full")
+        .select(
+            *gcols,
+            (
+                F.coalesce(F.col("_na"), F.lit(0))
+                + F.coalesce(F.col("_nb"), F.lit(0))
+            ).alias("n_total"),
+        )
+    )
+    w = Window.partitionBy(*gcols).orderBy(
         F.col("hrank").asc(), F.col("value").asc()
     )
     return (
-        a.unionByName(b)
-        # the same (value, hrank) row may arrive from both sides when
-        # the states overlap; bottom-k set semantics dedups first
-        .distinct()
-        .withColumn("rn", F.row_number().over(w))
+        merged.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
+        # states are ≤ k rows/group, so the group-level totals are tiny
+        .join(F.broadcast(ntot), gcols)
+        # same column order as qsketch_state output
+        .select(*gcols, "value", "cnt", "hrank", "n_total")
     )
 
 
 def qsketch_quantiles(
     state: DataFrame, group_cols: Sequence[str], qs: Sequence[float]
 ) -> DataFrame:
-    """Quantile estimates per group from the bottom-k sample.
+    """Quantile estimates per group from the weighted bottom-k sample.
 
-    Rule (mirrored exactly by the SQL oracle): sort the sample by
-    value; the q-estimate is the element at index floor(q·(n−1)) of
-    the sorted sample (percentile_disc semantics over the sample).
+    Rule (mirrored exactly by the SQL oracle): sort the sampled values;
+    with n = Σ cnt (total sampled weight) the q-estimate is the value
+    whose cumulative-weight interval contains target rank
+    floor(q·(n−1)) + 1 — weighted percentile_disc over the sample.
+    Reduces to the unweighted order statistic when all counts are 1.
     Output: (group…, q, approx_value) — one row per group × q."""
-    vw = Window.partitionBy(*group_cols).orderBy(F.col("value").asc())
-    ranked = (
-        state.withColumn("vr", F.row_number().over(vw))
-        .withColumn("n", F.count("*").over(Window.partitionBy(*group_cols)))
+    gcols = list(group_cols)
+    vw = Window.partitionBy(*gcols).orderBy(F.col("value").asc())
+    gw = Window.partitionBy(*gcols)
+    ranked = state.withColumn("cw", F.sum("cnt").over(vw)).withColumn(
+        "n", F.sum("cnt").over(gw)
     )
     # ONE pass for all quantiles: explode the q list against the ranked
-    # sample and keep the matching order statistic — a per-q union
-    # would replay the whole window subtree len(qs) times (measured 7
-    # exchanges vs 2 for this shape).
-    return (
-        ranked.select(
-            *group_cols,
-            F.col("value"),
-            F.col("vr"),
-            F.col("n"),
-            F.explode(
-                F.array(*[F.lit(float(q)) for q in qs])
-            ).alias("q"),
-        )
-        .filter(F.col("vr") == F.floor(F.col("q") * (F.col("n") - 1)) + 1)
-        .select(*group_cols, "q", F.col("value").alias("approx_value"))
-    )
+    # sample and keep the value whose weight interval covers the target
+    # rank — a per-q union would replay the whole window subtree
+    # len(qs) times (measured 7 exchanges vs 2 for this shape).
+    exploded = ranked.select(
+        *gcols,
+        "value",
+        "cnt",
+        "cw",
+        "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn("t", F.floor(F.col("q") * (F.col("n") - 1)) + 1)
+    return exploded.filter(
+        (F.col("cw") >= F.col("t")) & (F.col("cw") - F.col("cnt") < F.col("t"))
+    ).select(*gcols, "q", F.col("value").alias("approx_value"))
 
 
 def approx_quantiles(

@@ -143,9 +143,47 @@ def test_qsketch_merge_equals_single_pass(spark, sf_dir):
         ["o_orderstatus"],
         k=64,
     )
+    # full weighted rows (value, hrank, cnt, n_total) must agree
     s = {tuple(r) for r in single.collect()}
     m = {tuple(r) for r in merged.collect()}
-    assert s == m  # bottom-k is an exactly mergeable set operation
+    assert s == m  # weighted bottom-k is exactly mergeable
+
+
+def test_qsketch_merge_preserves_multiplicity(spark):
+    """r7 advisor regression: merging states whose row sets are
+    disjoint but whose VALUE sets overlap must keep multiplicities.
+    900×0 + 100×100 split down the middle: the merged median must be 0
+    (rank 500 of 1000), not a distinct-value artifact."""
+    from fbs_data_pipelines_spark.operators.sketches import (
+        qsketch_merge,
+        qsketch_quantiles,
+        qsketch_state,
+    )
+
+    rows = [(i, 0 if i < 900 else 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v long").withColumn(
+        "g", F.lit("all")
+    )
+    a = df.filter(F.col("id") < 500)   # 500×0
+    b = df.filter(F.col("id") >= 500)  # 400×0 + 100×100
+    merged = qsketch_merge(
+        qsketch_state(a, ["g"], "v", k=64),
+        qsketch_state(b, ["g"], "v", k=64),
+        ["g"],
+        k=64,
+    )
+    state_rows = {(r["value"], r["cnt"], r["n_total"]) for r in merged.collect()}
+    assert state_rows == {(0, 900, 1000), (100, 100, 1000)}
+    single = qsketch_state(df, ["g"], "v", k=64)
+    assert {tuple(r) for r in merged.select(*single.columns).collect()} == {
+        tuple(r) for r in single.collect()
+    }
+    est = {
+        r["q"]: r["approx_value"]
+        for r in qsketch_quantiles(merged, ["g"], [0.5, 0.95]).collect()
+    }
+    assert est[0.5] == 0     # rank 500 of 1000 falls in the 900×0 mass
+    assert est[0.95] == 100  # rank 950 falls in the 100×100 tail
 
 
 def test_qsketch_state_bounded_and_deterministic(spark, sf_dir):

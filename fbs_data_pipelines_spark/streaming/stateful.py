@@ -93,6 +93,51 @@ def _activate_protobuf() -> bool:
 HAS_TWS_DEPS = _activate_protobuf()
 
 
+#: sha256 of the serialized FileDescriptorProto embedded in PySpark's
+#: generated StateMessage_pb2 (pyspark 4.1.2). The VENDORED protobuf
+#: runtime was written against exactly this schema; if a PySpark
+#: upgrade changes the state protocol, parsing with the vendored
+#: runtime could silently mis-decode — fail loudly instead. A real
+#: protobuf wheel re-parses any descriptor, so the pin only gates the
+#: vendored path.
+_STATE_PROTO_SHA256 = (
+    "62891521c7ae450c88bb7969660a36fcf09dedb7ee7150dc80f8d334dbbeafb4"
+)
+
+
+def _vendored_protobuf_active() -> bool:
+    import os as _os
+
+    import google.protobuf as _gp
+
+    vendor = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "_vendor",
+    )
+    return (_gp.__file__ or "").startswith(vendor)
+
+
+def _check_state_proto_pin() -> None:
+    """Raise if the vendored runtime faces an unexpected StateMessage
+    schema (e.g. after a PySpark upgrade)."""
+    if not _vendored_protobuf_active():
+        return
+    import hashlib
+
+    from pyspark.sql.streaming.proto import StateMessage_pb2 as _pb
+
+    got = hashlib.sha256(_pb.DESCRIPTOR.serialized_pb).hexdigest()
+    if got != _STATE_PROTO_SHA256:
+        raise RuntimeError(
+            "PySpark's transformWithState StateMessage proto changed "
+            f"(descriptor sha256 {got}, pinned {_STATE_PROTO_SHA256}); "
+            "the vendored minimal protobuf runtime was validated only "
+            "against the pinned schema — install a real protobuf wheel "
+            "or re-validate fbs_data_pipelines_spark/_vendor against "
+            "the new descriptor"
+        )
+
+
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state."
     "RocksDBStateStoreProvider"
@@ -110,6 +155,7 @@ def _require_tws(df: DataFrame | None = None) -> None:
             "state-server protocol); install protobuf to use this "
             "operator"
         )
+    _check_state_proto_pin()
     if df is not None:
         # If protobuf came from OUR vendor dir, the separate Python
         # processes the JVM spawns for this operator (state-server
@@ -266,9 +312,9 @@ class _SessionWindows(StatefulProcessor):
     (RegisterTimer/DeleteTimer/expiry callbacks) end-to-end.
     """
 
-    def __init__(self, gap_ms: int, ts_col: str):
+    def __init__(self, gap_ms: int, ts_ms_col: str):
         self._gap_ms = gap_ms
-        self._ts_col = ts_col
+        self._ts_ms_col = ts_ms_col
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
@@ -283,11 +329,12 @@ class _SessionWindows(StatefulProcessor):
         for pdf in rows:
             if not len(pdf):
                 continue
-            # Arrow hands the timestamp column over as datetime64
-            # (ns here); normalize through an explicit ms cast so the
-            # unit never silently changes the epoch math (session TZ
-            # pinned to UTC by the operator)
-            ts = pdf[self._ts_col].astype("datetime64[ms]").astype("int64")
+            # epoch ms was computed in the PLAN (unix_millis), which
+            # is TZ-independent — Arrow's timestamp→pandas conversion
+            # rebases into the session TZ, so doing the epoch math
+            # here would have required mutating the caller's session
+            # TZ (the r7 advisor flagged exactly that side effect)
+            ts = pdf[self._ts_ms_col].astype("int64")
             bmin, bmax = int(ts.min()), int(ts.max())
             lo = bmin if lo is None else min(lo, bmin)
             hi = bmax if hi is None else max(hi, bmax)
@@ -343,16 +390,30 @@ def streaming_sessionize_tws(
     state shuffle per batch; state is 24 bytes per OPEN session — a
     100 TB event stream holds state only for currently-active keys,
     and the timers fire without scanning the store.
+
+    Epoch math happens in the PLAN via ``unix_millis`` (an instant →
+    ms conversion, independent of ``spark.sql.session.timeZone``), so
+    this operator no longer mutates the caller's session timezone.
+    Like every operator here, it upgrades a stock-HDFS state-store
+    provider to RocksDB (see ``_require_tws``).
     """
     from pyspark.sql import functions as F
 
     _require_tws(df)
-    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-    with_ts = df.withWatermark(ts_col, watermark_delay).select(key_col, ts_col)
+    # NOT underscore-prefixed: the TWS Arrow transfer renames leading-
+    # underscore columns positionally (_ts_ms arrives as "_2"), so the
+    # worker could not find it by name
+    ms_col = "ts_ms"
+    while ms_col in (key_col, ts_col):
+        ms_col += "x"
+    with_ts = df.withWatermark(ts_col, watermark_delay).select(
+        key_col, ts_col, F.unix_millis(F.col(ts_col)).alias(ms_col)
+    )
+    key_t = df.schema[key_col].dataType.simpleString()
     return with_ts.groupBy(key_col).transformWithStateInPandas(
-        statefulProcessor=_SessionWindows(gap_ms, ts_col),
+        statefulProcessor=_SessionWindows(gap_ms, ms_col),
         outputStructType=(
-            "key long, session_start long, session_end long, n_events long"
+            f"key {key_t}, session_start long, session_end long, n_events long"
         ),
         outputMode="Append",
         timeMode="EventTime",
@@ -432,9 +493,10 @@ def streaming_category_counts(
     kwargs = {}
     if initial_counts is not None:
         kwargs["initialState"] = initial_counts.groupBy(key_col)
+    key_t = df.schema[key_col].dataType.simpleString()
     return df.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_CategoryCounts(cat_col),
-        outputStructType="key long, category string, n long",
+        outputStructType=f"key {key_t}, category string, n long",
         outputMode="Update",
         timeMode="None",
         **kwargs,
@@ -485,9 +547,10 @@ def streaming_recent_events(
     Emits one row per key per touched batch: (key, recent array) with
     arrival order preserved, oldest first."""
     _require_tws(df)
+    key_t = df.schema[key_col].dataType.simpleString()
     return df.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_RecentEvents(val_col, n),
-        outputStructType="key long, recent array<bigint>",
+        outputStructType=f"key {key_t}, recent array<bigint>",
         outputMode="Update",
         timeMode="None",
     )

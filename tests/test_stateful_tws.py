@@ -294,3 +294,110 @@ def test_initial_state_bootstraps_category_counts(spark):
     # first two CONTINUE from the backfill, the third starts fresh
     assert got == {(1, "click"): 101, (2, "buy"): 4, (3, "view"): 1}
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_string_keys_supported_by_all_typed_state_ops(spark):
+    """r7 advisor regression: the output key field's type must be
+    derived from the input schema — string user ids used to fail at
+    runtime against a hard-coded ``key long`` outputStructType."""
+    from fbs_data_pipelines_spark.streaming.stateful import (
+        streaming_category_counts,
+        streaming_recent_events,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tws_strkey_")
+    os.makedirs(f"{tmp}/in")
+    with open(f"{tmp}/in/b1.csv", "w") as f:
+        f.write("k,cat,v\nalice,click,10\nalice,click,11\nbob,view,20\n")
+
+    out = streaming_category_counts(
+        _csv_stream(spark, tmp, "k string, cat string, v long"), "k", "cat"
+    )
+    _drain_to_parquet(out, tmp)
+    got = {
+        (r["key"], r["category"]): r["n"] for r in _read_out(spark, tmp)
+    }
+    assert got == {("alice", "click"): 2, ("bob", "view"): 1}
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = tempfile.mkdtemp(prefix="tws_strkey2_")
+    os.makedirs(f"{tmp}/in")
+    with open(f"{tmp}/in/b1.csv", "w") as f:
+        f.write("k,cat,v\nalice,click,10\nalice,click,11\nbob,view,20\n")
+    out = streaming_recent_events(
+        _csv_stream(spark, tmp, "k string, cat string, v long"), "k", "v", n=3
+    )
+    _drain_to_parquet(out, tmp)
+    got = {r["key"]: list(r["recent"]) for r in _read_out(spark, tmp)}
+    assert got == {"alice": [10, 11], "bob": [20]}
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sessionize_does_not_mutate_session_timezone(spark):
+    """r7 advisor regression: building the sessionize plan must not
+    set spark.sql.session.timeZone on the caller's session (epoch math
+    now happens in the plan via unix_millis)."""
+    from fbs_data_pipelines_spark.streaming.stateful import (
+        streaming_sessionize_tws,
+    )
+
+    key = "spark.sql.session.timeZone"
+    original = spark.conf.get(key)
+    sentinel = "America/Bogota"
+    spark.conf.set(key, sentinel)
+    try:
+        tmp = tempfile.mkdtemp(prefix="tws_tz_")
+        os.makedirs(f"{tmp}/in")
+        with open(f"{tmp}/in/b1.csv", "w") as f:
+            f.write("user,ts\n1,2024-01-01 00:00:01\n")
+        stream = spark.readStream.schema("user long, ts timestamp").csv(
+            f"{tmp}/in", header=True
+        )
+        streaming_sessionize_tws(stream, "user", "ts", gap_ms=10_000)
+        assert spark.conf.get(key) == sentinel  # untouched by plan build
+        shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        spark.conf.set(key, original)
+
+
+def test_real_protobuf_wins_over_vendored(monkeypatch):
+    """_activate_protobuf must yield to an installed protobuf wheel:
+    when ``import google.protobuf`` already succeeds, it returns True
+    WITHOUT touching sys.path or PYTHONPATH (the vendored runtime is a
+    fallback only)."""
+    import sys
+    import types
+
+    from fbs_data_pipelines_spark.streaming import stateful
+
+    fake_pb = types.ModuleType("google.protobuf")
+    fake_pb.__file__ = "/fake/site-packages/google/protobuf/__init__.py"
+    fake_google = types.ModuleType("google")
+    fake_google.protobuf = fake_pb
+    monkeypatch.setitem(sys.modules, "google", fake_google)
+    monkeypatch.setitem(sys.modules, "google.protobuf", fake_pb)
+
+    path_before = list(sys.path)
+    env_before = os.environ.get("PYTHONPATH", "")
+    assert stateful._activate_protobuf() is True
+    assert sys.path == path_before
+    assert os.environ.get("PYTHONPATH", "") == env_before
+
+
+def test_state_proto_descriptor_pin(monkeypatch):
+    """The vendored runtime is only valid for the pinned StateMessage
+    schema: _check_state_proto_pin passes on this PySpark and raises
+    loudly when the descriptor hash changes (simulated upgrade)."""
+    from fbs_data_pipelines_spark.streaming import stateful
+
+    # current environment: pin matches (or a real wheel makes it moot)
+    stateful._check_state_proto_pin()
+
+    if not stateful._vendored_protobuf_active():
+        pytest.skip("real protobuf installed; pin does not gate")
+
+    monkeypatch.setattr(
+        stateful, "_STATE_PROTO_SHA256", "0" * 64, raising=True
+    )
+    with pytest.raises(RuntimeError, match="StateMessage proto changed"):
+        stateful._check_state_proto_pin()

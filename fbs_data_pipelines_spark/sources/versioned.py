@@ -45,6 +45,16 @@ Bucketed tables normalize all columns to string at the first commit:
 the C2 merge output is all-string by contract (reference
 ``get_table_updated``, log_handler.py:119-125), and a stable schema
 is what lets old clean buckets union with newly merged ones.
+
+Schema evolution (bucketed mode): columns can be ADDED by committing
+a wider DataFrame (old files read the new column as null), RENAMED
+(``rename_column``) and DROPPED (``drop_column``) as metadata-only
+commits. Reads use a logical→physical column mapping recorded per
+version in the manifest — physical parquet names never change once
+assigned, so rename/drop rewrite zero data and time travel across the
+boundary shows each version under its own schema (the Delta/Iceberg
+column-mapping idea). Dropped physical names are retired and never
+reused.
 """
 
 from __future__ import annotations
@@ -91,6 +101,13 @@ class VersionedTable:
         self.id_col = id_col
         self.n_buckets = n_buckets
         self._columns: list[str] | None = None
+        # column mapping (bucketed mode): logical name -> PHYSICAL
+        # parquet name. Physical names never change once assigned, so
+        # rename is a metadata-only commit and historical files stay
+        # readable (the Delta/Iceberg name-mapping idea). Physical
+        # names of dropped columns are retired, never reused.
+        self._physical: dict[str, str] = {}
+        self._retired: list[str] = []
         # an existing table's layout wins over constructor args — the
         # mode is a property of the data on disk, not of the caller
         meta = self._read_json("_table.json")
@@ -98,6 +115,8 @@ class VersionedTable:
             self.id_col = meta.get("id_col")
             self.n_buckets = meta.get("n_buckets") or n_buckets
             self._columns = meta.get("columns")
+            self._physical = meta.get("physical") or {}
+            self._retired = meta.get("retired_physical") or []
 
     # -- paths ----------------------------------------------------------
     def _p(self, rel: str):
@@ -245,9 +264,23 @@ class VersionedTable:
         ).cast("long")
         return F.pmod(h, F.lit(self.n_buckets)).cast("int")
 
+    def _phys(self, logical: str) -> str:
+        return self._physical.get(logical, logical)
+
+    def _schema_pairs(self) -> list[tuple[str, str]]:
+        """Current (logical, physical) column pairs."""
+        cols = self._columns or []
+        return [(c, self._phys(c)) for c in cols]
+
     def _write_buckets(self, df: DataFrame, version: int) -> None:
+        # bucket on the LOGICAL id column, then write under PHYSICAL
+        # names so files stay readable across later renames
         (
             df.withColumn(_BUCKET, self._bucket_expr())
+            .select(
+                *[F.col(c).alias(self._phys(c)) for c in df.columns],
+                _BUCKET,
+            )
             .repartition(_BUCKET)
             .write.mode("overwrite")
             .partitionBy(_BUCKET)
@@ -270,14 +303,23 @@ class VersionedTable:
             )
         return m
 
-    def _read_bucket_dirs(self, bucket_to_dir: dict[str, str]) -> DataFrame:
+    def _read_bucket_dirs(
+        self,
+        bucket_to_dir: dict[str, str],
+        schema: list[tuple[str, str]] | None = None,
+    ) -> DataFrame:
         """Union the live files of the given buckets, grouped by the
         version directory that holds them (one scan per directory,
-        basePath keeps partition discovery consistent)."""
+        basePath keeps partition discovery consistent). ``schema`` is
+        the (logical, physical) column mapping to read under — the
+        live table's by default, a historical version's for time
+        travel. Files lacking a physical column (written before an
+        add-column evolution) read it back as null."""
+        if schema is None:
+            schema = self._schema_pairs()
         if not bucket_to_dir:  # e.g. every row deleted: empty table
-            cols = self._columns or []
             return self.spark.createDataFrame(
-                [], ", ".join(f"`{c}` string" for c in cols)
+                [], ", ".join(f"`{c}` string" for c, _ in schema)
             )
         by_dir: dict[str, list[str]] = {}
         for b, d in bucket_to_dir.items():
@@ -287,18 +329,23 @@ class VersionedTable:
             full = f"{self.path}/{d}"
             paths = [f"{full}/{_BUCKET}={b}" for b in sorted(bs, key=int)]
             part = self.spark.read.option("basePath", full).parquet(*paths)
-            if self._columns:
-                # directories written before a schema evolution lack
-                # the appended columns: read them back as nulls
-                missing = [c for c in self._columns if c not in part.columns]
-                for c in missing:
-                    part = part.withColumn(c, F.lit(None).cast("string"))
+            if schema:
+                sel = [
+                    F.col(p).alias(c)
+                    if p in part.columns
+                    else F.lit(None).cast("string").alias(c)
+                    for c, p in schema
+                ]
+                part = part.select(*sel)
+            else:
+                part = part.select(
+                    *[c for c in part.columns if c != _BUCKET]
+                )
             parts.append(part)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        cols = self._columns or [c for c in out.columns if c != _BUCKET]
-        return out.select(*cols)
+        return out
 
     # -- read / write ---------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
@@ -309,8 +356,24 @@ class VersionedTable:
         if v is None:
             raise FileNotFoundError(f"versioned table {self.path} is empty")
         if self.id_col is not None:
-            return self._read_bucket_dirs(self._read_manifest(v)["buckets"])
+            m = self._read_manifest(v)
+            return self._read_bucket_dirs(
+                m["buckets"], schema=self._manifest_schema_pairs(m)
+            )
         return self.spark.read.parquet(self._data_dir(v))
+
+    def _manifest_schema_pairs(
+        self, manifest: dict
+    ) -> list[tuple[str, str]] | None:
+        """The (logical, physical) schema recorded in a manifest — a
+        version committed with this schema reads back with ITS OWN
+        column names under time travel, across rename/drop boundaries.
+        Manifests written before column mapping existed lack the entry;
+        they read under the live mapping (identity for such tables)."""
+        raw = manifest.get("schema")
+        if raw is None:
+            return None
+        return [(c, p) for c, p in raw]
 
     def lookup(self, key, version: int | None = None) -> DataFrame:
         """Point read in O(table/n_buckets) I/O: the PK's hash bucket
@@ -334,37 +397,79 @@ class VersionedTable:
             int(hashlib.md5(str(key).encode("utf-8")).hexdigest()[:8], 16)
             % self.n_buckets
         )
-        buckets = self._read_manifest(v)["buckets"]
+        m = self._read_manifest(v)
+        buckets = m["buckets"]
         d = buckets.get(str(b))
         if d is None:  # bucket never written: provably no such key
             return self.read(v).filter(F.lit(False))
-        return self._read_bucket_dirs({str(b): d}).filter(
-            F.col(self.id_col) == key
-        )
+        pairs = self._manifest_schema_pairs(m)
+        # the version's own logical name for the id column (it may
+        # have been renamed since): match on the stable physical name
+        id_logical = self.id_col
+        if pairs is not None:
+            phys_id = self._phys(self.id_col)
+            for c, p in pairs:
+                if p == phys_id:
+                    id_logical = c
+                    break
+        return self._read_bucket_dirs(
+            {str(b): d}, schema=pairs
+        ).filter(F.col(id_logical) == key)
+
+    def _assign_physical(self, logical: str) -> str:
+        """Pick the parquet name for a NEW logical column: the logical
+        name itself unless it collides with a physical name already in
+        use or retired (e.g. column ``a`` was renamed/dropped and a new
+        ``a`` is added — old files' ``a`` holds the OLD data, so the
+        new column needs a fresh physical name)."""
+        taken = set(self._physical.values()) | set(self._retired)
+        if logical not in taken:
+            return logical
+        i = 1
+        while f"{logical}__p{i}" in taken:
+            i += 1
+        return f"{logical}__p{i}"
 
     def _write_table_meta(self, df: DataFrame) -> None:
         meta = self._read_json("_table.json")
         if meta is None:
             self._columns = list(df.columns)
+            self._physical = {c: self._assign_physical(c) for c in df.columns}
         else:
             # schema evolution (bucketed mode): new columns APPEND to
             # the table schema; historical files simply lack them and
             # read back as nulls (the lakehouse add-column contract).
-            # Dropping/renaming is not silently inferred — absent
-            # columns in one commit stay in the schema.
+            # Dropping/renaming is never silently inferred from a
+            # commit's shape — they are the explicit ``drop_column`` /
+            # ``rename_column`` operations.
             known = self._columns or []
             extra = [c for c in df.columns if c not in known]
             if not extra:
                 return
             self._columns = known + extra
+            for c in extra:
+                self._physical[c] = self._assign_physical(c)
+        self._persist_table_meta()
+
+    def _persist_table_meta(self) -> None:
         self._write_json(
             "_table.json",
             {
                 "id_col": self.id_col,
                 "n_buckets": self.n_buckets if self.id_col else None,
                 "columns": self._columns if self.id_col else None,
+                "physical": self._physical if self.id_col else None,
+                "retired_physical": self._retired if self.id_col else None,
             },
         )
+
+    def _manifest_dict(self, buckets: dict[str, str]) -> dict:
+        """Manifest body: bucket map + the (logical, physical) schema
+        this version was committed under (time-travel reads it back)."""
+        return {
+            "buckets": buckets,
+            "schema": [list(t) for t in self._schema_pairs()],
+        }
 
     def commit_info(self, version: int) -> dict | None:
         """Caller-supplied metadata recorded with ``commit(...,
@@ -404,12 +509,83 @@ class VersionedTable:
             self._write_table_meta(df)
             self._write_buckets(df, v)
             buckets = {str(b): f"data/v{v}" for b in self._buckets_in_dir(v)}
-            self._write_json(f"manifests/v{v}.json", {"buckets": buckets})
+            self._write_json(f"manifests/v{v}.json", self._manifest_dict(buckets))
         else:
             self._write_table_meta(df)
             df.write.mode("overwrite").parquet(self._data_dir(v))
         self._commit_pointer(v)
         return v
+
+    # -- schema evolution: rename / drop (bucketed mode) ----------------
+    def _schema_only_commit(self) -> int:
+        """Publish a METADATA-ONLY version: same bucket map as the
+        live version, new (logical, physical) schema — zero data I/O,
+        full commit protocol (claim, manifest, pointer), so schema
+        changes are versioned, atomic, and time-travel-visible like
+        any data commit."""
+        current = self.latest_version()
+        if current is None:
+            # no data yet: just persist the new table meta
+            self._persist_table_meta()
+            return 0
+        buckets = self._read_manifest(current)["buckets"]
+        v = current + 1
+        self._claim_version(v)
+        self._persist_table_meta()
+        self._write_json(f"manifests/v{v}.json", self._manifest_dict(buckets))
+        self._commit_pointer(v)
+        return v
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column as a metadata-only commit (new version, no
+        data rewritten). Historical files keep the ORIGINAL physical
+        name — reads map physical→logical per version, so time travel
+        before the boundary still shows ``old`` and reads after it show
+        ``new`` over the same bytes (the Delta/Iceberg column-mapping
+        contract). Renaming the id column is allowed: bucketing hashes
+        VALUES, which don't change. A later ``merge()`` with a delta
+        still carrying ``old`` is rejected by its unknown-column check.
+        """
+        if self.id_col is None:
+            raise ValueError(
+                "rename_column() needs a bucketed table (id_col set) — "
+                "plain mode has no tracked schema"
+            )
+        cols = self._columns or []
+        if old not in cols:
+            raise ValueError(f"no such column {old!r} (have {cols})")
+        if new in cols:
+            raise ValueError(f"column {new!r} already exists")
+        if not new.isidentifier():
+            raise ValueError(f"invalid column name {new!r}")
+        self._physical[new] = self._physical.pop(old, old)
+        self._columns = [new if c == old else c for c in cols]
+        if self.id_col == old:
+            self.id_col = new
+        return self._schema_only_commit()
+
+    def drop_column(self, name: str) -> int:
+        """Drop a column as a metadata-only commit (new version, no
+        data rewritten). The physical column stays in historical files
+        (time travel before the boundary still reads it) and its
+        physical name is RETIRED — re-adding a column with the same
+        logical name later allocates a fresh physical name, so old
+        bytes can never bleed into the new column. ``merge()`` rejects
+        deltas still carrying the dropped name (unknown-column check).
+        The id column cannot be dropped."""
+        if self.id_col is None:
+            raise ValueError(
+                "drop_column() needs a bucketed table (id_col set) — "
+                "plain mode has no tracked schema"
+            )
+        cols = self._columns or []
+        if name not in cols:
+            raise ValueError(f"no such column {name!r} (have {cols})")
+        if name == self.id_col:
+            raise ValueError("cannot drop the id (bucketing) column")
+        self._retired.append(self._physical.pop(name, name))
+        self._columns = [c for c in cols if c != name]
+        return self._schema_only_commit()
 
     def merge(
         self,
@@ -436,6 +612,10 @@ class VersionedTable:
         id_col = id_col or self.id_col
         if id_col is None:
             raise ValueError("merge() needs id_col (table or argument)")
+        if not target_cols:
+            # default change-comparison set: every non-key column the
+            # snapshot carries
+            target_cols = [c for c in snapshot.columns if c != id_col]
         current = self.latest_version()
         if current is None:
             return self.commit(snapshot)
@@ -458,6 +638,13 @@ class VersionedTable:
         snap = snapshot.select(
             [F.col(c).cast("string").alias(c) for c in snapshot.columns]
         )
+        # a delta may be NARROWER than the table (it mentions only the
+        # columns it changes): matched rows keep their current values
+        # for omitted columns, inserts get null — the MERGE INTO
+        # "UPDATE SET only-these" contract
+        missing = [
+            c for c in (self._columns or []) if c not in snapshot.columns
+        ]
         bucketed = snap.withColumn(_BUCKET, self._bucket_expr()).persist()
         try:
             dirty = sorted(
@@ -471,6 +658,12 @@ class VersionedTable:
             if existing_dirty:
                 current_rows = self._read_bucket_dirs(existing_dirty)
                 delta = bucketed.drop(_BUCKET)
+                if missing:
+                    delta = delta.join(
+                        current_rows.select(id_col, *missing),
+                        id_col,
+                        "left",
+                    )
                 # C2 keeps only unchanged-matched published rows (the
                 # snapshot is authoritative there); a delta upsert must
                 # ALSO keep published rows the delta never mentions
@@ -484,13 +677,17 @@ class VersionedTable:
                 )
             else:
                 merged = bucketed.drop(_BUCKET)
+                for c in missing:
+                    merged = merged.withColumn(
+                        c, F.lit(None).cast("string")
+                    )
             v = current + 1
             self._claim_version(v)
             self._write_buckets(merged.select(*self._columns), v)
             new_manifest = dict(manifest)
             for b in self._buckets_in_dir(v):
                 new_manifest[str(b)] = f"data/v{v}"
-            self._write_json(f"manifests/v{v}.json", {"buckets": new_manifest})
+            self._write_json(f"manifests/v{v}.json", self._manifest_dict(new_manifest))
             self._commit_pointer(v)
             return v
         finally:
@@ -545,7 +742,7 @@ class VersionedTable:
         }
         for b in self._buckets_in_dir(v):
             new_manifest[str(b)] = f"data/v{v}"
-        self._write_json(f"manifests/v{v}.json", {"buckets": new_manifest})
+        self._write_json(f"manifests/v{v}.json", self._manifest_dict(new_manifest))
         self._commit_pointer(v)
         return v
 
@@ -581,7 +778,7 @@ class VersionedTable:
         self._claim_version(v)
         self._write_buckets(live.select(*self._columns), v)
         buckets = {str(b): f"data/v{v}" for b in self._buckets_in_dir(v)}
-        self._write_json(f"manifests/v{v}.json", {"buckets": buckets})
+        self._write_json(f"manifests/v{v}.json", self._manifest_dict(buckets))
         self._commit_pointer(v)
         return v
 

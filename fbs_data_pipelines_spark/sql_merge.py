@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 __all__ = ["MergeStatement", "parse_merge", "execute_merge", "merge_into"]
 
 _T_MARK = "mrg_t_present"
+_T_RID = "mrg_t_rid"
 _S_MARK = "mrg_s_present"
 _ACT = "mrg_action"
 # action codes
@@ -87,7 +88,7 @@ _HEAD_RE = re.compile(
         \s+ON\s+(?P<rest>.+)$""",
     re.IGNORECASE | re.DOTALL | re.VERBOSE,
 )
-_WHEN_SPLIT_RE = re.compile(r"\bWHEN\s+(?=(?:NOT\s+)?MATCHED\b)", re.IGNORECASE)
+_WHEN_HEAD_RE = re.compile(r"WHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE)
 _MATCHED_RE = re.compile(
     r"""^MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+
         (?:(?P<delete>DELETE)
@@ -101,6 +102,52 @@ _NOT_MATCHED_RE = re.compile(
          |\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.+)\))\s*$""",
     re.IGNORECASE | re.DOTALL | re.VERBOSE,
 )
+
+
+def _split_when_clauses(text: str) -> list[str]:
+    """Split ``<on> WHEN ... WHEN ...`` at top-level WHEN boundaries
+    only — the same quote/paren state machine as ``_split_top_level``,
+    so a string literal containing ``'WHEN matched'`` or a predicate
+    like ``(status = 'WHEN MATCHED THEN')`` never splits mid-
+    expression. A boundary is a ``WHEN`` keyword (word-bounded) at
+    paren depth 0 outside quotes, immediately followed by
+    ``[NOT] MATCHED``."""
+    pieces: list[str] = []
+    depth, quote, start, i, n = 0, None, 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        if (
+            depth == 0
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+        ):
+            m = _WHEN_HEAD_RE.match(text, i)
+            if m:
+                pieces.append(text[start:i])
+                # drop the leading "WHEN" from the piece body, as the
+                # old regex split did
+                start = i + 4
+                i = m.end()
+                continue
+        i += 1
+    pieces.append(text[start:])
+    return pieces
 
 
 def _split_top_level(text: str) -> list[str]:
@@ -152,7 +199,7 @@ def parse_merge(statement: str) -> MergeStatement:
             f"{statement[:120]!r}"
         )
     rest = head.group("rest")
-    pieces = _WHEN_SPLIT_RE.split(rest)
+    pieces = _split_when_clauses(rest)
     on = pieces[0].strip()
     if not on:
         raise ValueError("empty ON condition")
@@ -258,7 +305,15 @@ def execute_merge(
     """Evaluate a parsed MERGE against two DataFrames; returns the new
     target state (lazy). One full-outer join on the ON condition; all
     row-fate logic is per-column CASE expressions — whole-stage
-    codegen, no Python in the row path."""
+    codegen, no Python in the row path.
+
+    ``check_cardinality=True`` enforces the SQL-standard rule that a
+    target ROW may match at most one source row, identified by a
+    physical row id (``monotonically_increasing_id`` tagged on the
+    target before the join) — so two genuinely duplicate target rows
+    each matching one source row are fine. NOTE: the check runs
+    EAGERLY (it is a Spark action) during this call, before the lazy
+    merged plan is returned."""
     out_cols = list(target_df.columns)
     tcols = set(out_cols)
     scols = set(source_df.columns)
@@ -282,18 +337,23 @@ def execute_merge(
             if col not in tcols:
                 raise ValueError(f"INSERT references unknown column {col!r}")
 
-    t = target_df.withColumn(_T_MARK, F.lit(True)).alias(ta)
+    t = target_df.withColumn(_T_MARK, F.lit(True))
+    if check_cardinality:
+        t = t.withColumn(_T_RID, F.monotonically_increasing_id())
+    t = t.alias(ta)
     s = source_df.withColumn(_S_MARK, F.lit(True)).alias(sa)
     joined = t.join(s, F.expr(stmt.on), "full_outer")
     t_here = F.col(f"{ta}.{_T_MARK}").isNotNull()
     s_here = F.col(f"{sa}.{_S_MARK}").isNotNull()
 
     if check_cardinality:
-        # SQL standard: a target row may match at most one source row.
-        # One extra aggregate over the matched pairs, opt-in.
+        # SQL standard: a target ROW may match at most one source row.
+        # Grouped by the physical row id, not the column tuple, so
+        # duplicate target rows each matching one source row do NOT
+        # trip the check. One extra aggregate, opt-in, EAGER (action).
         dup = (
             joined.filter(t_here & s_here)
-            .groupBy(*[F.col(f"{ta}.{c}") for c in out_cols])
+            .groupBy(F.col(f"{ta}.{_T_RID}"))
             .count()
             .filter(F.col("count") > 1)
             .limit(1)
@@ -339,7 +399,10 @@ def execute_merge(
             if cl.set_star:
                 val = scol(c)
             elif c in cl.assignments:
-                val = F.expr(cl.assignments[c])
+                # cast to the target column dtype, exactly as INSERT
+                # VALUES are — a type-drifting SET (e.g. n = '1')
+                # coerces instead of exploding the CASE branch types
+                val = F.expr(cl.assignments[c]).cast(dtype)
             else:
                 val = tcol(c)
             expr = expr.when(F.col(_ACT) == _MATCHED_BASE + i, val)

@@ -487,10 +487,12 @@ def test_schema_evolution_append_column(spark, table_path):
     assert t.read().columns == ["id", "v", "w", "x"]
     assert {r["x"] for r in t.read().collect()} == {"a-x", "b-x"}
 
-    # time travel to pre-evolution versions: appended column is null
+    # time travel shows each version under ITS OWN schema (the
+    # Delta/Iceberg contract): pre-evolution versions lack the column;
+    # post-evolution versions read pre-evolution FILES (clean buckets)
+    # with the appended column as null
     old = t.read(1)
-    assert old.columns == ["id", "v", "w", "x"]
-    assert all(r["x"] is None for r in old.collect())
+    assert old.columns == ["id", "v", "w"]
 
     # merges keep working against the evolved schema
     t.merge(
@@ -512,3 +514,97 @@ def test_merge_rejects_unknown_columns(spark, table_path):
     )
     with pytest.raises(ValueError, match="commit\\(\\) first"):
         t.merge(delta, target_cols=["v"])
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: rename / drop (column mapping, metadata-only commits)
+# ---------------------------------------------------------------------------
+
+
+def test_rename_column_metadata_only_with_time_travel(spark, table_path):
+    import os
+
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    t.commit(_df(spark, [("1", "a", "x"), ("2", "b", "y")]))
+    v2 = t.rename_column("v", "value")
+    assert v2 == 2
+    # zero data I/O: no data/v2 directory exists
+    assert not os.path.exists(f"{table_path}/data/v2")
+    # live read shows the new name over the same bytes
+    live = t.read()
+    assert live.columns == ["id", "value", "w"]
+    assert {r.id: r.value for r in live.collect()} == {"1": "a", "2": "b"}
+    # time travel BEFORE the boundary shows the old name
+    old = t.read(version=1)
+    assert old.columns == ["id", "v", "w"]
+    assert {r.id: r.v for r in old.collect()} == {"1": "a", "2": "b"}
+    # a fresh handle (new session-side object) reads the same mapping
+    t2 = VersionedTable(spark, table_path)
+    assert t2.read().columns == ["id", "value", "w"]
+    # writes under the new name land on the original physical column
+    t2.merge(spark.createDataFrame([("1", "A2")], "id string, value string"))
+    assert {r.id: r.value for r in t2.read().collect()} == {"1": "A2", "2": "b"}
+    # ...and old versions still read under their own schema
+    assert t2.read(version=1).columns == ["id", "v", "w"]
+
+
+def test_rename_rejects_merge_with_old_name(spark, table_path):
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    t.commit(_df(spark, [("1", "a", "x")]))
+    t.rename_column("v", "value")
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.merge(spark.createDataFrame([("1", "zzz")], "id string, v string"))
+
+
+def test_drop_column_and_merge_rejection(spark, table_path):
+    import os
+
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    t.commit(_df(spark, [("1", "a", "x"), ("2", "b", "y")]))
+    v2 = t.drop_column("w")
+    assert v2 == 2
+    assert not os.path.exists(f"{table_path}/data/v2")
+    assert t.read().columns == ["id", "v"]
+    # history still shows the dropped column before the boundary
+    old = t.read(version=1)
+    assert old.columns == ["id", "v", "w"]
+    assert {r.id: r.w for r in old.collect()} == {"1": "x", "2": "y"}
+    # a delta still carrying the dropped name is rejected, not dropped
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.merge(spark.createDataFrame([("1", "a", "z")],
+                                      "id string, v string, w string"))
+    # id column is protected
+    with pytest.raises(ValueError, match="id"):
+        t.drop_column("id")
+
+
+def test_dropped_then_readded_column_gets_fresh_physical(spark, table_path):
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    t.commit(_df(spark, [("1", "a", "x")]))
+    t.drop_column("w")
+    # re-add a column with the SAME logical name via a wider commit:
+    # must NOT resurrect the old bytes
+    t.commit(spark.createDataFrame([("1", "a", "NEW")],
+                                   "id string, v string, w string"))
+    assert {r.id: r.w for r in t.read().collect()} == {"1": "NEW"}
+    # v1-era 'w' is still its own column under time travel
+    assert {r.id: r.w for r in t.read(version=1).collect()} == {"1": "x"}
+    # physical names diverged (retired name never reused)
+    t2 = VersionedTable(spark, table_path)
+    assert t2._physical["w"] != "w"
+    assert "w" in t2._retired
+
+
+def test_rename_id_column_keeps_bucketing_and_lookup(spark, table_path):
+    t = VersionedTable(spark, table_path, id_col="id", n_buckets=4)
+    t.commit(_df(spark, [("1", "a", "x"), ("2", "b", "y")]))
+    t.rename_column("id", "key")
+    assert t.id_col == "key"
+    assert {r.key for r in t.read().collect()} == {"1", "2"}
+    # point lookup works on the new name (same md5-value buckets)
+    assert [r.v for r in t.lookup("2").collect()] == ["b"]
+    # ...and on a pre-rename version under the OLD logical name
+    assert [r.v for r in t.lookup("2", version=1).collect()] == ["b"]
+    # merge on the renamed key still targets the right buckets
+    t.merge(spark.createDataFrame([("2", "B")], "key string, v string"))
+    assert {r.key: r.v for r in t.read().collect()} == {"1": "a", "2": "B"}

@@ -250,6 +250,84 @@ def main() -> None:
         out["errors"] = errors
     if warm_errors:
         out["warm_errors"] = warm_errors
+
+    # pass 3 — sf1 sequential probe (r7 judge directive #2): the
+    # sequential_ratio at sf0.1 carries 0.1-0.7 s of fixed per-query
+    # JVM cost (scheduling, codegen, Python<->JVM) that single-process
+    # DuckDB doesn't pay; the claim to test is that it AMORTIZES with
+    # data size. Same paired protocol (spark min-of-2 immediately
+    # followed by its oracle min-of-2) on a derived 10x dataset
+    # (tools/make_sf1.py — key-offset replication, join cardinalities
+    # and near-dup density preserved). Skipped when the main run is
+    # not at sf0.1 or SPARK_GRAFT_SF1=0.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+            )
+            from make_sf1 import make_sf1
+
+            sf1_dir = make_sf1(
+                src=sf_dir,
+                dst=os.environ.get(
+                    "SPARK_GRAFT_SF1_DIR", "/root/repo/.localdata/sf1"
+                ),
+            )
+            import duckdb
+
+            con1 = duckdb.connect()
+            import multiprocessing
+
+            con1.execute(f"SET threads TO {multiprocessing.cpu_count()}")
+            for t in TABLES:
+                con1.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf1_dir}/{t}.parquet')"
+                )
+            sf1_spark: dict[str, float] = {}
+            sf1_duck: dict[str, float] = {}
+            for name in HEADLINE:
+                if name in errors:
+                    continue
+                fn = queries[name]
+                best = float("inf")
+                last = None
+                try:
+                    for _ in range(2):
+                        t0 = time.time()
+                        last = fn(spark, sf1_dir)
+                        last.write.mode("overwrite").format("noop").save()
+                        best = min(best, time.time() - t0)
+                except Exception as exc:
+                    errors[f"sf1:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
+                    continue
+                finally:
+                    if last is not None:
+                        release_cache(last)
+                sf1_spark[name] = round(best, 3)
+                dbest = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    con1.execute(oracles[name]).fetchall()
+                    dbest = min(dbest, time.time() - t0)
+                sf1_duck[name] = round(dbest, 4)
+            paired = [n for n in sf1_spark if n in sf1_duck]
+            if paired and sum(sf1_duck[n] for n in paired) > 0:
+                out["queries_sf1"] = sf1_spark
+                out["baseline_queries_sf1"] = sf1_duck
+                out["sequential_ratio_sf1"] = round(
+                    sum(sf1_spark[n] for n in paired)
+                    / sum(sf1_duck[n] for n in paired),
+                    3,
+                )
+                out["per_query_ratio_sf1"] = {
+                    n: round(sf1_spark[n] / sf1_duck[n], 2)
+                    for n in paired
+                    if sf1_duck[n] > 0
+                }
+        except Exception as exc:  # probe is evidence, never fatal
+            out["sf1_probe_error"] = f"{type(exc).__name__}: {exc}"[:300]
+
     print(json.dumps(out))
 
 

@@ -1849,12 +1849,16 @@ def q_streaming_rollup(spark, sf_dir):
 
 
 def q_quantile_sketch(spark, sf_dir):
-    """Mergeable bottom-k quantile sketch (operators/sketches.py
-    qsketch_*): per order status, quantile estimates of the price from
-    a deterministic weighted 256-distinct-value hash-rank sample — the
-    rank-estimate sibling of HLL (distinct) and CMS (frequency),
-    mergeable by union + sum-counts + re-top-k for incremental
-    maintenance at 100 TB (exact for disjoint row sets). The value
+    """Mergeable quantile sketch via deterministic priority sampling
+    (operators/sketches.py qsketch_*, Duffield–Lund–Thorup): per order
+    status, quantile estimates of the price from a 256-value sample
+    whose inclusion probability is WEIGHT-proportional (priority =
+    cnt/u with a value-determined uniform u, top-k+1 kept, DLT
+    max(cnt, tau) estimated weights) — heavy values can never be
+    missed, unlike a uniform distinct-value sample. The rank-estimate
+    sibling of HLL (distinct) and CMS (frequency), mergeable by union
+    + sum-counts + recompute-priorities + re-top-k for incremental
+    maintenance at 100 TB. The value
     is quantized to integer cents FIRST (floor(price·100)) because the
     sample membership hashes the value's string form, and double→
     string rendering is engine-specific — same cross-engine
@@ -3251,9 +3255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": q_expectations,
         "corpus_curation": q_corpus_curation,
         "incremental_rollup": q_incremental_rollup,
-        "pagerank": q_pagerank,
+        # changed THIS round (priority-sampling rewrite) — re-gated now
+        "quantile_sketch": q_quantile_sketch,
         # ==== driver gate window ends here (50 entries) ===============
         # --- r6 leftovers: head of the r10 window ----------------------
+        "pagerank": q_pagerank,
         "hll_distinct": q_hll_distinct,
         "kmeans": q_kmeans,
         "lm_perplexity": q_lm_perplexity,
@@ -4881,6 +4887,11 @@ def oracle_sql() -> dict[str, str]:
     # k-sample with full multiplicities -> identical weighted
     # percentile_disc pick (value whose cumulative-weight interval
     # contains target rank floor(q*(n-1)) + 1)
+    # priority-sample quantile sketch (DLT), mirrored literally:
+    # integer priority floor(least(cnt*2^32/(h+1), cap)), top-(k+1)
+    # per group, tau = the (k+1)-th priority when truncated, sample =
+    # top k with estimated weight max(cnt, tau) — every arithmetic op
+    # rounds once under IEEE so the state matches Spark bit-for-bit
     sql["quantile_sketch"] = """
         WITH base AS (
             SELECT o_orderstatus AS g,
@@ -4888,22 +4899,33 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_totalprice IS NOT NULL
         ), agg AS (
             SELECT g, v, count(*) AS cnt FROM base GROUP BY g, v
-        ), ranked AS (
+        ), pri AS (
             SELECT g, v, cnt,
-                   ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT
-                       AS hrank
+                   CAST(floor(least(
+                       CAST(cnt AS DOUBLE) * 4294967296.0 /
+                       (CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))
+                             ::BIGINT AS DOUBLE) + 1.0),
+                       4.6e18)) AS BIGINT) AS priority
             FROM agg
-        ), topk AS (
-            SELECT g, v, cnt FROM (
-                SELECT g, v, cnt, row_number() OVER (
-                    PARTITION BY g ORDER BY hrank ASC, v ASC) AS rn
-                FROM ranked
-            ) WHERE rn <= 256
+        ), ranked AS (
+            SELECT g, v, cnt, priority,
+                   row_number() OVER (
+                       PARTITION BY g ORDER BY priority DESC, v ASC) AS rn
+            FROM pri
+        ), tau AS (
+            SELECT g,
+                   coalesce(max(CASE WHEN rn = 257 THEN priority END), 0)
+                       AS tau
+            FROM ranked GROUP BY g
+        ), sample AS (
+            SELECT r.g, r.v, greatest(r.cnt, t.tau) AS w
+            FROM ranked r JOIN tau t ON r.g = t.g
+            WHERE r.rn <= 256
         ), sorted AS (
-            SELECT g, v, cnt,
-                   sum(cnt) OVER (PARTITION BY g ORDER BY v ASC) AS cw,
-                   sum(cnt) OVER (PARTITION BY g) AS n
-            FROM topk
+            SELECT g, v, w,
+                   sum(w) OVER (PARTITION BY g ORDER BY v ASC) AS cw,
+                   sum(w) OVER (PARTITION BY g) AS n
+            FROM sample
         ), qs AS (
             SELECT CAST(q AS DOUBLE) AS q
             FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q)
@@ -4911,7 +4933,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT g AS o_orderstatus, q, v AS approx_cents
         FROM sorted JOIN qs
           ON cw >= floor(q * (n - 1)) + 1
-         AND cw - cnt < floor(q * (n - 1)) + 1
+         AND cw - w < floor(q * (n - 1)) + 1
     """
 
     # count-min sketch mirrored counter-for-counter: row-salted md5

@@ -212,63 +212,96 @@ def cms_lookup(state: DataFrame, keys: DataFrame, col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Bottom-k quantile sketch — the rank-estimate sibling of HLL/CMS:
-# keep the k DISTINCT values with the SMALLEST md5 hash rank per
-# group, each carrying its full multiplicity (cnt). Hash ranks are
-# uniform over distinct values, so the kept values are a uniform
-# k-sample of the group's value domain; the WEIGHTED q-quantile of the
-# sample estimates the group quantile with rank error
-# ~ sqrt(q(1-q)/k) (binomial order statistics).
-# Deterministic (no RNG state), engine-portable (md5), and MERGEABLE:
-# merging two states over DISJOINT row sets is union + sum-counts +
-# re-top-k — exact, because hrank is a function of the value alone, so
-# any value in the union's bottom-k is in the bottom-k of every input
-# that contains it, with that input's complete count. (The earlier
-# unweighted form kept duplicate rows and deduped on merge, which
-# collapsed multiplicities — merge(state(A), state(B)) disagreed with
-# state(A ∪ B) whenever values repeated.) Same delta-maintenance
-# contract as hll_merge/cms_merge — a 100 TB corpus maintains
-# per-partition states and merges, never re-scans.
+# Weighted quantile sketch via deterministic PRIORITY SAMPLING
+# (Duffield–Lund–Thorup, "Priority sampling for estimation of
+# arbitrary subset sums", JACM 2007) — the rank-estimate sibling of
+# HLL/CMS. Per group, each distinct value v with multiplicity cnt(v)
+# gets priority p(v) = floor(cnt(v)·2^32 / (h(v)+1)) where h(v) is
+# the first-8-hex-chars md5 rank — i.e. cnt/u for a value-determined
+# uniform u ∈ (0,1]. The state keeps the k+1 LARGEST priorities; the
+# (k+1)-th is the threshold τ, and the k sampled values estimate any
+# cumulative weight with Σ max(cnt, τ) over qualifying values —
+# unbiased under DLT with near-optimal variance. The property that
+# matters here (the r8 advisor's finding): inclusion probability is
+# WEIGHT-PROPORTIONAL, so since p(v) ≥ cnt(v) (u ≤ 1), any value
+# whose multiplicity exceeds τ is ALWAYS kept — a heavy value holding
+# most of a group's mass cannot be absent from the sample, which the
+# previous uniform-over-distinct-values bottom-k could not guarantee
+# (a 99%-mass value was sampled with probability only k/D).
+# With all-unit counts the scheme degenerates to exactly the old
+# uniform distinct-value sample (p = 2^32/(h+1) orders by h), keeping
+# the ~sqrt(q(1-q)/k) rank error there; under multiplicity skew DLT's
+# subset-sum bounds take over.
+# Deterministic (u is a pure function of the value — no RNG state),
+# engine-portable (md5 + IEEE double division, one rounding per op,
+# so DuckDB reproduces the state bit-for-bit), and MERGEABLE over
+# disjoint row sets: union + sum counts per (group, value) +
+# recompute priorities from the summed counts + re-top-(k+1). The
+# merge is EXACT whenever each input state is untruncated (its
+# groups' distinct-value counts ≤ k+1 — then states are lossless
+# count tables); for truncated inputs it is one-sided: a value can
+# only be missed if it was below the cutoff in EVERY input, and any
+# value with merged cnt > merged τ is still guaranteed kept — the
+# standard weighted-sample merge contract (a count-independent rank,
+# which is what made the old merge exact, is exactly what made the
+# sample weight-blind; the two guarantees are mutually exclusive).
+# Same delta-maintenance shape as hll_merge/cms_merge — a 100 TB
+# corpus maintains per-partition states and merges, never re-scans.
 # ---------------------------------------------------------------------------
 
 #: sample size per group: rank error ~ sqrt(0.25/k) ≈ 2.2% at k=512
 _QSK_K = 512
 
+#: priority cap before the long cast (keeps cnt·2^32/u inside long
+#: range for any realistic multiplicity; both engines apply it
+#: BEFORE floor so the doubles stay bit-identical)
+_QSK_PCAP = 4.6e18
 
-def _qsk_rank(col: Column) -> Column:
-    """Deterministic uniform rank in [0, 2^32): first 8 md5 hex chars.
 
-    Salted with the VALUE only, so duplicates of a value share a rank —
-    ties are broken by the value itself in the top-k window, keeping
-    state content deterministic under any row order."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
+def _qsk_priority(value: Column, cnt: Column) -> Column:
+    """Deterministic DLT priority floor(min(cnt·2^32/(h+1), cap)) as a
+    long. h = first 8 md5 hex chars of the value's string form —
+    u = (h+1)/2^32 ∈ (0,1] is a value-determined uniform, so
+    duplicates of a value share u and the priority is recomputable
+    from any correct count (the merge path relies on this). Every op
+    (one multiply, one divide, least, floor) rounds once under IEEE
+    754, so the DuckDB oracle reproduces the exact long."""
+    h = F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    return F.floor(
+        F.least(
+            cnt.cast("double") * F.lit(4294967296.0) / (h + F.lit(1.0)),
+            F.lit(_QSK_PCAP),
+        )
+    ).cast("long")
 
 
 def qsketch_state(
     df: DataFrame, group_cols: Sequence[str], col: str, k: int = _QSK_K
 ) -> DataFrame:
-    """Weighted bottom-k state: (group…, value, hrank, cnt, n_total),
-    ≤ k DISTINCT values per group, each with its full multiplicity.
+    """Priority-sample state: (group…, value, cnt, priority, n_total),
+    the ≤ k+1 distinct values with the LARGEST priorities per group,
+    each with its full multiplicity. The extra (k+1)-th row is the
+    DLT threshold carrier — ``qsketch_quantiles`` reads τ off it.
 
     One shuffle on the group key: the distinct-value count aggregation
     is map-side combinable, and the per-group top-k window reuses its
-    partitioning. The kept set is ≤ k rows per group no matter the
+    partitioning. The kept set is ≤ k+1 rows per group no matter the
     input size. Nulls are skipped (SQL aggregate semantics).
     ``n_total`` (true group row count) rides along on every state row
     so estimates can report the sampled fraction after merges."""
     c = F.col(col)
     gw = Window.partitionBy(*group_cols)
-    w = gw.orderBy(F.col("hrank").asc(), F.col("value").asc())
+    w = gw.orderBy(F.col("priority").desc(), F.col("value").asc())
     return (
         df.filter(c.isNotNull())
         .groupBy(*group_cols, c.alias("value"))
         .agg(F.count("*").alias("cnt"))
-        .withColumn("hrank", _qsk_rank(F.col("value")))
+        .withColumn("priority", _qsk_priority(F.col("value"), F.col("cnt")))
         .withColumn("n_total", F.sum("cnt").over(gw))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        .filter(F.col("rn") <= k + 1)
         .drop("rn")
     )
 
@@ -276,12 +309,14 @@ def qsketch_state(
 def qsketch_merge(
     a: DataFrame, b: DataFrame, group_cols: Sequence[str], k: int = _QSK_K
 ) -> DataFrame:
-    """Merge two weighted bottom-k states built over DISJOINT row sets:
-    union + sum counts per (group, value) + re-top-k. Exact —
-    merge(state(A), state(B)) == state(A ∪ B) row-for-row including
-    multiplicities, because hrank depends only on the value (see the
-    block comment above). Never revisits raw data; both inputs are
-    already ≤ k rows per group, so the merge window sees ≤ 2k rows.
+    """Merge two priority-sample states built over DISJOINT row sets:
+    union + sum counts per (group, value) + recompute priorities from
+    the summed counts + re-top-(k+1). Exact when each input state is
+    untruncated (≤ k+1 distinct values per group — the state is then
+    a lossless count table); otherwise one-sided per the block
+    comment above (heavy values are never lost: priority ≥ cnt).
+    Never revisits raw data; both inputs are already ≤ k+1 rows per
+    group, so the merge window sees ≤ 2k+2 rows.
 
     Inputs MUST cover disjoint row sets (the standard sketch-merge
     contract, as for cms_merge): counts are summed, so overlapping
@@ -289,8 +324,9 @@ def qsketch_merge(
     gcols = list(group_cols)
     merged = (
         a.unionByName(b)
-        .groupBy(*gcols, "value", "hrank")
+        .groupBy(*gcols, "value")
         .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("priority", _qsk_priority(F.col("value"), F.col("cnt")))
     )
     # per-group n_total adds across disjoint inputs; within one input
     # every state row of a group carries the same n_total, so max()
@@ -308,35 +344,58 @@ def qsketch_merge(
         )
     )
     w = Window.partitionBy(*gcols).orderBy(
-        F.col("hrank").asc(), F.col("value").asc()
+        F.col("priority").desc(), F.col("value").asc()
     )
     return (
         merged.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        .filter(F.col("rn") <= k + 1)
         .drop("rn")
-        # states are ≤ k rows/group, so the group-level totals are tiny
+        # states are ≤ k+1 rows/group, so the group-level totals are tiny
         .join(F.broadcast(ntot), gcols)
         # same column order as qsketch_state output
-        .select(*gcols, "value", "cnt", "hrank", "n_total")
+        .select(*gcols, "value", "cnt", "priority", "n_total")
     )
 
 
 def qsketch_quantiles(
-    state: DataFrame, group_cols: Sequence[str], qs: Sequence[float]
+    state: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    k: int = _QSK_K,
 ) -> DataFrame:
-    """Quantile estimates per group from the weighted bottom-k sample.
+    """Quantile estimates per group from the priority sample.
 
-    Rule (mirrored exactly by the SQL oracle): sort the sampled values;
-    with n = Σ cnt (total sampled weight) the q-estimate is the value
-    whose cumulative-weight interval contains target rank
-    floor(q·(n−1)) + 1 — weighted percentile_disc over the sample.
-    Reduces to the unweighted order statistic when all counts are 1.
+    DLT estimator, integer-valued so cross-engine sums are exact
+    (mirrored literally by the SQL oracle): a group whose state holds
+    exactly k+1 rows was truncated — its lowest-priority row is the
+    threshold carrier, τ = that row's priority, and the remaining k
+    rows form the sample with estimated weights ŵ = max(cnt, τ)
+    (light sampled values are inflated to stand in for the unsampled
+    light mass; heavy values keep their exact counts). An
+    untruncated state (≤ k rows) IS the complete count table: τ = 0,
+    ŵ = cnt, and every estimate is exact. Then sort the sample by
+    value; with n = Σ ŵ the q-estimate is the value whose
+    cumulative-ŵ interval contains target rank floor(q·(n−1)) + 1 —
+    weighted percentile_disc over the estimated weights.
     Output: (group…, q, approx_value) — one row per group × q."""
     gcols = list(group_cols)
-    vw = Window.partitionBy(*gcols).orderBy(F.col("value").asc())
     gw = Window.partitionBy(*gcols)
-    ranked = state.withColumn("cw", F.sum("cnt").over(vw)).withColumn(
-        "n", F.sum("cnt").over(gw)
+    pw = gw.orderBy(F.col("priority").desc(), F.col("value").asc())
+    marked = (
+        state.withColumn("rn", F.row_number().over(pw))
+        .withColumn("m", F.count("*").over(gw))
+        .withColumn(
+            "tau",
+            F.when(
+                F.col("m") == k + 1, F.min("priority").over(gw)
+            ).otherwise(F.lit(0)),
+        )
+        .filter(F.col("rn") <= k)
+        .withColumn("w", F.greatest(F.col("cnt"), F.col("tau")))
+    )
+    vw = Window.partitionBy(*gcols).orderBy(F.col("value").asc())
+    ranked = marked.withColumn("cw", F.sum("w").over(vw)).withColumn(
+        "n", F.sum("w").over(gw)
     )
     # ONE pass for all quantiles: explode the q list against the ranked
     # sample and keep the value whose weight interval covers the target
@@ -345,13 +404,13 @@ def qsketch_quantiles(
     exploded = ranked.select(
         *gcols,
         "value",
-        "cnt",
+        "w",
         "cw",
         "n",
         F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
     ).withColumn("t", F.floor(F.col("q") * (F.col("n") - 1)) + 1)
     return exploded.filter(
-        (F.col("cw") >= F.col("t")) & (F.col("cw") - F.col("cnt") < F.col("t"))
+        (F.col("cw") >= F.col("t")) & (F.col("cw") - F.col("w") < F.col("t"))
     ).select(*gcols, "q", F.col("value").alias("approx_value"))
 
 
@@ -363,4 +422,6 @@ def approx_quantiles(
     k: int = _QSK_K,
 ) -> DataFrame:
     """One-shot grouped quantile estimates (state → estimates)."""
-    return qsketch_quantiles(qsketch_state(df, group_cols, col, k), group_cols, qs)
+    return qsketch_quantiles(
+        qsketch_state(df, group_cols, col, k), group_cols, qs, k
+    )

@@ -126,13 +126,18 @@ def test_cms_absent_key_estimates_small(spark):
 
 
 def test_qsketch_merge_equals_single_pass(spark, sf_dir):
+    """Merge exactness holds whenever each input state is untruncated
+    (its per-group distinct counts <= k+1): states are then lossless
+    count tables and union+sum+recompute+re-top-k reproduces the
+    single-pass state row-for-row. 50 distinct values, k=64."""
     from fbs_data_pipelines_spark.operators.sketches import (
         qsketch_merge,
         qsketch_state,
     )
 
     df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderstatus", F.floor(F.col("o_totalprice") * 100).cast("long").alias("v")
+        "o_orderstatus",
+        F.pmod(F.floor(F.col("o_totalprice") * 100).cast("long"), F.lit(50)).alias("v"),
     )
     half_a = df.filter(F.col("v") % 2 == 0)
     half_b = df.filter(F.col("v") % 2 != 0)
@@ -143,10 +148,41 @@ def test_qsketch_merge_equals_single_pass(spark, sf_dir):
         ["o_orderstatus"],
         k=64,
     )
-    # full weighted rows (value, hrank, cnt, n_total) must agree
+    # full weighted rows (value, cnt, priority, n_total) must agree
     s = {tuple(r) for r in single.collect()}
-    m = {tuple(r) for r in merged.collect()}
-    assert s == m  # weighted bottom-k is exactly mergeable
+    m = {tuple(r) for r in merged.select(*single.columns).collect()}
+    assert s == m
+
+
+def test_qsketch_heavy_value_always_sampled(spark):
+    """r8 advisor regression: a value holding most of a group's mass
+    must be in the sample even when the distinct-value count dwarfs k.
+    Priority sampling guarantees it deterministically: priority >= cnt,
+    and the threshold tau is (k+1)-th largest, so cnt > tau => kept.
+    10_000 unit-count values + one value with cnt=50_000, k=64: the
+    uniform-over-distinct-values sample of the old scheme kept the
+    heavy value with probability ~k/D ~ 0.6%; the median estimate here
+    must BE the heavy value (it spans ranks 5k..55k of 60k)."""
+    from fbs_data_pipelines_spark.operators.sketches import (
+        approx_quantiles,
+        qsketch_state,
+    )
+
+    light = spark.range(10_000).select(
+        F.lit("g").alias("g"), (F.col("id") * 2).alias("v")
+    )
+    heavy = spark.range(50_000).select(
+        F.lit("g").alias("g"), F.lit(9_999).alias("v").cast("long")
+    )
+    df = light.unionByName(heavy)
+    st = qsketch_state(df, ["g"], "v", k=64)
+    kept = {r["value"] for r in st.collect()}
+    assert 9_999 in kept
+    est = {
+        r["q"]: r["approx_value"]
+        for r in approx_quantiles(df, ["g"], "v", [0.5], k=64).collect()
+    }
+    assert est[0.5] == 9_999
 
 
 def test_qsketch_merge_preserves_multiplicity(spark):
@@ -195,7 +231,8 @@ def test_qsketch_state_bounded_and_deterministic(spark, sf_dir):
     st = qsketch_state(df, ["o_orderstatus"], "v", k=32)
     sizes = {r["o_orderstatus"]: r["n"] for r in
              st.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
-    assert all(n <= 32 for n in sizes.values())
+    # k sample rows + the (k+1)-th threshold carrier
+    assert all(n <= 33 for n in sizes.values())
     # deterministic: re-running over a reshuffled input gives the same set
     st2 = qsketch_state(df.repartition(7), ["o_orderstatus"], "v", k=32)
     assert {tuple(r) for r in st.collect()} == {tuple(r) for r in st2.collect()}

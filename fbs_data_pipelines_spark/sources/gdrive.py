@@ -82,6 +82,75 @@ class DriveTransport(ABC):
         """files().get_media — full content bytes."""
 
 
+class LocalDirTransport(DriveTransport):
+    """Drive-v3-shaped transport over a LOCAL directory tree: folders
+    are folders, files are files, ids are root-relative paths,
+    ``createdTime`` is the file mtime as RFC3339. Two jobs: (a) the
+    deterministic test vehicle for everything Drive-shaped — state is
+    plain files, so SPARK EXECUTORS can rebuild the transport from a
+    path string (the fake-object transports live only in the driver
+    process); (b) a real adapter for the common migration pattern
+    where a Drive folder is rsync'd/rclone'd to a mount and the
+    pipeline reads the mirror."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    def _abs(self, rel: str | None) -> str:
+        return os.path.join(self.root, rel) if rel else self.root
+
+    def _resource(self, rel: str) -> dict:
+        full = self._abs(rel)
+        is_dir = os.path.isdir(full)
+        st = os.stat(full)
+        created = (
+            _dt.datetime.fromtimestamp(st.st_mtime, tz=_dt.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+        )
+        return {
+            "id": rel,
+            "name": os.path.basename(rel) or os.path.basename(self.root),
+            "mimeType": FOLDER_MIME if is_dir else CSV_MIME,
+            "createdTime": created,
+            "size": 0 if is_dir else st.st_size,
+        }
+
+    def list_drives(self) -> list[dict]:
+        return [{"id": "", "name": os.path.basename(self.root)}]
+
+    def list_files(
+        self,
+        parent_id: str | None = None,
+        name: str | None = None,
+        mime_type: str | None = None,
+    ) -> list[dict]:
+        parent = self._abs(parent_id)
+        if not os.path.isdir(parent):
+            return []
+        out = []
+        for entry in sorted(os.listdir(parent)):
+            rel = os.path.join(parent_id, entry) if parent_id else entry
+            res = self._resource(rel)
+            if name is not None and res["name"] != name:
+                continue
+            if mime_type is not None and res["mimeType"] != mime_type:
+                continue
+            out.append(res)
+        return out
+
+    def download(self, file_id: str) -> bytes:
+        with open(self._abs(file_id), "rb") as fh:
+            return fh.read()
+
+
+def local_dir_transport(root: str) -> LocalDirTransport:
+    """Factory for the DataSource ``transport`` option:
+    ``module:callable`` spec
+    ``fbs_data_pipelines_spark.sources.gdrive:local_dir_transport``
+    with ``transport_args={"root": ...}``."""
+    return LocalDirTransport(root)
+
+
 class SheetsTransport(ABC):
     """What a Sheets v4 wrapper must provide (values get/clear/update)."""
 
@@ -186,7 +255,13 @@ class DriveClient:
         separator, latin-1, junk leading row, ragged lines — all
         handled by the engine's S1 reader). The payload is spooled to
         a local temp file so the existing reader (and its dialect
-        policy) is the single CSV implementation."""
+        policy) is the single CSV implementation.
+
+        This is the CONTROL-PLANE path (one file, driver-side, ≤ the
+        download cap). For multi-file extraction use the distributed
+        DataSource instead: ``spark.read.format("fbs_drive")``
+        (``sources/drive_datasource.py``) plans one executor
+        partition per selected file with listing pushdown."""
         payload = self.transport.download(file_id)
         if len(payload) > MAX_DOWNLOAD_BYTES:
             raise ValueError(

@@ -158,22 +158,26 @@ def minhash_lsh_pairs(
         .agg(*_minhash_aggs(num_hashes), F.count("*").alias("sz"))
     )
 
+    # band bucket key = ONE xxhash64 over (band index, band's minhash
+    # codes): an 8-byte long instead of the former ~24-byte
+    # concat_ws string — ~3× less bucket-join key payload to shuffle
+    # at scale and a cheaper hash/compare; measured at sf0.1 the
+    # candidate stage dropped 0.348→0.298 s with an IDENTICAL
+    # candidate set (r9 audit, EVIDENCE_r09.md §4). A 64-bit
+    # collision can only ADD a candidate pair (same-band values still
+    # collide), and the exact-Jaccard verify filters any such pair,
+    # so the operator's OUTPUT is collision-invariant.
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.concat_ws("_", *parts).alias(f"band_{b}"))
+        band_cols.append(F.xxhash64(F.lit(b), *parts).alias(f"band_{b}"))
     banded = sig.select(F.col(id_col), *band_cols)
 
     # candidates: docs sharing any band value
     stacked = banded.select(
         F.col(id_col),
         F.explode(
-            F.array(
-                *[
-                    F.concat_ws("|", F.lit(str(b)), F.col(f"band_{b}"))
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[F.col(f"band_{b}") for b in range(bands)])
         ).alias("bucket"),
     )
     left = stacked.select(F.col(id_col).alias("id_a"), "bucket")

@@ -448,12 +448,13 @@ def q_merge_into(spark, sf_dir):
     """SQL ``MERGE INTO`` front door (sql_merge.py): the statement a
     lakehouse user types for the reference's C2 merge
     (/root/reference/src/log_handler.py:99-128 via etl.py EP3),
-    exercising all three WHEN branches — a predicated DELETE, an
-    UPDATE SET assignment, and INSERT *. Executes as ONE full-outer
-    join on the key (single shuffle, broadcast-eligible source) with
-    per-column CASE fate logic — whole-stage codegen, no Python in
-    the row path. The oracle is the equivalent anti/semi-join union
-    formulation of the same statement."""
+    exercising all FOUR WHEN families — a predicated MATCHED DELETE,
+    an UPDATE SET assignment, INSERT *, and a predicated NOT MATCHED
+    BY SOURCE DELETE (r9: source-absent urgent rows retire). Executes
+    as ONE full-outer join on the key (single shuffle, broadcast-
+    eligible source) with per-column CASE fate logic — whole-stage
+    codegen, no Python in the row path. The oracle is the equivalent
+    anti/semi-join union formulation of the same statement."""
     from fbs_data_pipelines_spark.sql_merge import merge_into
 
     target = _published(spark, sf_dir).filter(F.col("o_orderkey") % 4 != 0)
@@ -468,6 +469,8 @@ def q_merge_into(spark, sf_dir):
         WHEN MATCHED AND s.o_totalprice > 250000 THEN DELETE
         WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
         WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderpriority = '1-URGENT'
+            THEN DELETE
         """,
     )
 
@@ -3689,9 +3692,11 @@ def oracle_sql() -> dict[str, str]:
         src AS (
             SELECT * FROM ({_SNAPSHOT_SQL}) snap WHERE o_orderkey % 2 = 0
         )
-        -- target rows with no source match: kept unchanged
+        -- target rows with no source match: kept unless the NOT
+        -- MATCHED BY SOURCE clause retires them (urgent rows delete)
         SELECT t.o_orderkey, t.o_totalprice, t.o_orderpriority
         FROM tgt t WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+          AND NOT (t.o_orderpriority = '1-URGENT')
         UNION ALL
         -- matched, first clause (DELETE) not taken: UPDATE SET price
         SELECT t.o_orderkey, s.o_totalprice, t.o_orderpriority

@@ -14,14 +14,23 @@ engine's own merge machinery:
     MERGE INTO <target> [AS t] USING <source> [AS s] ON <condition>
     [WHEN MATCHED [AND <pred>] THEN UPDATE SET * | SET c = expr, ...]
     [WHEN MATCHED [AND <pred>] THEN DELETE]
-    [WHEN NOT MATCHED [AND <pred>] THEN INSERT * |
+    [WHEN NOT MATCHED [BY TARGET] [AND <pred>] THEN INSERT * |
                                         INSERT (cols) VALUES (exprs)]
+    [WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE |
+                                        UPDATE SET c = expr, ...]
 
-Any number of WHEN clauses; per SQL semantics the FIRST clause whose
-predicate holds wins for each row. Not supported (documented scope):
-``WHEN NOT MATCHED BY SOURCE``, subqueries as the source (register a
-temp view first), and non-deterministic multi-match resolution — the
-ON condition should be a key equality, as in every lakehouse merge.
+Any number of WHEN clauses; per SQL semantics the FIRST clause (in
+statement order, within its match family) whose predicate holds wins
+for each row. ``NOT MATCHED BY SOURCE`` clauses see only TARGET
+columns (their predicates and SET expressions must not reference the
+source side, whose columns are all null there — the standard's rule);
+``SET *`` is meaningless in that family and rejected. A statement
+combining UPDATE-on-match, INSERT-on-new, and DELETE-when-absent
+expresses the reference's authoritative-full-snapshot C2 semantics as
+one MERGE. Not supported (documented scope): subqueries as the source
+(register a temp view first) and non-deterministic multi-match
+resolution — the ON condition should be a key equality, as in every
+lakehouse merge.
 
 Execution is ONE full-outer join on the ON condition (single shuffle,
 broadcast-eligible when the source is small — exactly the plan you
@@ -51,6 +60,7 @@ _KEEP = 0        # surviving target row, unchanged
 _DROP = -1       # source-only row with no applicable INSERT clause
 _MATCHED_BASE = 100
 _INSERT_BASE = 200
+_NMBS_BASE = 300  # NOT MATCHED BY SOURCE clause family
 
 
 @dataclass
@@ -78,6 +88,12 @@ class MergeStatement:
     on: str
     matched: list[_MatchedClause]
     not_matched: list[_NotMatchedClause]
+    # WHEN NOT MATCHED BY SOURCE: target rows with no source match.
+    # Reuses _MatchedClause (kind update/delete, target-only exprs;
+    # set_star is never produced by the parser for this family).
+    not_matched_by_source: list[_MatchedClause] = field(
+        default_factory=list
+    )
 
 
 _HEAD_RE = re.compile(
@@ -100,6 +116,12 @@ _NOT_MATCHED_RE = re.compile(
         \s+THEN\s+INSERT\s*
         (?:(?P<star>\*)
          |\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.+)\))\s*$""",
+    re.IGNORECASE | re.DOTALL | re.VERBOSE,
+)
+_NMBS_RE = re.compile(
+    r"""^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+
+        (?:(?P<delete>DELETE)
+         |UPDATE\s+SET\s+(?P<sets>.+))\s*$""",
     re.IGNORECASE | re.DOTALL | re.VERBOSE,
 )
 
@@ -209,8 +231,46 @@ def parse_merge(statement: str) -> MergeStatement:
     source_alias = head.group("salias") or head.group("source")
     matched: list[_MatchedClause] = []
     not_matched: list[_NotMatchedClause] = []
+    not_matched_by_source: list[_MatchedClause] = []
+
+    def parse_assignments(sets: str) -> dict[str, str]:
+        assignments: dict[str, str] = {}
+        for part in _split_top_level(sets):
+            if "=" not in part:
+                raise ValueError(f"bad SET assignment: {part!r}")
+            lhs, rhs = part.split("=", 1)
+            col = _strip_alias(lhs, (target_alias,))
+            if not re.fullmatch(r"\w+", col):
+                raise ValueError(
+                    f"SET target must be a target column: {lhs!r}"
+                )
+            assignments[col] = rhs.strip()
+        return assignments
+
     for piece in pieces[1:]:
         piece = piece.strip()
+        nb = _NMBS_RE.match(piece)
+        if nb:
+            if nb.group("delete"):
+                not_matched_by_source.append(
+                    _MatchedClause(predicate=nb.group("pred"), kind="delete")
+                )
+            else:
+                sets = nb.group("sets").strip()
+                if sets == "*":
+                    raise ValueError(
+                        "UPDATE SET * is meaningless in WHEN NOT MATCHED "
+                        "BY SOURCE (there is no source row to copy) — "
+                        "name the assignments"
+                    )
+                not_matched_by_source.append(
+                    _MatchedClause(
+                        predicate=nb.group("pred"),
+                        kind="update",
+                        assignments=parse_assignments(sets),
+                    )
+                )
+            continue
         m = _MATCHED_RE.match(piece)
         if m:
             if m.group("delete"):
@@ -228,22 +288,11 @@ def parse_merge(statement: str) -> MergeStatement:
                         )
                     )
                 else:
-                    assignments: dict[str, str] = {}
-                    for part in _split_top_level(sets):
-                        if "=" not in part:
-                            raise ValueError(f"bad SET assignment: {part!r}")
-                        lhs, rhs = part.split("=", 1)
-                        col = _strip_alias(lhs, (target_alias,))
-                        if not re.fullmatch(r"\w+", col):
-                            raise ValueError(
-                                f"SET target must be a target column: {lhs!r}"
-                            )
-                        assignments[col] = rhs.strip()
                     matched.append(
                         _MatchedClause(
                             predicate=m.group("pred"),
                             kind="update",
-                            assignments=assignments,
+                            assignments=parse_assignments(sets),
                         )
                     )
             continue
@@ -283,6 +332,7 @@ def parse_merge(statement: str) -> MergeStatement:
         on=on,
         matched=matched,
         not_matched=not_matched,
+        not_matched_by_source=not_matched_by_source,
     )
 
 
@@ -336,6 +386,10 @@ def execute_merge(
         for col in cl.columns:
             if col not in tcols:
                 raise ValueError(f"INSERT references unknown column {col!r}")
+    for cl in stmt.not_matched_by_source:
+        for col in cl.assignments:
+            if col not in tcols:
+                raise ValueError(f"SET references unknown column {col!r}")
 
     t = target_df.withColumn(_T_MARK, F.lit(True))
     if check_cardinality:
@@ -370,12 +424,21 @@ def execute_merge(
             t_here & s_here,
             _first_match(stmt.matched, _MATCHED_BASE, _KEEP),
         )
-        .when(t_here, F.lit(_KEEP))
+        # target-only rows: NOT MATCHED BY SOURCE family (predicates
+        # and SETs see target columns only — source side is all null)
+        .when(
+            t_here,
+            _first_match(stmt.not_matched_by_source, _NMBS_BASE, _KEEP),
+        )
         .otherwise(_first_match(stmt.not_matched, _INSERT_BASE, _DROP))
     )
     delete_ids = [
         _MATCHED_BASE + i
         for i, cl in enumerate(stmt.matched)
+        if cl.kind == "delete"
+    ] + [
+        _NMBS_BASE + i
+        for i, cl in enumerate(stmt.not_matched_by_source)
         if cl.kind == "delete"
     ]
     kept = joined.withColumn(_ACT, action).filter(
@@ -414,6 +477,15 @@ def execute_merge(
             else:
                 val = F.lit(None).cast(dtype)
             expr = expr.when(F.col(_ACT) == _INSERT_BASE + i, val)
+        for i, cl in enumerate(stmt.not_matched_by_source):
+            if cl.kind != "update":
+                continue
+            val = (
+                F.expr(cl.assignments[c]).cast(dtype)
+                if c in cl.assignments
+                else tcol(c)
+            )
+            expr = expr.when(F.col(_ACT) == _NMBS_BASE + i, val)
         final_cols.append(expr.alias(c))
     return kept.select(*final_cols)
 

@@ -5,10 +5,12 @@ user types for the reference's C2 join-merge
 
 Covers: UPDATE SET * / SET col=expr with AND predicates and
 first-clause-wins ordering, DELETE, INSERT * / INSERT (cols) VALUES,
-cardinality check (true violation raises; duplicate target rows do
-NOT), alias resolution in ON/SET expressions, SET-value coercion to
-the target dtype, quote-aware WHEN splitting, and clean parse
-rejections for the documented unsupported forms.
+WHEN NOT MATCHED BY SOURCE (DELETE / UPDATE, predicates, clause
+order, SET * rejection), cardinality check (true violation raises;
+duplicate target rows do NOT), alias resolution in ON/SET
+expressions, SET-value coercion to the target dtype, quote-aware WHEN
+splitting, and clean parse rejections for the documented unsupported
+forms.
 """
 
 from __future__ import annotations
@@ -106,9 +108,6 @@ def test_parse_paren_nested_when_does_not_split():
         "SELECT 1",
         "MERGE INTO tgt USING src ON tgt.id = src.id",  # no WHEN
         "MERGE INTO tgt USING src ON  WHEN MATCHED THEN DELETE",  # empty ON
-        # unsupported: NOT MATCHED BY SOURCE
-        "MERGE INTO tgt USING src ON tgt.id = src.id "
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
         # bad SET
         "MERGE INTO tgt USING src ON tgt.id = src.id "
         "WHEN MATCHED THEN UPDATE SET src.id + 1",
@@ -306,3 +305,76 @@ def test_merge_into_versioned_commit(spark, tmp_path):
     assert vt.read(version=v0).count() == 3
     # bucketed VersionedTables store a stable all-string schema
     assert _rows(vt.read().filter("id = 4")) == [("4", "d", "40.0")]
+
+
+# ---------------------------------------------------------------------------
+# WHEN NOT MATCHED BY SOURCE (r9): target rows absent from the source
+# ---------------------------------------------------------------------------
+
+
+def test_nmbs_delete_full_snapshot_semantics(spark):
+    # the reference's C2 "full snapshot is authoritative" semantics as
+    # ONE statement: update matches, insert new, delete absent
+    stmt = parse_merge(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    out = execute_merge(_target(spark), _source(spark), stmt)
+    # id=1 (not in source) is gone; the result IS the source state
+    assert _rows(out) == [
+        (2, "B", 200.0),
+        (3, "C", 300.0),
+        (4, "d", 40.0),
+    ]
+
+
+def test_nmbs_update_marks_stale_rows(spark):
+    stmt = parse_merge(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'STALE'"
+    )
+    out = execute_merge(_target(spark), _source(spark), stmt)
+    # only id=1 is source-absent; matched rows keep their values
+    assert _rows(out) == [
+        (1, "STALE", 10.0),
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+    ]
+
+
+def test_nmbs_predicate_and_clause_order(spark):
+    # first NMBS clause whose predicate holds wins: low-amt absent
+    # rows delete, the rest just get flagged
+    target = spark.createDataFrame(
+        [(1, "a", 5.0), (5, "e", 500.0), (2, "b", 20.0)],
+        "id int, name string, amt double",
+    )
+    stmt = parse_merge(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND t.amt < 100 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'KEEP'"
+    )
+    out = execute_merge(target, _source(spark), stmt)
+    assert _rows(out) == [
+        (2, "b", 20.0),      # matched: untouched (no MATCHED clause)
+        (5, "KEEP", 500.0),  # absent, amt >= 100: flagged
+    ]                        # id=1 absent, amt < 100: deleted
+
+
+def test_nmbs_set_star_rejected():
+    with pytest.raises(ValueError, match="BY SOURCE"):
+        parse_merge(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+        )
+
+
+def test_nmbs_unknown_column_rejected(spark):
+    stmt = parse_merge(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET nope = 1"
+    )
+    with pytest.raises(ValueError, match="unknown column"):
+        execute_merge(_target(spark), _source(spark), stmt)

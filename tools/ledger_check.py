@@ -192,6 +192,27 @@ def main() -> int:
     print(f"gated 2+ rounds: {len(led['gated_2plus'])}")
     print(f"window first-evidence count: {len(led['window_first_evidence'])}/50")
     print("never gated:", ", ".join(led["never_gated"]) or "none")
+    # evidence-age report (r8 judge directive #8: the rotation policy
+    # is "oldest evidence refresh" — age = rounds since last green)
+    now = latest_round(repo=REPO)
+    ages = {
+        n: now - max(v) for n, v in led["evidence"].items()
+        if n in led["registry"]
+    }
+    if ages:
+        import collections
+
+        hist = collections.Counter(ages.values())
+        print("evidence-age histogram (rounds since last green):",
+              dict(sorted(hist.items())))
+        worst = max(ages.values())
+        stale = sorted(n for n, a in ages.items() if a == worst)
+        print(f"max evidence age: {worst} round(s): "
+              + ", ".join(stale[:10])
+              + (" …" if len(stale) > 10 else ""))
+        nxt = [n for n in led["window"] if n in ages]
+        print(f"window refresh: {len(nxt)} previously-evidenced queries "
+              f"re-gated next driver run (their age resets to 0)")
     return 0
 
 

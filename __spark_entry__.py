@@ -518,6 +518,35 @@ def q_schema_evolution(spark, sf_dir):
     )
 
 
+def q_sql_update_delete(spark, sf_dir):
+    """SQL UPDATE / DELETE front doors (sql_dml.py) — the remaining
+    EP3 staging-DML statements beside MERGE INTO
+    (/root/reference/etl.py:82,127-137 embedded-SQL door): an UPDATE
+    reprices big orders (multi-column SET with WHERE), then a DELETE
+    retires small ones, chained through temp views. Both statements
+    execute as pure projection/filter over the state — no join, no
+    shuffle, whole-stage codegen; the oracle is the equivalent CASE +
+    negated-filter relational form."""
+    from fbs_data_pipelines_spark.sql_dml import sql_delete, sql_update
+
+    t = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 50)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    t.createOrReplaceTempView("ud_t")
+    upd = sql_update(
+        spark,
+        """
+        UPDATE ud_t SET o_orderpriority = '0-REPRICED',
+                        o_totalprice = o_totalprice * 1.1
+        WHERE o_totalprice > 200000
+        """,
+    )
+    upd.createOrReplaceTempView("ud_t2")
+    return sql_delete(spark, "DELETE FROM ud_t2 WHERE o_totalprice < 50000")
+
+
 def q_groupby_having(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
@@ -3208,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW queries (first driver evidence) -----------------------
         "merge_into": q_merge_into,
         "schema_evolution": q_schema_evolution,
+        "sql_update_delete": q_sql_update_delete,
         # --- latest evidence r2–r3 (oldest in the ledger) --------------
         "sort_limit": q_sort_limit,
         "union_all": q_union_all,
@@ -3255,13 +3285,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "sequence_packing": q_sequence_packing,
         "decontaminate": q_decontaminate,
-        "expectations": q_expectations,
         "corpus_curation": q_corpus_curation,
         "incremental_rollup": q_incremental_rollup,
         # changed THIS round (priority-sampling rewrite) — re-gated now
         "quantile_sketch": q_quantile_sketch,
         # ==== driver gate window ends here (50 entries) ===============
         # --- r6 leftovers: head of the r10 window ----------------------
+        "expectations": q_expectations,
         "pagerank": q_pagerank,
         "hll_distinct": q_hll_distinct,
         "kmeans": q_kmeans,
@@ -3706,6 +3736,22 @@ def oracle_sql() -> dict[str, str]:
         -- source rows with no target match: INSERT *
         SELECT s.o_orderkey, s.o_totalprice, s.o_orderpriority
         FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+    """
+
+    # sql_update_delete: UPDATE's CASE form, then DELETE's negated
+    # filter, composed relationally
+    sql["sql_update_delete"] = """
+        WITH upd AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice > 200000
+                        THEN o_totalprice * 1.1
+                        ELSE o_totalprice END AS o_totalprice,
+                   CASE WHEN o_totalprice > 200000
+                        THEN '0-REPRICED'
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM orders WHERE o_custkey <= 50
+        )
+        SELECT * FROM upd WHERE NOT (o_totalprice < 50000)
     """
 
     # schema_evolution: live state after rename(price)+drop(priority)

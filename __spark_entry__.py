@@ -1910,6 +1910,38 @@ def q_quantile_sketch(spark, sf_dir):
     return est.select("o_orderstatus", "q", F.col("approx_value").alias("approx_cents"))
 
 
+def q_theta_sets(spark, sf_dir):
+    """KMV / theta sketch set operations (operators/sketches.py
+    kmv_*): per order status, estimated distinct URGENT-buyer
+    customers, HIGH-buyer customers, and their INTERSECTION — the set
+    operation HLL's registers cannot express (max-merge loses
+    identity; KMV keeps the k minimum value hashes, a coordinated
+    uniform sample of the hash space, so common hashes below
+    min(θ_a, θ_b) sample A ∩ B at a known rate). Exactly mergeable
+    (hash is value-determined) and md5-portable: the DuckDB oracle
+    rebuilds the identical bottom-k states and thresholds —
+    approximate answers, exact verification."""
+    from fbs_data_pipelines_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_state,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    a = kmv_state(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"),
+        ["o_orderstatus"],
+        "o_custkey",
+        k=128,
+    )
+    b = kmv_state(
+        o.filter(F.col("o_orderpriority") == "2-HIGH"),
+        ["o_orderstatus"],
+        "o_custkey",
+        k=128,
+    )
+    return kmv_intersect_estimate(a, b, ["o_orderstatus"], k=128)
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch point-frequency estimates next to exact
     counts (operators/sketches.py). Like the HLL query, the sketch is
@@ -3238,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into": q_merge_into,
         "schema_evolution": q_schema_evolution,
         "sql_update_delete": q_sql_update_delete,
+        "theta_sets": q_theta_sets,
         # --- latest evidence r2–r3 (oldest in the ledger) --------------
         "sort_limit": q_sort_limit,
         "union_all": q_union_all,
@@ -3285,12 +3318,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "sequence_packing": q_sequence_packing,
         "decontaminate": q_decontaminate,
-        "corpus_curation": q_corpus_curation,
         "incremental_rollup": q_incremental_rollup,
         # changed THIS round (priority-sampling rewrite) — re-gated now
         "quantile_sketch": q_quantile_sketch,
         # ==== driver gate window ends here (50 entries) ===============
         # --- r6 leftovers: head of the r10 window ----------------------
+        "corpus_curation": q_corpus_curation,
         "expectations": q_expectations,
         "pagerank": q_pagerank,
         "hll_distinct": q_hll_distinct,
@@ -4985,6 +5018,65 @@ def oracle_sql() -> dict[str, str]:
         FROM sorted JOIN qs
           ON cw >= floor(q * (n - 1)) + 1
          AND cw - w < floor(q * (n - 1)) + 1
+    """
+
+    # theta-sketch set ops mirrored state-for-state: identical 48-bit
+    # md5 bottom-k per segment, min-theta, common-under-theta count
+    sql["theta_sets"] = """
+        WITH a_h AS (
+            SELECT DISTINCT o_orderstatus AS g,
+                   ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
+                       ::BIGINT AS hv
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+        ), b_h AS (
+            SELECT DISTINCT o_orderstatus AS g,
+                   ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
+                       ::BIGINT AS hv
+            FROM orders WHERE o_orderpriority = '2-HIGH'
+        ), a_k AS (
+            SELECT g, hv FROM (
+                SELECT g, hv, row_number() OVER (
+                    PARTITION BY g ORDER BY hv ASC) AS rn FROM a_h
+            ) WHERE rn <= 128
+        ), b_k AS (
+            SELECT g, hv FROM (
+                SELECT g, hv, row_number() OVER (
+                    PARTITION BY g ORDER BY hv ASC) AS rn FROM b_h
+            ) WHERE rn <= 128
+        ), ta AS (
+            SELECT g, count(*) AS m_a,
+                   CASE WHEN count(*) < 128 THEN CAST(281474976710656 AS DOUBLE)
+                        ELSE CAST(max(hv) AS DOUBLE) END AS theta_a
+            FROM a_k GROUP BY g
+        ), tb AS (
+            SELECT g, count(*) AS m_b,
+                   CASE WHEN count(*) < 128 THEN CAST(281474976710656 AS DOUBLE)
+                        ELSE CAST(max(hv) AS DOUBLE) END AS theta_b
+            FROM b_k GROUP BY g
+        ), th AS (
+            SELECT coalesce(ta.g, tb.g) AS g, m_a, m_b, theta_a, theta_b,
+                   least(coalesce(theta_a, CAST(281474976710656 AS DOUBLE)),
+                         coalesce(theta_b, CAST(281474976710656 AS DOUBLE))) AS theta
+            FROM ta FULL JOIN tb ON ta.g = tb.g
+        ), cm AS (
+            SELECT a_k.g, count(*) AS n_common
+            FROM a_k JOIN b_k ON a_k.g = b_k.g AND a_k.hv = b_k.hv
+            JOIN th ON th.g = a_k.g
+            WHERE a_k.hv < th.theta
+            GROUP BY a_k.g
+        )
+        SELECT th.g AS o_orderstatus,
+               round(coalesce(
+                   CASE WHEN m_a < 128 THEN CAST(m_a AS DOUBLE)
+                        ELSE 127.0 * CAST(281474976710656 AS DOUBLE) / theta_a END,
+                   0.0), 4) AS est_a,
+               round(coalesce(
+                   CASE WHEN m_b < 128 THEN CAST(m_b AS DOUBLE)
+                        ELSE 127.0 * CAST(281474976710656 AS DOUBLE) / theta_b END,
+                   0.0), 4) AS est_b,
+               round(coalesce(cm.n_common, 0)
+                     * CAST(281474976710656 AS DOUBLE) / theta, 4) AS est_intersection
+        FROM th LEFT JOIN cm ON th.g = cm.g
     """
 
     # count-min sketch mirrored counter-for-counter: row-salted md5

@@ -425,3 +425,167 @@ def approx_quantiles(
     return qsketch_quantiles(
         qsketch_state(df, group_cols, col, k), group_cols, qs, k
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — the SET-OPERATIONS sibling of HLL: keep the k
+# MINIMUM 48-bit value hashes per group (Bar-Yossef et al. 2002
+# "Counting distinct elements in a data stream"; the theta-sketch
+# framing of Dasgupta et al.). HLL estimates |A| and |A ∪ B| (its
+# registers max-merge) but CANNOT estimate |A ∩ B|; a KMV state is a
+# uniform coordinated sample of the value-hash space below a
+# threshold θ, so two states INTERSECT: common hashes below
+# min(θ_a, θ_b) are an unbiased sample of A ∩ B at a KNOWN sampling
+# rate — |A ∩ B| ≈ |common < θ| / θ, rel. error ~ 1/sqrt(k).
+# Deterministic (hash of the value, no RNG), engine-portable (md5
+# 12-hex window → 48-bit long, exact in both engines' integers), and
+# EXACTLY mergeable over any inputs (union-distinct + re-bottom-k:
+# hash is value-determined, so the union's bottom-k is contained in
+# the per-input bottom-k's — dedup on hash also makes merge
+# idempotent, no disjointness contract needed, unlike counters).
+# ---------------------------------------------------------------------------
+
+#: KMV hash-space size: 12 md5 hex chars = 48 bits (exact in a long
+#: and in DuckDB's BIGINT; collision prob ~ D²/2^49, negligible at
+#: any per-group cardinality this engine targets)
+_KMV_SPACE = float(1 << 48)
+_KMV_K = 256
+
+
+def _kmv_hash(col: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def kmv_state(
+    df: DataFrame, group_cols: Sequence[str], col: str, k: int = _KMV_K
+) -> DataFrame:
+    """KMV state: (group…, hv) — the ≤ k smallest distinct 48-bit
+    value hashes per group. One shuffle (distinct is map-side
+    combinable; the bottom-k window reuses its partitioning). Nulls
+    are skipped (COUNT DISTINCT semantics)."""
+    c = F.col(col)
+    w = Window.partitionBy(*group_cols).orderBy(F.col("hv").asc())
+    return (
+        df.filter(c.isNotNull())
+        .select(*group_cols, _kmv_hash(c).alias("hv"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str], k: int = _KMV_K
+) -> DataFrame:
+    """Merge two KMV states: union-distinct + re-bottom-k. EXACT
+    (merge(state(A), state(B)) == state(A ∪ B)): the hash is a
+    function of the value alone, so any hash in the union's bottom-k
+    is in the bottom-k of every input containing it. Idempotent —
+    overlapping inputs are fine (hashes dedup), unlike count-summing
+    sketches."""
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(F.col("hv").asc())
+    return (
+        a.unionByName(b)
+        .select(*gcols, "hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_estimate(
+    state: DataFrame, group_cols: Sequence[str], k: int = _KMV_K
+) -> DataFrame:
+    """Distinct-count estimate per group: EXACT row count m when the
+    state is untruncated (m < k); otherwise the classic KMV estimator
+    (k−1)/θ with θ = (k-th smallest hash)/2^48. Mirrored exactly by
+    the SQL oracle (integer max + one double division)."""
+    gcols = list(group_cols)
+    agg = state.groupBy(*gcols).agg(
+        F.count("*").alias("m"), F.max("hv").alias("max_hv")
+    )
+    est = F.when(F.col("m") < k, F.col("m").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("max_hv")
+    )
+    return agg.select(*gcols, F.round(est, 4).alias("est_distinct"))
+
+
+def kmv_intersect_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: Sequence[str],
+    k: int = _KMV_K,
+) -> DataFrame:
+    """|A ∩ B| estimate per group from two KMV states (theta-sketch
+    intersection): θ = min(θ_a, θ_b) where θ_x = k-th smallest hash
+    when truncated else 2^48 (full space); hashes common to both
+    states with hv < θ are a coordinated uniform sample of A ∩ B at
+    rate θ/2^48, so the estimate is |common < θ| · 2^48 / θ — EXACT
+    when both states are untruncated. Groups present in only one
+    input report 0 (empty intersection). Output: (group…, est_a,
+    est_b, est_intersection)."""
+    gcols = list(group_cols)
+
+    def theta(state: DataFrame, name: str) -> DataFrame:
+        return state.groupBy(*gcols).agg(
+            F.count("*").alias(f"m_{name}"),
+            F.max("hv").alias(f"max_{name}"),
+        ).select(
+            *gcols,
+            F.col(f"m_{name}"),
+            F.when(
+                F.col(f"m_{name}") < k, F.lit(float(_KMV_SPACE))
+            )
+            .otherwise(F.col(f"max_{name}").cast("double"))
+            .alias(f"theta_{name}"),
+        )
+
+    th = theta(a, "a").join(theta(b, "b"), gcols, "full")
+    th = th.select(
+        *gcols,
+        F.least(
+            F.coalesce(F.col("theta_a"), F.lit(float(_KMV_SPACE))),
+            F.coalesce(F.col("theta_b"), F.lit(float(_KMV_SPACE))),
+        ).alias("theta"),
+        "m_a",
+        "m_b",
+        "theta_a",
+        "theta_b",
+    )
+    common = a.join(b, [*gcols, "hv"]).groupBy(*gcols).agg(
+        F.collect_list("hv").alias("_hvs")
+    )
+    # count common hashes under theta without a second join pass:
+    # states are ≤ k rows/group, the collected list is tiny
+    joined = th.join(common, gcols, "left").select(
+        *gcols,
+        "theta",
+        "m_a",
+        "m_b",
+        "theta_a",
+        "theta_b",
+        F.coalesce(
+            F.size(
+                F.filter(F.col("_hvs"), lambda h: h < F.col("theta"))
+            ),
+            F.lit(0),
+        ).alias("n_common"),
+    )
+    est_a = F.when(
+        F.col("m_a") < k, F.col("m_a").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("theta_a"))
+    est_b = F.when(
+        F.col("m_b") < k, F.col("m_b").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("theta_b"))
+    est_i = F.col("n_common") * F.lit(_KMV_SPACE) / F.col("theta")
+    return joined.select(
+        *gcols,
+        F.round(F.coalesce(est_a, F.lit(0.0)), 4).alias("est_a"),
+        F.round(F.coalesce(est_b, F.lit(0.0)), 4).alias("est_b"),
+        F.round(est_i, 4).alias("est_intersection"),
+    )

@@ -838,6 +838,23 @@ def q_ann_topk(spark, sf_dir):
     return ann_topk_bruteforce(e, queries, k=5)
 
 
+def q_ann_sq8(spark, sf_dir):
+    """SQ8 scalar-quantized ANN with exact rerank
+    (operators/similarity.py ann_topk_sq8): rank on 8-bit-quantized
+    vectors (4× less scan bandwidth at scale — the codes, not the
+    floats, stream through the O(N·Q) stage), exact-rerank the top 20
+    per query. Per-dim min/max grid is deterministic and mirrored by
+    the oracle, so the approximate RANKING — not just the final
+    scores — is verified exactly across engines."""
+    from fbs_data_pipelines_spark.operators.similarity import ann_topk_sq8
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk_sq8(e, queries, k=5, rerank=20)
+
+
 def q_ann_lsh(spark, sf_dir):
     from fbs_data_pipelines_spark.operators.similarity import ann_lsh_topk
 
@@ -3271,6 +3288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "sql_update_delete": q_sql_update_delete,
         "theta_sets": q_theta_sets,
+        "ann_sq8": q_ann_sq8,
         # --- latest evidence r2–r3 (oldest in the ledger) --------------
         "sort_limit": q_sort_limit,
         "union_all": q_union_all,
@@ -3317,12 +3335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alpha_sample": q_alpha_sample,
         "quality_classifier": q_quality_classifier,
         "sequence_packing": q_sequence_packing,
-        "decontaminate": q_decontaminate,
         "incremental_rollup": q_incremental_rollup,
         # changed THIS round (priority-sampling rewrite) — re-gated now
         "quantile_sketch": q_quantile_sketch,
         # ==== driver gate window ends here (50 entries) ===============
         # --- r6 leftovers: head of the r10 window ----------------------
+        "decontaminate": q_decontaminate,
         "corpus_curation": q_corpus_curation,
         "expectations": q_expectations,
         "pagerank": q_pagerank,
@@ -4087,6 +4105,60 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY query_id
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
+        QUALIFY rank <= 5
+    """
+
+    # SQ8 ANN mirrored grid-for-grid: per-dim min/max, clamp-floor
+    # quantize, dequantized cosine ranks the top-20, exact cosine
+    # reranks — identical arithmetic order on both engines
+    sql["ann_sq8"] = """
+        WITH ux AS (
+            SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), dims AS (
+            SELECT i, min(x) AS mn,
+                   CASE WHEN max(x) > min(x) THEN max(x) - min(x)
+                        ELSE 1.0 END AS rng
+            FROM ux GROUP BY i
+        ), dq AS (
+            SELECT ux.vec_id,
+                   list(dims.mn +
+                        least(greatest(floor((ux.x - dims.mn) * 255.0
+                                             / dims.rng), 0.0), 255.0)
+                        * dims.rng / 255.0 ORDER BY ux.i) AS v
+            FROM ux JOIN dims ON ux.i = dims.i
+            GROUP BY ux.vec_id
+        ), q AS (
+            SELECT vec_id AS query_id, v FROM dq WHERE vec_id < 5
+        ), qe AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id < 5
+        ), approx AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   floor(list_cosine_similarity(c.v, q.v)
+                         * 1000000.0 + 0.5) / 1000000.0 AS asim
+            FROM dq c, q WHERE c.vec_id <> q.query_id
+        ), cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY asim DESC, neighbor_id ASC) AS rn
+                FROM approx
+            ) WHERE rn <= 20
+        ), exact AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                qe.embedding::DOUBLE[])
+                         * 1000000.0 + 0.5) / 1000000.0 AS sim
+            FROM cand
+            JOIN embeddings e ON e.vec_id = cand.neighbor_id
+            JOIN qe ON qe.query_id = cand.query_id
+        )
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM exact
         QUALIFY rank <= 5
     """
 

@@ -459,3 +459,28 @@ def test_sparse_cosine_weights_rare_tokens_higher(spark):
     # zero weight (idf ln(N/N) = 0) and is filtered out entirely
     assert got[(0, 1)] > 0.1
     assert (0, 2) not in got
+
+
+def test_ann_sq8_high_recall_vs_bruteforce(spark, sf_dir):
+    """SQ8 rank + exact rerank: with rerank margin 4x k, the final
+    top-k should match brute force on this corpus (8-bit grid error
+    is far below the neighbor gaps), and final sims are EXACT cosines
+    (identical to brute force for the common pairs)."""
+    from fbs_data_pipelines_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_sq8,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in ann_topk_bruteforce(e, queries, k=5).collect()
+    }
+    sq = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in ann_topk_sq8(e, queries, k=5, rerank=20).collect()
+    }
+    assert sq == bf

@@ -3274,12 +3274,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round-9 rotation ("oldest evidence refresh" — every query has
     # cumulative driver evidence since r8, so the window now DRAINS
-    # the stale tail): the two NEW queries lead (merge_into — the r8
+    # the stale tail): the five NEW queries lead (merge_into — the r8
     # judge's top directive, first driver evidence for sql_merge.py;
-    # schema_evolution — VersionedTable rename/drop column mapping),
-    # then the 28 queries whose latest evidence is r2–r4 (4+ rounds
-    # old), then the 20 lowest-evidence r6-era queries. The four r6
-    # leftovers (hll_distinct, kmeans, lm_perplexity, sql_exists)
+    # schema_evolution — VersionedTable rename/drop column mapping;
+    # sql_update_delete — the sql_dml.py front doors; theta_sets —
+    # KMV set-op sketch; ann_sq8 — scalar-quantized ANN), plus
+    # quantile_sketch whose semantics CHANGED this round (priority
+    # sampling), then the 28 queries whose latest evidence is r2–r4
+    # (4+ rounds old), then the lowest-evidence r6-era queries. The
+    # r6 leftovers (decontaminate, corpus_curation, expectations,
+    # pagerank, hll_distinct, kmeans, lm_perplexity, sql_exists)
     # head the r10 window.
     return {
         # ==== driver gate window: r9 rotation (50 entries) =============

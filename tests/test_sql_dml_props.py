@@ -1,0 +1,111 @@
+"""Property tests for the SQL front-door parsers (sql_merge.py,
+sql_dml.py): round-trip structured statements through the text
+grammar and assert the parse reproduces the structure — the fuzzing
+layer the reference's regexy config parsing never had. No Spark
+session needed (pure parsing)."""
+
+from __future__ import annotations
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from fbs_data_pipelines_spark.sql_dml import parse_delete, parse_update
+from fbs_data_pipelines_spark.sql_merge import parse_merge
+
+_ident = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,10}", fullmatch=True).filter(
+    # exclude the grammar's own keywords from identifier slots
+    lambda s: s.upper()
+    not in {
+        "SET", "WHERE", "WHEN", "THEN", "AS", "ON", "USING", "AND",
+        "MATCHED", "NOT", "BY", "SOURCE", "TARGET", "DELETE", "UPDATE",
+        "INSERT", "VALUES", "MERGE", "INTO", "FROM",
+    }
+)
+# literal exprs that may contain grammar keywords INSIDE quotes —
+# the quote-aware splitters must never split on them
+_tricky_literal = st.sampled_from(
+    [
+        "'WHERE am I'",
+        "'WHEN MATCHED THEN'",
+        "'a,b'",
+        "'x = y'",
+        "42",
+        "1.5",
+        "upper(c)",
+        "(a + b)",
+    ]
+)
+
+
+@given(
+    target=_ident,
+    alias=_ident,
+    cols=st.lists(_ident, min_size=1, max_size=4, unique=True),
+    vals=st.lists(_tricky_literal, min_size=4, max_size=4),
+    where=st.one_of(st.none(), _tricky_literal),
+)
+def test_update_round_trip(target, alias, cols, vals, where):
+    sets = ", ".join(f"{c} = {v}" for c, v in zip(cols, vals))
+    stmt_text = f"UPDATE {target} AS {alias} SET {sets}"
+    if where is not None:
+        stmt_text += f" WHERE c != {where}"
+    stmt = parse_update(stmt_text)
+    assert stmt.target == target
+    assert stmt.target_alias == alias
+    assert list(stmt.assignments) == cols
+    for c, v in zip(cols, vals):
+        assert stmt.assignments[c] == v
+    if where is None:
+        assert stmt.where is None
+    else:
+        assert stmt.where.strip() == f"c != {where}"
+
+
+@given(target=_ident, where=st.one_of(st.none(), _tricky_literal))
+def test_delete_round_trip(target, where):
+    stmt_text = f"DELETE FROM {target}"
+    if where is not None:
+        stmt_text += f" WHERE c = {where}"
+    stmt = parse_delete(stmt_text)
+    assert stmt.target == target
+    if where is None:
+        assert stmt.where is None
+    else:
+        assert stmt.where.strip() == f"c = {where}"
+
+
+@given(
+    target=_ident,
+    source=_ident,
+    key=_ident,
+    set_col=_ident,
+    set_val=_tricky_literal,
+    pred=st.one_of(st.none(), _tricky_literal),
+    with_nmbs=st.booleans(),
+)
+def test_merge_round_trip(
+    target, source, key, set_col, set_val, pred, with_nmbs
+):
+    clauses = []
+    if pred is not None:
+        clauses.append(f"WHEN MATCHED AND x != {pred} THEN DELETE")
+    clauses.append(f"WHEN MATCHED THEN UPDATE SET {set_col} = {set_val}")
+    clauses.append("WHEN NOT MATCHED THEN INSERT *")
+    if with_nmbs:
+        clauses.append("WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    text = (
+        f"MERGE INTO {target} AS t USING {source} AS s "
+        f"ON t.{key} = s.{key} " + " ".join(clauses)
+    )
+    stmt = parse_merge(text)
+    assert stmt.target == target and stmt.source == source
+    assert stmt.on == f"t.{key} = s.{key}"
+    n_matched = 2 if pred is not None else 1
+    assert len(stmt.matched) == n_matched
+    upd = stmt.matched[-1]
+    assert upd.kind == "update" and upd.assignments == {set_col: set_val}
+    if pred is not None:
+        assert stmt.matched[0].kind == "delete"
+        assert stmt.matched[0].predicate.strip() == f"x != {pred}"
+    assert stmt.not_matched[0].insert_star
+    assert len(stmt.not_matched_by_source) == (1 if with_nmbs else 0)

@@ -1927,6 +1927,47 @@ def q_quantile_sketch(spark, sf_dir):
     return est.select("o_orderstatus", "q", F.col("approx_value").alias("approx_cents"))
 
 
+#: fixed BPE merge list (rank order) shared by q_bpe_encode and its
+#: oracle — one source of truth so the two replay chains can't drift
+_BPE_MERGES = [
+    ("t", "h"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("th", "e"),
+    ("the", "</w>"),
+    ("in", "g"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Distributed BPE ENCODING (operators/bpe.py bpe_encode — the
+    apply path of the tokenizer whose training is bpe_train): every
+    word starts as characters+</w> and applies the fixed merge list
+    in rank order as a chain of JVM array folds — no Python in the
+    row path, zero shuffles (narrow projection). The oracle replays
+    the identical greedy left-to-right merge with non-overlapping
+    string ``replace`` over a two-space symbol encoding (the original
+    Sennrich BPE regex-replace trick): fold semantics and replace
+    semantics provably coincide, so subword output hash-matches
+    token-for-token."""
+    from fbs_data_pipelines_spark.operators.bpe import bpe_encode
+
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(
+        d,
+        "doc_id",
+        "text",
+        [{"left": left, "right": r} for left, r in _BPE_MERGES],
+    )
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+        F.concat_ws(" ", "bpe_tokens").alias("bpe_joined"),
+    )
+
+
 def q_theta_sets(spark, sf_dir):
     """KMV / theta sketch set operations (operators/sketches.py
     kmv_*): per order status, estimated distinct URGENT-buyer
@@ -3293,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_update_delete": q_sql_update_delete,
         "theta_sets": q_theta_sets,
         "ann_sq8": q_ann_sq8,
+        "bpe_encode": q_bpe_encode,
         # --- latest evidence r2–r3 (oldest in the ledger) --------------
         "sort_limit": q_sort_limit,
         "union_all": q_union_all,
@@ -3338,12 +3380,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "alpha_sample": q_alpha_sample,
         "quality_classifier": q_quality_classifier,
-        "sequence_packing": q_sequence_packing,
         "incremental_rollup": q_incremental_rollup,
         # changed THIS round (priority-sampling rewrite) — re-gated now
         "quantile_sketch": q_quantile_sketch,
         # ==== driver gate window ends here (50 entries) ===============
         # --- r6 leftovers: head of the r10 window ----------------------
+        "sequence_packing": q_sequence_packing,
         "decontaminate": q_decontaminate,
         "corpus_curation": q_corpus_curation,
         "expectations": q_expectations,
@@ -5094,6 +5136,40 @@ def oracle_sql() -> dict[str, str]:
         FROM sorted JOIN qs
           ON cw >= floor(q * (n - 1)) + 1
          AND cw - w < floor(q * (n - 1)) + 1
+    """
+
+    # BPE encode mirrored merge-for-merge: each word becomes a
+    # two-space symbol string (' c1  c2  </w> '), each merge is one
+    # non-overlapping replace(' l  r ' -> ' lr ') — exactly the greedy
+    # left-to-right fold semantics of the Spark encoder
+    _bpe_word = "' ' || regexp_replace(w, '(.)', '\\1  ', 'g') || '</w> '"
+    for _l, _r in _BPE_MERGES:
+        _bpe_word = f"replace({_bpe_word}, ' {_l}  {_r} ', ' {_l}{_r} ')"
+    sql["bpe_encode"] = f"""
+        WITH words AS (
+            SELECT doc_id, w, ord FROM (
+                SELECT doc_id,
+                       unnest(string_split({_NORM}, ' ')) AS w,
+                       generate_subscripts(
+                           string_split({_NORM}, ' '), 1) AS ord
+                FROM documents
+            ) WHERE w <> ''
+        ), enc AS (
+            SELECT doc_id, ord,
+                   list_filter(string_split({_bpe_word}, ' '),
+                               x -> x <> '') AS toks
+            FROM words
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_bpe,
+                   string_agg(array_to_string(toks, ' '), ' '
+                              ORDER BY ord) AS bpe_joined
+            FROM enc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_bpe, 0) AS n_bpe,
+               coalesce(a.bpe_joined, '') AS bpe_joined
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
     # theta-sketch set ops mirrored state-for-state: identical 48-bit

@@ -16,6 +16,7 @@ to the probed buckets.
 from __future__ import annotations
 
 import hashlib
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -822,6 +823,213 @@ def ann_topk_sq8(
     cand = approx.withColumn("__rn", F.row_number().over(wa)).filter(
         F.col("__rn") <= rerank
     )
+    exact = cand.select(
+        F.col(query_id_col),
+        "neighbor_id",
+        round_half_up(cos("__cvec", "__qvec"), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    num_codes: int = 16,
+    num_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> list:
+    """Product-quantization codebooks from the deterministic IVF seed
+    rule (``ivf_centroids``): codebook[s][j] is subspace s's slice of
+    seed vector j — hash-free, reproducible on any engine (a per-
+    subspace k-means refinement would drop in here; the encode/ADC
+    machinery is identical either way). Returns a Python list
+    ``cb[s][j] -> list[float]`` — control plane, num_codes rows
+    collected once, like k-means centroids."""
+    sub = dim // num_subspaces
+    rows = sorted(
+        ivf_centroids(
+            corpus, num_codes, id_col=id_col, vec_col=vec_col, n_rows=n_rows
+        ).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    return [
+        [
+            [float(v) for v in r["centroid_vec"][s * sub : (s + 1) * sub]]
+            for r in rows
+        ]
+        for s in range(num_subspaces)
+    ]
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    num_codes: int = 16,
+    num_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ANN with exact rerank (Jégou et al. 2011,
+    "Product quantization for nearest neighbor search"): each vector
+    is encoded as ``num_subspaces`` small codebook ids (here 8×4 bits
+    = 4 BYTES per 256-byte float64 vector — the 100 TB story: the
+    O(N·Q) candidate stage streams codes, not floats), queries score
+    candidates by ADC (asymmetric distance computation — per query a
+    tiny dot-product table per subspace, candidate score = table
+    lookups summed), then the top ``rerank`` per query are re-scored
+    with the EXACT cosine over the original floats so quantization
+    error can only cost recall inside the candidate cut.
+
+    Deterministic end to end (seed-rule codebooks, fixed fold order),
+    so the DuckDB oracle reproduces codes, ADC scores, and the final
+    ranking. Returns (query_id, neighbor_id, sim, rank) like the
+    other ``ann_topk_*`` operators; sims are exact cosines.
+    """
+    sub = dim // num_subspaces
+    cb = pq_codebooks(
+        corpus, num_codes, num_subspaces, dim, id_col, vec_col
+    )
+    # ||codebook vector||^2 per (subspace, code) — plain Python over
+    # the control-plane lists; sequential sum matches the oracle's
+    # list_inner_product fold order bit-for-bit
+    cb_norm2 = [
+        [sum(x * x for x in cb[s][j]) for j in range(num_codes)]
+        for s in range(num_subspaces)
+    ]
+
+    # codebook literals as ONE nested-array expression per subspace:
+    # the per-code work is a `transform` lambda over it, so the plan
+    # carries 1 fold per subspace instead of num_codes (32 unrolled
+    # folds per subspace took codegen from ~1s to ~20s at sf0.01)
+    cb_lits = [
+        F.array(
+            *[
+                F.array(*[F.lit(x) for x in cb[s][j]])
+                for j in range(num_codes)
+            ]
+        )
+        for s in range(num_subspaces)
+    ]
+    idxs = F.sequence(F.lit(0), F.lit(num_codes - 1))
+
+    def codes(col: str):
+        """array<int> of per-subspace nearest-codebook ids (ties on
+        the squared distance break toward the LOWER code id — struct
+        min is lexicographic, matching the oracle's ORDER BY d, cid).
+        """
+        v = F.col(col).cast("array<double>")
+        out = []
+        for s in range(num_subspaces):
+            sl = F.slice(v, s * sub + 1, sub)
+            dists = F.transform(
+                cb_lits[s],
+                lambda cbv: F.aggregate(
+                    F.zip_with(sl, cbv, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            cand = F.zip_with(
+                dists,
+                idxs,
+                lambda d, j: F.struct(d.alias("d"), j.alias("j")),
+            )
+            out.append(F.array_min(cand)["j"])
+        return F.array(*out)
+
+    vecd = F.col(vec_col).cast("array<double>")
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v)
+        )
+
+    # query side: per-subspace ADC dot tables (16 doubles each) + the
+    # original vector for the exact rerank — a handful of rows,
+    # broadcast
+    qcols = [
+        F.col(query_id_col),
+        vecd.alias("__qvec"),
+    ]
+    for s in range(num_subspaces):
+        sl = F.slice(vecd, s * sub + 1, sub)
+        qcols.append(
+            F.transform(
+                cb_lits[s],
+                lambda cbv: F.aggregate(
+                    F.zip_with(sl, cbv, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ).alias(f"__qd_{s}")
+        )
+    q = queries.select(*qcols).withColumn("__qn", norm("__qvec"))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vecd.alias("__cvec"),
+        codes(vec_col).alias("__codes"),
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    adc = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                F.col(f"__qd_{s}"), F.col("__codes").getItem(s) + 1
+            )
+            for s in range(num_subspaces)
+        ],
+    )
+    rnorm2 = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                F.array(*[F.lit(x) for x in cb_norm2[s]]),
+                F.col("__codes").getItem(s) + 1,
+            )
+            for s in range(num_subspaces)
+        ],
+    )
+    denom = F.col("__qn") * F.sqrt(rnorm2)
+    approx = F.when(denom == 0, F.lit(None)).otherwise(adc / denom)
+    scored = joined.select(
+        F.col(query_id_col),
+        "neighbor_id",
+        "__cvec",
+        "__qvec",
+        round_half_up(approx, 6).alias("asim"),
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.col("asim").desc(), F.col("neighbor_id").asc()
+    )
+    cand = scored.withColumn("__rn", F.row_number().over(wa)).filter(
+        F.col("__rn") <= rerank
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        d = norm(a) * norm(b)
+        return F.when(d == 0, F.lit(None)).otherwise(dot / d)
+
     exact = cand.select(
         F.col(query_id_col),
         "neighbor_id",

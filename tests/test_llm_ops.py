@@ -484,3 +484,40 @@ def test_ann_sq8_high_recall_vs_bruteforce(spark, sf_dir):
         for r in ann_topk_sq8(e, queries, k=5, rerank=20).collect()
     }
     assert sq == bf
+
+
+def test_ann_pq_rerank_exact_and_recall(spark, sf_dir):
+    """PQ rank + exact rerank: final sims are EXACT cosines (every
+    returned pair's sim equals the brute-force sim for that pair),
+    and recall@5 vs brute force clears 0.8 at rerank=100 on this
+    corpus (deterministic — seed-rule codebooks, no RNG)."""
+    from fbs_data_pipelines_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_pq,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf_all = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ann_topk_bruteforce(e, queries, k=50).collect()
+    }
+    bf_top5 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bruteforce(e, queries, k=5).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ann_topk_pq(
+            e, queries, k=5, rerank=100, num_codes=32, num_subspaces=8
+        ).collect()
+    }
+    assert len(pq) == 25
+    hits = set(pq) & bf_top5
+    assert len(hits) / len(bf_top5) >= 0.8
+    # rerank exactness: PQ's reported sims ARE the exact cosines
+    for pair, sim in pq.items():
+        if pair in bf_all:
+            assert sim == bf_all[pair]

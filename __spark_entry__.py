@@ -16,6 +16,8 @@ Cross-engine determinism rules used throughout (verified exact):
 from __future__ import annotations
 
 import datetime as _dt
+import json as _json_mod
+import math
 import weakref
 from collections.abc import Callable
 
@@ -26,6 +28,7 @@ from fbs_data_pipelines_spark.functions.cleaning import (
     cast_all_to_string,
     round_half_up,
     decimal_comma_to_double,
+    drop_columns_matching,
     empty_to_null,
     map_values,
     split_unnest,
@@ -515,6 +518,167 @@ def q_schema_evolution(spark, sf_dir):
             "o_orderkey", F.col("o_orderpriority").alias("old_priority")
         ),
         "o_orderkey",
+    )
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """Dialected CSV ingest driver-gated end-to-end (S1 + the F/N
+    parse chain, previously unit-only — the parquet harness can't
+    hand the gate a CSV, so the query MAKES one): an orders subset is
+    written as the reference's dialect (';' separator, junk leading
+    line, duplicate header columns, comma decimals), read back with
+    ``read_dialected_csv`` (skip_rows=1, Polars-style dup-header
+    rename), P1-dropped, and type-restored with the cleaning layer
+    (``decimal_comma_to_double``, try_cast). Doubles round-trip
+    bit-exactly (shortest-roundtrip repr), so the oracle is the plain
+    relational subset — the whole CSV dialect pipeline must be
+    lossless for the hash to match."""
+    import os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from fbs_data_pipelines_spark.sources.csv import read_dialected_csv
+
+    base = os.path.join(
+        _tf.gettempdir(),
+        f"fbs_q_csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    path = os.path.join(base, "20240301_orders.csv")
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 20)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .collect()  # test-edge payload (≤ a few thousand rows)
+    )
+    with open(path, "w", encoding="ISO-8859-1") as fh:
+        fh.write("junk;;;\n")
+        fh.write("o_orderkey;o_totalprice;o_orderpriority;note;note\n")
+        for r in rows:
+            price = str(r["o_totalprice"]).replace(".", ",")
+            fh.write(
+                f"{r['o_orderkey']};{price};{r['o_orderpriority']};x;y\n"
+            )
+    df = read_dialected_csv(spark, path, skip_rows=1)
+    df = drop_columns_matching(df, "duplicated")
+    return df.select(
+        F.col("o_orderkey").try_cast("long").alias("o_orderkey"),
+        decimal_comma_to_double(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderpriority",
+        "note",
+    )
+
+
+def q_rows_roundtrip(spark, sf_dir):
+    """The Sheets-style rows edge driver-gated through the
+    ``fbs_rows`` Python DataSource (S3, previously unit-only): the
+    nation table becomes a ``{"values": [[header]+rows]}`` payload
+    (the Sheets values API shape), read back with
+    ``spark.read.format("fbs_rows")`` — partition-planned executor
+    parsing, all-string contract — and compared against the plain
+    VARCHAR-cast relational oracle."""
+    import json as _json
+    import os
+    import tempfile as _tf
+
+    from fbs_data_pipelines_spark.sources.rows_datasource import register
+
+    base = os.path.join(
+        _tf.gettempdir(),
+        f"fbs_q_rows_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, "payload.json")
+    rows = (
+        _t(spark, sf_dir, "nation")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    payload = {
+        "values": [["n_nationkey", "n_name", "n_regionkey"]]
+        + [
+            [str(r["n_nationkey"]), r["n_name"], str(r["n_regionkey"])]
+            for r in rows
+        ]
+    }
+    with open(path, "w") as fh:
+        _json.dump(payload, fh)
+    register(spark)
+    return (
+        spark.read.format("fbs_rows")
+        .option("path", path)
+        .option("numpartitions", "3")
+        .load()
+    )
+
+
+def q_drive_extract(spark, sf_dir):
+    """EP1 extraction driver-gated through the ``fbs_drive``
+    DataSource (S7 folder discovery + S8 newest-per-entity pick + S1
+    dialected parse, previously fake-transport-unit-only): two
+    dated snapshot CSVs of an orders subset land in a local Drive
+    mirror (``LocalDirTransport``), the reader's listing pushdown +
+    ``latest_only`` must pick the NEWER one, and the oracle
+    recomputes that snapshot's content relationally — selecting the
+    stale file or mis-parsing the dialect both hash-mismatch."""
+    import os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from fbs_data_pipelines_spark.sources.drive_datasource import register
+
+    base = os.path.join(
+        _tf.gettempdir(),
+        f"fbs_q_drive_extract_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    raw = os.path.join(base, "Data", "Raw")
+    os.makedirs(raw)
+    subset = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+
+    def write_snap(name: str, perturb: bool, mtime: int) -> None:
+        p = os.path.join(raw, name)
+        with open(p, "w", encoding="ISO-8859-1") as fh:
+            fh.write("junk;;\n")
+            fh.write("o_orderkey;o_totalprice;o_orderpriority\n")
+            for r in subset:
+                price = r["o_totalprice"]
+                if perturb and r["o_orderkey"] % 10 == 0:
+                    price = math.floor(price * 1.1 * 100.0 + 0.5) / 100.0
+                fh.write(
+                    f"{r['o_orderkey']};{str(price).replace('.', ',')};"
+                    f"{r['o_orderpriority']}\n"
+                )
+        os.utime(p, (mtime, mtime))
+
+    write_snap("20240101_orders.csv", perturb=False, mtime=1704067200)
+    write_snap("20240301_orders.csv", perturb=True, mtime=1709251200)
+    register(spark)
+    raw_df = (
+        spark.read.format("fbs_drive")
+        .option(
+            "transport",
+            "fbs_data_pipelines_spark.sources.gdrive:local_dir_transport",
+        )
+        .option("transport_args", _json_mod.dumps({"root": base}))
+        .option("folder", "Data/Raw")
+        .option("entity", "orders")
+        .option("latest_only", "true")
+        .option("skip_rows", "1")
+        .load()
+    )
+    return raw_df.select(
+        F.col("o_orderkey").try_cast("long").alias("o_orderkey"),
+        decimal_comma_to_double(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderpriority",
     )
 
 
@@ -3356,6 +3520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8": q_ann_sq8,
         "bpe_encode": q_bpe_encode,
         "ann_pq": q_ann_pq,
+        "csv_roundtrip": q_csv_roundtrip,
+        "rows_roundtrip": q_rows_roundtrip,
+        "drive_extract": q_drive_extract,
         # --- latest evidence r2–r3 (oldest in the ledger) --------------
         "sort_limit": q_sort_limit,
         "union_all": q_union_all,
@@ -3398,13 +3565,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_topn": q_lateral_topn,
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "alpha_sample": q_alpha_sample,
-        "quality_classifier": q_quality_classifier,
         # changed THIS round (priority-sampling rewrite) — re-gated now
         "quantile_sketch": q_quantile_sketch,
         # ==== driver gate window ends here (50 entries) ===============
         # --- r6 leftovers: head of the r10 window ----------------------
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "alpha_sample": q_alpha_sample,
+        "quality_classifier": q_quality_classifier,
         "incremental_rollup": q_incremental_rollup,
         "sequence_packing": q_sequence_packing,
         "decontaminate": q_decontaminate,
@@ -3854,6 +4021,37 @@ def oracle_sql() -> dict[str, str]:
         -- source rows with no target match: INSERT *
         SELECT s.o_orderkey, s.o_totalprice, s.o_orderpriority
         FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+    """
+
+    # csv_roundtrip: the CSV dialect pipeline must be LOSSLESS, so the
+    # oracle is simply the relational subset the query serialized
+    # (doubles round-trip via shortest repr; the surviving dup-header
+    # column carries the constant 'x')
+    sql["csv_roundtrip"] = """
+        SELECT o_orderkey, o_totalprice, o_orderpriority,
+               'x' AS note
+        FROM orders WHERE o_custkey <= 20
+    """
+
+    # rows_roundtrip: the fbs_rows DataSource's all-string contract
+    # over the nation payload
+    sql["rows_roundtrip"] = """
+        SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+               n_name,
+               CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        FROM nation
+    """
+
+    # drive_extract: the NEWER snapshot's content (the %10 price
+    # perturbation marks it) — picking the stale file or mis-parsing
+    # the dialect both mismatch
+    sql["drive_extract"] = """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0
+                    THEN floor(o_totalprice * 1.1 * 100.0 + 0.5) / 100.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_custkey <= 10
     """
 
     # sql_update_delete: UPDATE's CASE form, then DELETE's negated

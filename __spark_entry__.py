@@ -682,6 +682,24 @@ def q_drive_extract(spark, sf_dir):
     )
 
 
+def q_gapfill(spark, sf_dir):
+    """Hypertable gap filling (operators/timeseries.py — the
+    time_bucket_gapfill + locf() + interpolate() family): a SPARSE
+    event subset (1 user in ~97) aggregated to an hourly grid leaves
+    holes; the operator densifies each event_type's [min, max] span
+    with sequence+explode and fills via LOCF (running
+    last-ignorenulls) and linear interpolation (the surrounding
+    observations blended by time fraction). Two shuffles total (the
+    bucket agg, the per-group ordered window); the grid size is a
+    property of the TIME RANGE, not input volume. The oracle replays
+    generate_series + IGNORE NULLS windows with identical arithmetic
+    order."""
+    from fbs_data_pipelines_spark.operators.timeseries import gapfill
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    return gapfill(e, ["event_type"], "ts", "value", 3600)
+
+
 def q_sql_update_delete(spark, sf_dir):
     """SQL UPDATE / DELETE front doors (sql_dml.py) — the remaining
     EP3 staging-DML statements beside MERGE INTO
@@ -3523,6 +3541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "rows_roundtrip": q_rows_roundtrip,
         "drive_extract": q_drive_extract,
+        "gapfill": q_gapfill,
         # --- latest evidence r2–r3 (oldest in the ledger) --------------
         "sort_limit": q_sort_limit,
         "union_all": q_union_all,
@@ -3564,11 +3583,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_cte": q_recursive_cte,
         "lateral_topn": q_lateral_topn,
         "grouped_topk": q_grouped_topk,
-        "shared_spans": q_shared_spans,
         # changed THIS round (priority-sampling rewrite) — re-gated now
         "quantile_sketch": q_quantile_sketch,
         # ==== driver gate window ends here (50 entries) ===============
         # --- r6 leftovers: head of the r10 window ----------------------
+        "shared_spans": q_shared_spans,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "alpha_sample": q_alpha_sample,
         "quality_classifier": q_quality_classifier,
@@ -4052,6 +4071,62 @@ def oracle_sql() -> dict[str, str]:
                     ELSE o_totalprice END AS o_totalprice,
                o_orderpriority
         FROM orders WHERE o_custkey <= 10
+    """
+
+    # gapfill: generate_series dense grid + IGNORE NULLS windows,
+    # lerp parenthesized exactly as the Spark expression
+    sql["gapfill"] = """
+        WITH base AS (
+            SELECT event_type,
+                   to_timestamp((CAST(epoch(ts) AS BIGINT) // 3600)
+                                * 3600) AS bucket,
+                   value
+            FROM events WHERE user_id % 97 = 0
+        ), agg AS (
+            SELECT event_type, bucket,
+                   floor(avg(value) * 1000000.0 + 0.5) / 1000000.0
+                       AS value
+            FROM base GROUP BY event_type, bucket
+        ), bounds AS (
+            SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+            FROM agg GROUP BY event_type
+        ), grid AS (
+            SELECT event_type,
+                   unnest(generate_series(mn, mx,
+                                          INTERVAL 3600 SECOND)) AS bucket
+            FROM bounds
+        ), dense AS (
+            SELECT g.event_type, g.bucket, a.value
+            FROM grid g LEFT JOIN agg a
+              ON a.event_type = g.event_type AND a.bucket = g.bucket
+        ), win AS (
+            SELECT event_type, bucket, value,
+                   last_value(value IGNORE NULLS) OVER fwd AS value_locf,
+                   first_value(value IGNORE NULLS) OVER bwd AS next_v,
+                   last_value(CASE WHEN value IS NOT NULL
+                                   THEN epoch(bucket) END IGNORE NULLS)
+                       OVER fwd AS prev_t,
+                   first_value(CASE WHEN value IS NOT NULL
+                                    THEN epoch(bucket) END IGNORE NULLS)
+                       OVER bwd AS next_t
+            FROM dense
+            WINDOW fwd AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW),
+                   bwd AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, bucket, value, value_locf,
+               CASE WHEN value_locf IS NOT NULL AND next_v IS NOT NULL
+                         AND next_t <> prev_t
+                    THEN floor((value_locf + (next_v - value_locf)
+                                * ((epoch(bucket) - prev_t)
+                                   / (next_t - prev_t)))
+                               * 1000000.0 + 0.5) / 1000000.0
+                    ELSE coalesce(value_locf, next_v) END AS value_lerp,
+               (value IS NULL) AS is_gap
+        FROM win
     """
 
     # sql_update_delete: UPDATE's CASE form, then DELETE's negated

@@ -1,0 +1,78 @@
+"""Gap-filling semantics (operators/timeseries.py): dense grid
+bounds, LOCF carry rules, linear interpolation arithmetic, leading/
+trailing-gap fallbacks — on a hand-built series where every expected
+value is computable by eye."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from fbs_data_pipelines_spark.operators.timeseries import gapfill
+
+
+def _series(spark):
+    # group g: observations at hours 0, 1, 4 (gaps at 2, 3);
+    # group h: single observation (degenerate grid)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("g", base, 10.0),
+        ("g", base + dt.timedelta(hours=1), 20.0),
+        ("g", base + dt.timedelta(hours=1, minutes=30), 40.0),  # same bucket
+        ("g", base + dt.timedelta(hours=4), 50.0),
+        ("h", base + dt.timedelta(hours=2), 7.0),
+    ]
+    return spark.createDataFrame(rows, "g string, ts timestamp, value double")
+
+
+def test_gapfill_grid_locf_and_lerp(spark):
+    out = {
+        (r["g"], r["bucket"].hour): r
+        for r in gapfill(_series(spark), ["g"], "ts", "value", 3600).collect()
+    }
+    # dense grid: g spans hours 0..4 inclusive (5 rows), h has 1 row
+    assert len(out) == 6
+    g = {h: out[("g", h)] for h in range(5)}
+    # bucket aggregate: hour 1 averages the two in-bucket rows
+    assert [g[h]["value"] for h in range(5)] == [10.0, 30.0, None, None, 50.0]
+    assert [g[h]["is_gap"] for h in range(5)] == [
+        False, False, True, True, False,
+    ]
+    # LOCF carries 30 across the gap
+    assert [g[h]["value_locf"] for h in range(5)] == [
+        10.0, 30.0, 30.0, 30.0, 50.0,
+    ]
+    # lerp: between (h1, 30) and (h4, 50): h2 -> 30+20*(1/3), h3 -> +2/3
+    assert g[2]["value_lerp"] == 36.666667
+    assert g[3]["value_lerp"] == 43.333333
+    # observed buckets interpolate to themselves
+    assert g[0]["value_lerp"] == 10.0 and g[4]["value_lerp"] == 50.0
+    # degenerate single-observation group: no gaps, fills = value
+    h2 = out[("h", 2)]
+    assert (h2["value"], h2["value_locf"], h2["value_lerp"]) == (
+        7.0, 7.0, 7.0,
+    )
+
+
+def test_gapfill_leading_gap_falls_back(spark):
+    # force a leading gap by grouping two series that share a grid? A
+    # single group's grid starts at its OWN min bucket, so a leading
+    # null can only appear via lerp's one-sided fallback — assert the
+    # one-sided rules directly: before the first observation there is
+    # nothing to carry (locf null => lerp falls back to next_v).
+    rows = [
+        ("g", dt.datetime(2024, 1, 1, 0, 30), None),
+        ("g", dt.datetime(2024, 1, 1, 2, 30), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = sorted(
+        gapfill(df, ["g"], "ts", "value", 3600).collect(),
+        key=lambda r: r["bucket"],
+    )
+    # hour 0 bucket aggregates only a NULL -> avg null -> a gap row
+    assert [r["value"] for r in out] == [None, None, 8.0]
+    # locf has nothing to carry at hours 0-1; lerp falls back to the
+    # next observation (TimescaleDB's interpolate boundary behavior)
+    assert [r["value_locf"] for r in out] == [None, None, 8.0]
+    assert [r["value_lerp"] for r in out] == [8.0, 8.0, 8.0]

@@ -1043,3 +1043,177 @@ def ann_topk_pq(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "sim", "rank")
     )
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 50,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    num_codes: int = 32,
+    num_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ composition): the coarse quantizer
+    routes every corpus vector into ONE inverted list and each query
+    probes its ``nprobe`` nearest lists — the candidate stage touches
+    ~nprobe/num_centroids of the corpus — and WITHIN the probed lists
+    candidates are scored by PQ ADC table lookups over 8 codebook ids
+    (≈4 bytes/vector), then the top ``rerank`` per query re-score
+    with the exact cosine. The two prunings compose: IVF bounds the
+    ROWS scanned, PQ bounds the BYTES per row — which is precisely
+    the 100 TB memory-bandwidth story. Both quantizers are seed-rule
+    deterministic, so the DuckDB oracle reproduces list assignment,
+    codes, ADC scores, and the final ranking. Output shape matches
+    the other ``ann_topk_*`` operators; sims are exact cosines."""
+    from fbs_data_pipelines_spark.caching import CacheScope
+
+    sub = dim // num_subspaces
+    cb = pq_codebooks(
+        corpus, num_codes, num_subspaces, dim, id_col, vec_col
+    )
+    cb_norm2 = [
+        [sum(x * x for x in cb[s][j]) for j in range(num_codes)]
+        for s in range(num_subspaces)
+    ]
+    cb_lits = [
+        F.array(
+            *[
+                F.array(*[F.lit(x) for x in cb[s][j]])
+                for j in range(num_codes)
+            ]
+        )
+        for s in range(num_subspaces)
+    ]
+    idxs = F.sequence(F.lit(0), F.lit(num_codes - 1))
+    vecd = F.col(vec_col).cast("array<double>")
+
+    def codes(col: str):
+        v = F.col(col).cast("array<double>")
+        out = []
+        for s in range(num_subspaces):
+            sl = F.slice(v, s * sub + 1, sub)
+            dists = F.transform(
+                cb_lits[s],
+                lambda cbv: F.aggregate(
+                    F.zip_with(sl, cbv, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            cand = F.zip_with(
+                dists,
+                idxs,
+                lambda d, j: F.struct(d.alias("d"), j.alias("j")),
+            )
+            out.append(F.array_min(cand)["j"])
+        return F.array(*out)
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v)
+        )
+
+    scope = CacheScope()
+    cents = scope.persist(
+        ivf_centroids(corpus, num_centroids, id_col, vec_col)
+    )
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        cents,
+        "neighbor_id",
+        vec_col,
+    ).select(
+        "neighbor_id",
+        vecd.alias("__cvec"),
+        codes(vec_col).alias("__codes"),
+        "centroid_id",
+    )
+    qcols = [F.col(query_id_col), vecd.alias("__qvec")]
+    for s in range(num_subspaces):
+        sl = F.slice(vecd, s * sub + 1, sub)
+        qcols.append(
+            F.transform(
+                cb_lits[s],
+                lambda cbv: F.aggregate(
+                    F.zip_with(sl, cbv, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ).alias(f"__qd_{s}")
+        )
+    q = ivf_assign(
+        queries.select(*qcols).withColumn("__qn", norm("__qvec")),
+        cents,
+        query_id_col,
+        "__qvec",
+        n=nprobe,
+    )
+    # probed-list join: only pairs whose corpus list is among the
+    # query's nprobe lists exist — lists are disjoint, so a pair
+    # appears at most once
+    joined = c.join(F.broadcast(q), "centroid_id").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    adc = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                F.col(f"__qd_{s}"), F.col("__codes").getItem(s) + 1
+            )
+            for s in range(num_subspaces)
+        ],
+    )
+    rnorm2 = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                F.array(*[F.lit(x) for x in cb_norm2[s]]),
+                F.col("__codes").getItem(s) + 1,
+            )
+            for s in range(num_subspaces)
+        ],
+    )
+    denom = F.col("__qn") * F.sqrt(rnorm2)
+    approx = F.when(denom == 0, F.lit(None)).otherwise(adc / denom)
+    scored = joined.select(
+        F.col(query_id_col),
+        "neighbor_id",
+        "__cvec",
+        "__qvec",
+        round_half_up(approx, 6).alias("asim"),
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.col("asim").desc(), F.col("neighbor_id").asc()
+    )
+    cand = scored.withColumn("__rn", F.row_number().over(wa)).filter(
+        F.col("__rn") <= rerank
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        d = norm(a) * norm(b)
+        return F.when(d == 0, F.lit(None)).otherwise(dot / d)
+
+    exact = cand.select(
+        F.col(query_id_col),
+        "neighbor_id",
+        round_half_up(cos("__cvec", "__qvec"), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scope.attach(
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )

@@ -521,3 +521,40 @@ def test_ann_pq_rerank_exact_and_recall(spark, sf_dir):
     for pair, sim in pq.items():
         if pair in bf_all:
             assert sim == bf_all[pair]
+
+
+def test_ann_ivfpq_composition_bounds(spark, sf_dir):
+    """IVF-PQ recall decomposes as min(IVF routing, PQ+rerank): at a
+    generous rerank the composite hits the pure-IVF nprobe ceiling
+    EXACTLY (PQ costs nothing beyond the coarse router), and at full
+    probe it reproduces pure PQ. Deterministic (seed-rule quantizers),
+    so these are equalities, not tolerances."""
+    from fbs_data_pipelines_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_topk_ivfpq,
+        ann_topk_pq,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    ivf = pairs(ann_ivf_topk(e, queries, k=5, nprobe=4))
+    comp = pairs(
+        ann_topk_ivfpq(e, queries, k=5, rerank=200, nprobe=4)
+    )
+    # generous rerank within probed lists ranks exactly: same top-k
+    # as pure IVF over the same lists
+    assert comp == ivf
+    full = pairs(
+        ann_topk_ivfpq(e, queries, k=5, rerank=100, nprobe=8)
+    )
+    pq = pairs(
+        ann_topk_pq(e, queries, k=5, rerank=100, num_codes=32,
+                    num_subspaces=8)
+    )
+    assert full == pq

@@ -3544,17 +3544,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rendered into README.md; every entry, in or out of the window,
     # is oracle-checked locally by tools/check_oracle.py).
     #
-    # Round-9 rotation ("oldest evidence refresh" — every query has
-    # cumulative driver evidence since r8, so the window now DRAINS
-    # the stale tail): the five NEW queries lead (merge_into — the r8
-    # judge's top directive, first driver evidence for sql_merge.py;
-    # schema_evolution — VersionedTable rename/drop column mapping;
-    # sql_update_delete — the sql_dml.py front doors; theta_sets —
-    # KMV set-op sketch; ann_sq8 — scalar-quantized ANN), plus
+    # Round-9 rotation ("oldest evidence refresh" — every query had
+    # cumulative driver evidence after r8, so the window DRAINS the
+    # stale tail while admitting this round's NEW operators): the 12
+    # NEW queries lead (merge_into + sql_update_delete — the SQL DML
+    # front doors; schema_evolution — VersionedTable rename/drop
+    # column mapping; theta_sets — KMV set-op sketch; ann_sq8 /
+    # ann_pq / ann_ivfpq — the quantized ANN family; bpe_encode —
+    # tokenizer apply; gapfill — hypertable gap filling;
+    # csv_roundtrip / rows_roundtrip / drive_extract — formerly
+    # unit-only I/O edges driver-gated as roundtrips), plus
     # quantile_sketch whose semantics CHANGED this round (priority
     # sampling), then the 28 queries whose latest evidence is r2–r4
-    # (4+ rounds old), then the lowest-evidence r6-era queries. The
-    # r6 leftovers (decontaminate, corpus_curation, expectations,
+    # (4+ rounds old) and the lowest-evidence r6-era queries. The r6
+    # leftovers (grouped_topk, shared_spans, boilerplate_ngrams,
+    # alpha_sample, quality_classifier, incremental_rollup,
+    # sequence_packing, decontaminate, corpus_curation, expectations,
     # pagerank, hll_distinct, kmeans, lm_perplexity, sql_exists)
     # head the r10 window.
     return {

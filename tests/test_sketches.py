@@ -340,3 +340,43 @@ def test_kmv_estimate_and_intersection_accuracy(spark):
     # allow a loose 1/3 relative band — the point is unbiasedness and
     # determinism, verified exactly by the oracle harness
     assert abs(row["est_intersection"] - 2000) / 2000 < 1 / 3
+
+
+def test_qsketch_truncated_merge_keeps_heavy_values(spark):
+    """Merge under truncation is one-sided, but the heavy-value
+    guarantee SURVIVES it: priorities are recomputed from the SUMMED
+    counts, so any value whose merged multiplicity exceeds the merged
+    threshold is kept even when both input states were truncated.
+    Two disjoint halves of (20k distinct light values + one value at
+    30% of the mass split across both halves), k=64: the heavy value
+    must be in the merged state and be the merged median."""
+    from fbs_data_pipelines_spark.operators.sketches import (
+        qsketch_merge,
+        qsketch_quantiles,
+        qsketch_state,
+    )
+
+    light = spark.range(20_000).select(
+        F.lit("g").alias("g"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 2).alias("half"),
+    )
+    heavy = spark.range(10_000).select(
+        F.lit("g").alias("g"),
+        F.lit(20_001).cast("long").alias("v"),
+        (F.col("id") % 2).alias("half"),
+    )
+    df = light.unionByName(heavy)
+    a = qsketch_state(df.filter(F.col("half") == 0), ["g"], "v", k=64)
+    b = qsketch_state(df.filter(F.col("half") == 1), ["g"], "v", k=64)
+    # both inputs truncated (10k+ distinct values each, k=64)
+    assert a.count() == 65 and b.count() == 65
+    merged = qsketch_merge(a, b, ["g"], k=64)
+    kept = {r["value"]: r["cnt"] for r in merged.collect()}
+    assert kept.get(20_001) == 10_000  # full multiplicity, both halves
+    est = {
+        r["q"]: r["approx_value"]
+        for r in qsketch_quantiles(merged, ["g"], [0.5], k=64).collect()
+    }
+    # heavy value spans ranks 10k..20k of 30k: it IS the median
+    assert est[0.5] == 20_001

@@ -82,6 +82,42 @@ def main() -> int:
             {"method": f"ivf_nlist={nlist}_nprobe={nprobe}", "k": k,
              "recall_at_k": round(r, 4), "n_queries": len(exact)}
         )
+    # quantized paths (r9): rank on compressed representations,
+    # exact-rerank the candidate cut — recall is the rerank dial
+    from fbs_data_pipelines_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        ann_topk_pq,
+        ann_topk_sq8,
+    )
+
+    for rr in (2 * k, 10 * k):
+        r = recall(topk_sets(ann_topk_sq8(emb, queries, k=k, rerank=rr)))
+        results.append(
+            {"method": f"sq8_rerank={rr}", "k": k,
+             "recall_at_k": round(r, 4), "n_queries": len(exact)}
+        )
+        r = recall(
+            topk_sets(
+                ann_topk_pq(emb, queries, k=k, rerank=rr,
+                            num_codes=32, num_subspaces=8)
+            )
+        )
+        results.append(
+            {"method": f"pq32x8_rerank={rr}", "k": k,
+             "recall_at_k": round(r, 4), "n_queries": len(exact)}
+        )
+    for nprobe in (2, 4, 8):
+        r = recall(
+            topk_sets(
+                ann_topk_ivfpq(emb, queries, k=k, rerank=10 * k,
+                               nprobe=nprobe, num_codes=32,
+                               num_subspaces=8)
+            )
+        )
+        results.append(
+            {"method": f"ivfpq_nprobe={nprobe}_rerank={10 * k}", "k": k,
+             "recall_at_k": round(r, 4), "n_queries": len(exact)}
+        )
     for row in results:
         print(json.dumps(row))
     return 0

@@ -78,16 +78,10 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
-def decode_png(payload: bytes) -> tuple[int, int, float]:
-    """REAL image decode for PNG — pure stdlib (struct + zlib), no
-    PIL/cv2 required: parses IHDR/IDAT, inflates, un-filters each
-    scanline (filters 0-4 per the PNG spec), and returns
-    (width, height, mean_luma) with luma = Rec.601 over the pixels,
-    rounded 6dp. Supports 8-bit greyscale / grey+alpha / RGB / RGBA,
-    non-interlaced — the shapes a training-data pipeline normalizes
-    to anyway. Raises ValueError on non-PNG bytes and
-    NotImplementedError on exotic variants (16-bit, palette,
-    interlaced), which real deployments route to a PIL kernel."""
+def _png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """PNG → (width, height, channels, unfiltered pixel bytes): the
+    pixel-plane core shared by ``decode_png`` (luma features) and the
+    resize kernel. Pure stdlib (struct + zlib), filters 0-4."""
     import struct
     import zlib
 
@@ -149,6 +143,20 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
             raise ValueError(f"bad PNG filter {f}")
         out += line
         prev = line
+    return width, height, channels, out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """REAL image decode for PNG — pure stdlib (struct + zlib), no
+    PIL/cv2 required: parses IHDR/IDAT, inflates, un-filters each
+    scanline (filters 0-4 per the PNG spec), and returns
+    (width, height, mean_luma) with luma = Rec.601 over the pixels,
+    rounded 6dp. Supports 8-bit greyscale / grey+alpha / RGB / RGBA,
+    non-interlaced — the shapes a training-data pipeline normalizes
+    to anyway. Raises ValueError on non-PNG bytes and
+    NotImplementedError on exotic variants (16-bit, palette,
+    interlaced), which real deployments route to a PIL kernel."""
+    width, height, channels, out = _png_pixels(payload)
     n = width * height
     if channels == 1:
         luma = sum(out) / n
@@ -846,3 +854,183 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image resize — the remaining multimodal plumbing op (decode /
+# feature-extract / RESIZE / frame-sample): REAL nearest-neighbor
+# resampling over the stdlib-decodable raster formats (PNG via the
+# shared _png_pixels core, netpbm P5/P6, uncompressed 24/32-bit BMP),
+# normalized to an RGB PPM (P6) output — the plainest interchange
+# raster, feedable straight back into decode_ppm / extract_*.
+# Codec-bound formats (JPEG/GIF pixels, MP4) surface as '!'-prefixed
+# err markers per the extract_media_features convention; a production
+# deployment swaps _rgb_pixels for a PIL/cv2 kernel without touching
+# the Spark plumbing.
+# ---------------------------------------------------------------------------
+
+
+def _netpbm_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """P5/P6 → (width, height, channels, raster). 8-bit only."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos] not in (10, 13):
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+    pos += 1
+    if len(tokens) < 3:
+        raise ValueError("truncated netpbm header")
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm rasters unsupported")
+    channels = 3 if payload[:2] == b"P6" else 1
+    need = width * height * channels
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated netpbm raster")
+    return width, height, channels, bytes(raster)
+
+
+def _bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed 24/32-bit BMP → (width, height, 3, RGB raster,
+    top-down row order regardless of the file's orientation)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP")
+    pixel_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs unsupported")
+    width, height_raw = struct.unpack("<ii", payload[18:26])
+    _planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"resize supports uncompressed 24/32-bit BMP only "
+            f"(compression={compression} bpp={bpp})"
+        )
+    height = abs(height_raw)
+    top_down = height_raw < 0
+    channels = bpp // 8
+    stride = (width * channels + 3) & ~3
+    if len(payload) < pixel_off + stride * height:
+        raise ValueError("truncated BMP pixel array")
+    out = bytearray()
+    for row in range(height):
+        y = row if top_down else height - 1 - row
+        base = pixel_off + y * stride
+        line = payload[base : base + width * channels]
+        for x in range(width):
+            b, g, r = line[x * channels : x * channels + 3]
+            out += bytes((r, g, b))
+    return width, height, 3, bytes(out)
+
+
+def _rgb_pixels(payload: bytes) -> tuple[int, int, "object"]:
+    """Decode any stdlib-decodable raster to an RGB uint8 array of
+    shape (h, w, 3): grey replicates to 3 channels, alpha drops (the
+    standard training-pipeline normalization)."""
+    import numpy as np
+
+    _mtype, fmt = sniff_format(payload)
+    if fmt == "png":
+        w, h, ch, raw = _png_pixels(payload)
+    elif fmt in ("ppm", "pgm"):
+        w, h, ch, raw = _netpbm_pixels(payload)
+    elif fmt == "bmp":
+        w, h, ch, raw = _bmp_pixels(payload)
+    else:
+        raise NotImplementedError(
+            f"resize needs a stdlib-decodable raster, got {fmt!r} "
+            "(codec-bound formats route to a PIL/cv2 kernel in a real "
+            "deployment)"
+        )
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif ch == 2:  # grey + alpha
+        arr = np.repeat(arr[:, :, :1], 3, axis=2)
+    elif ch == 4:  # RGBA
+        arr = arr[:, :, :3]
+    return w, h, arr
+
+
+def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resize → binary PPM (P6) bytes. Pixel-center
+    sampling (index = floor((i + 0.5) · src/dst)), the classic NN
+    kernel — deterministic, aspect-agnostic (callers pick letterbox /
+    crop policy upstream)."""
+    import numpy as np
+
+    w, h, arr = _rgb_pixels(payload)
+    ys = np.minimum(
+        ((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64),
+        h - 1,
+    )
+    xs = np.minimum(
+        ((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64),
+        w - 1,
+    )
+    out = arr[ys][:, xs]
+    header = f"P6\n{target_w} {target_h}\n255\n".encode()
+    return header + out.tobytes()
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    target_w: int = 64,
+    target_h: int = 64,
+) -> DataFrame:
+    """Batch resize as a mapInPandas kernel (Arrow batches, zero
+    shuffle — the same plumbing shape as extract_media_features):
+    output (id, resized P6 bytes or null, out_format 'ppm' or an
+    '!'-prefixed err marker, width, height). Corrupt/codec-bound
+    payloads mark, never kill, the batch."""
+    out_schema = (
+        f"{id_col} long, resized binary, out_format string, "
+        "width int, height int"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, fmts, ws, hs = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                ids.append(mid)
+                try:
+                    blob = resize_image(bytes(payload), target_w, target_h)
+                    blobs.append(blob)
+                    fmts.append("ppm")
+                    ws.append(target_w)
+                    hs.append(target_h)
+                except Exception as exc:
+                    blobs.append(None)
+                    fmts.append(f"!{type(exc).__name__}")
+                    ws.append(None)
+                    hs.append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "resized": blobs,
+                    "out_format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(kernel, out_schema)

@@ -1241,3 +1241,97 @@ def test_stream_static_enrich_broadcasts_dimension(spark):
     finally:
         q.stop()
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# resize kernel (r9): real nearest-neighbor over stdlib-decodable
+# rasters, normalized to P6 output
+# ---------------------------------------------------------------------------
+
+
+def _ppm_bytes(width, height, rgb):
+    return f"P6\n{width} {height}\n255\n".encode() + bytes(rgb)
+
+
+def test_resize_ppm_nearest_neighbor_golden():
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    # 4x4 with four solid 2x2 quadrants: NN downsample to 2x2 must
+    # pick one pixel from each quadrant (pixel-center sampling lands
+    # at indices 1 and 3)
+    Q = {
+        (0, 0): (255, 0, 0), (0, 1): (0, 255, 0),
+        (1, 0): (0, 0, 255), (1, 1): (255, 255, 0),
+    }
+    rgb = bytearray()
+    for y in range(4):
+        for x in range(4):
+            rgb += bytes(Q[(y // 2, x // 2)])
+    out = resize_image(_ppm_bytes(4, 4, rgb), 2, 2)
+    assert out.startswith(b"P6\n2 2\n255\n")
+    pix = out[out.index(b"255\n") + 4 :]
+    assert bytes(pix) == bytes(
+        bytes(Q[(0, 0)]) + bytes(Q[(0, 1)]) + bytes(Q[(1, 0)]) + bytes(Q[(1, 1)])
+    )
+
+
+def test_resize_png_grey_and_rgba_normalize_to_rgb():
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        decode_ppm,
+        resize_image,
+    )
+
+    # 2x2 grey PNG upsampled to 4x4: grey replicates to RGB, every
+    # quadrant solid
+    png = _png_encode(2, 2, bytes([10, 200, 60, 120]), channels=1)
+    out = resize_image(png, 4, 4)
+    w, h, luma = decode_ppm(out)
+    assert (w, h) == (4, 4)
+    # mean luma preserved exactly under 2x NN upsampling
+    assert luma == round((10 + 200 + 60 + 120) / 4 / 255.0, 6)
+    # RGBA PNG: alpha drops
+    rgba = _png_encode(1, 1, bytes([9, 8, 7, 255]), channels=4)
+    out2 = resize_image(rgba, 2, 2)
+    pix = out2[out2.index(b"255\n") + 4 :]
+    assert bytes(pix) == bytes([9, 8, 7] * 4)
+
+
+def test_resize_bmp_bottom_up_orientation():
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    # 1x2 bottom-up BMP (the encoder flips to file order itself):
+    # resize output must be top-down (red on top, blue below)
+    top = (255, 0, 0)
+    bottom = (0, 0, 255)
+    flat_bgr_image_order = bytes(
+        (top[2], top[1], top[0], bottom[2], bottom[1], bottom[0])
+    )
+    bmp = _bmp_encode(1, 2, flat_bgr_image_order, bpp=24, top_down=False)
+    out = resize_image(bmp, 1, 2)
+    pix = out[out.index(b"255\n") + 4 :]
+    assert bytes(pix) == bytes(top) + bytes(bottom)
+
+
+def test_resize_images_kernel_marks_codec_bound(spark):
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    rgb = bytes([255, 0, 0] * 9)
+    rows = [
+        (1, bytearray(_ppm_bytes(3, 3, rgb))),
+        (2, bytearray(b"\xff\xd8\xff\xe0FAKEJPEG")),  # codec-bound
+        (3, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in resize_images(df, target_w=2, target_h=2).collect()}
+    assert out[1]["out_format"] == "ppm"
+    assert (out[1]["width"], out[1]["height"]) == (2, 2)
+    assert bytes(out[1]["resized"]).startswith(b"P6\n2 2\n")
+    assert out[2]["out_format"].startswith("!")
+    assert out[2]["resized"] is None
+    assert out[3]["out_format"].startswith("!")

@@ -1335,3 +1335,73 @@ def test_resize_images_kernel_marks_codec_bound(spark):
     assert out[2]["out_format"].startswith("!")
     assert out[2]["resized"] is None
     assert out[3]["out_format"].startswith("!")
+
+
+# ---------------------------------------------------------------------------
+# audio resample kernel (r9): linear-interp PCM resampling
+# ---------------------------------------------------------------------------
+
+
+def test_resample_wav_exact_down_and_interp_up():
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        _wav_samples,
+        resample_wav,
+    )
+
+    # mono 8 kHz ramp: 2x downsample picks every other frame exactly
+    samples = list(range(0, 1600, 100))  # 16 frames
+    wav = _wav_encode(samples, n_channels=1, rate=8000, bits=16)
+    down = resample_wav(wav, 4000)
+    rate, ch, arr = _wav_samples(down)
+    assert (rate, ch) == (4000, 1)
+    assert arr[:, 0].tolist() == samples[0::2]
+    # 2x upsample: midpoints linearly interpolated
+    up = resample_wav(wav, 16000)
+    rate2, _, arr2 = _wav_samples(up)
+    assert rate2 == 16000
+    assert arr2[0, 0] == samples[0]
+    assert arr2[1, 0] == (samples[0] + samples[1]) // 2
+    assert arr2[2, 0] == samples[1]
+
+
+def test_resample_wav_stereo_and_8bit():
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        _wav_samples,
+        resample_wav,
+    )
+
+    # stereo: channels resample independently
+    inter = []
+    left = [0, 1000, 2000, 3000]
+    right = [4000, 3000, 2000, 1000]
+    for l_s, r_s in zip(left, right):
+        inter += [l_s, r_s]
+    wav = _wav_encode(inter, n_channels=2, rate=8000, bits=16)
+    out = resample_wav(wav, 4000)
+    _, ch, arr = _wav_samples(out)
+    assert ch == 2
+    assert arr[:, 0].tolist() == left[0::2]
+    assert arr[:, 1].tolist() == right[0::2]
+
+
+def test_resample_audio_kernel_marks_non_wav(spark):
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        resample_audio,
+    )
+
+    wav = _wav_encode(list(range(0, 800, 100)), n_channels=1,
+                      rate=8000, bits=16)
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(b"ID3\x03\x00FAKEMP3")),  # codec-bound
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {
+        r["media_id"]: r
+        for r in resample_audio(df, target_rate=4000).collect()
+    }
+    assert out[1]["out_format"] == "wav"
+    assert out[1]["sample_rate"] == 4000
+    assert out[1]["n_frames"] == 4
+    assert out[2]["out_format"].startswith("!")
+    assert out[2]["resampled"] is None

@@ -1174,3 +1174,130 @@ def resample_audio(
             )
 
     return df.select(id_col, content_col).mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling — REAL on the one video-ish format the stdlib
+# can fully decode: animated GIF (the engine's LZW inflater already
+# handles frame streams). Every image descriptor is a frame;
+# ``sample_video_frames`` strides over them and emits each sampled
+# frame as a standalone P6 raster + luma. Scope note: frames are
+# decoded STANDALONE (own rect + palette) — GIF disposal/transparency
+# COMPOSITING is codec-kernel territory (PIL), exactly like JPEG
+# pixels; frame enumeration, per-frame LZW decode, and the sampling
+# stride are real. ``frame_sample_plan`` above remains the
+# metadata-only plan shape for codec-bound containers (MP4).
+# ---------------------------------------------------------------------------
+
+
+def gif_frames(payload: bytes):
+    """Yield (frame_idx, left, top, width, height, rgb_bytes) for
+    every frame of a (possibly animated) GIF — pure stdlib, the same
+    LZW core as decode_gif, continuing past the first frame."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = payload[pos : pos + n]
+        pos += n
+    frame_idx = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                pal = payload[pos : pos + n]
+                pos += n
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF frames")
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = _gif_lzw(min_code, bytes(lzw))[: w * h]
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            rgb = bytearray()
+            for v in idx:
+                rgb += pal[3 * v : 3 * v + 3]
+            yield frame_idx, left, top, w, h, bytes(rgb)
+            frame_idx += 1
+        elif b == 0x3B:  # trailer
+            return
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    every_n: int = 2,
+) -> DataFrame:
+    """Stride-sample frames from animated GIFs as a mapInPandas
+    kernel: one output row per sampled frame — (id, frame_idx,
+    width, height, mean_luma, P6 frame bytes, err). Non-GIF /
+    codec-bound payloads emit a single '!'-marked row (the
+    extract_media_features convention); a PIL/ffmpeg deployment swaps
+    the frame iterator, not the plumbing."""
+    out_schema = (
+        f"{id_col} long, frame_idx int, width int, height int, "
+        "mean_luma double, frame binary, err string"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    for fi, _l, _t, w, h, rgb in gif_frames(bytes(payload)):
+                        if fi % every_n != 0:
+                            continue
+                        rs = sum(rgb[0::3])
+                        gs = sum(rgb[1::3])
+                        bs = sum(rgb[2::3])
+                        luma = round(
+                            (0.299 * rs + 0.587 * gs + 0.114 * bs)
+                            / (w * h) / 255.0,
+                            6,
+                        )
+                        header = f"P6\n{w} {h}\n255\n".encode()
+                        rows.append(
+                            (mid, fi, w, h, luma, header + rgb, None)
+                        )
+                except Exception as exc:
+                    rows.append(
+                        (mid, None, None, None, None, None,
+                         f"!{type(exc).__name__}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_idx", "width", "height",
+                    "mean_luma", "frame", "err",
+                ],
+            ).astype({"frame_idx": "Int32", "width": "Int32",
+                      "height": "Int32"})
+
+    return df.select(id_col, content_col).mapInPandas(kernel, out_schema)

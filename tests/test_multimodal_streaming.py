@@ -1405,3 +1405,88 @@ def test_resample_audio_kernel_marks_non_wav(spark):
     assert out[1]["n_frames"] == 4
     assert out[2]["out_format"].startswith("!")
     assert out[2]["resampled"] is None
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling (r9): REAL over animated GIF
+# ---------------------------------------------------------------------------
+
+
+def _gif_append_frame(gif_bytes, width, height, indices, min_code=2):
+    """Append another frame (same global palette) before the trailer."""
+    import struct
+
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    acc = nbits = 0
+    data = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for idx in indices:
+        emit(idx)
+        emit(clear)
+    emit(end)
+    if nbits:
+        data.append(acc & 0xFF)
+    frame = bytearray(b"\x2c")
+    frame += struct.pack("<HHHHB", 0, 0, width, height, 0)
+    frame.append(min_code)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        frame.append(len(block))
+        frame += block
+    frame += b"\x00"
+    return gif_bytes[:-1] + bytes(frame) + b"\x3b"
+
+
+def test_gif_frames_enumerates_animation():
+    from fbs_data_pipelines_spark.operators.multimodal import gif_frames
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    gif = _gif_encode(2, 1, pal, [0, 1])          # frame 0: red, green
+    gif = _gif_append_frame(gif, 2, 1, [2, 3])    # frame 1: blue, white
+    gif = _gif_append_frame(gif, 2, 1, [3, 3])    # frame 2: white, white
+    frames = list(gif_frames(gif))
+    assert [f[0] for f in frames] == [0, 1, 2]
+    assert frames[0][5] == bytes((255, 0, 0, 0, 255, 0))
+    assert frames[1][5] == bytes((0, 0, 255, 255, 255, 255))
+    assert frames[2][5] == bytes((255, 255, 255, 255, 255, 255))
+
+
+def test_sample_video_frames_stride_and_err(spark):
+    from fbs_data_pipelines_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    gif = _gif_encode(2, 1, pal, [0, 1])
+    gif = _gif_append_frame(gif, 2, 1, [2, 3])
+    gif = _gif_append_frame(gif, 2, 1, [3, 3])
+    rows = [
+        (1, bytearray(gif)),
+        (2, bytearray(b"\x00\x00\x00\x18ftypmp42FAKE")),  # codec-bound
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = sample_video_frames(df, every_n=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    sampled = sorted(r["frame_idx"] for r in by_id[1])
+    assert sampled == [0, 2]  # stride 2 over frames 0,1,2
+    f0 = [r for r in by_id[1] if r["frame_idx"] == 0][0]
+    assert bytes(f0["frame"]).startswith(b"P6\n2 1\n255\n")
+    # frame 0 = red + green: Rec.601 mean
+    assert f0["mean_luma"] == round(
+        (0.299 * 255 + 0.587 * 255) / 2 / 255.0, 6
+    )
+    assert by_id[2][0]["err"].startswith("!")
+    assert by_id[2][0]["frame"] is None

@@ -693,11 +693,15 @@ def q_gapfill(spark, sf_dir):
     bucket agg, the per-group ordered window); the grid size is a
     property of the TIME RANGE, not input volume. The oracle replays
     generate_series + IGNORE NULLS windows with identical arithmetic
-    order."""
+    order. The bucket is STRINGIFIED at the edge (the repo-wide
+    temporal rule) — DuckDB's to_timestamp(bigint) is TIMESTAMPTZ vs
+    Spark's plain TIMESTAMP, the diagnosed r9 schema+hash red row."""
     from fbs_data_pipelines_spark.operators.timeseries import gapfill
 
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
-    return gapfill(e, ["event_type"], "ts", "value", 3600)
+    return gapfill(e, ["event_type"], "ts", "value", 3600).withColumn(
+        "bucket", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+    )
 
 
 def q_sql_update_delete(spark, sf_dir):
@@ -4152,7 +4156,9 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN CURRENT ROW
                            AND UNBOUNDED FOLLOWING)
         )
-        SELECT event_type, bucket, value, value_locf,
+        SELECT event_type,
+               strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               value, value_locf,
                CASE WHEN value_locf IS NOT NULL AND next_v IS NOT NULL
                          AND next_t <> prev_t
                     THEN floor((value_locf + (next_v - value_locf)

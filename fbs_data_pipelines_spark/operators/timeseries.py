@@ -45,6 +45,21 @@ def time_bucket(ts_col: str, step_seconds: int):
     )
 
 
+def _bound_bucket(bound, step_seconds: int):
+    """A caller-supplied range bound (datetime or epoch seconds)
+    snapped DOWN to its bucket, as a timestamp literal expression —
+    the same epoch arithmetic ``time_bucket`` applies to data rows,
+    so bounds and observations always land on the same grid."""
+    if isinstance(bound, (int, float)):
+        return F.timestamp_seconds(
+            F.lit(int(bound // step_seconds) * step_seconds)
+        )
+    lit = F.lit(bound).cast("timestamp")
+    return F.timestamp_seconds(
+        (F.unix_timestamp(lit) / step_seconds).cast("long") * step_seconds
+    )
+
+
 def gapfill(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -52,6 +67,8 @@ def gapfill(
     value_col: str,
     step_seconds: int,
     agg: str = "avg",
+    start=None,
+    end=None,
 ) -> DataFrame:
     """Dense per-group time grid with LOCF and linear-interpolation
     fills. Output: (group…, bucket, value, value_locf, value_lerp,
@@ -61,10 +78,22 @@ def gapfill(
     the surrounding observations (gaps before the first / after the
     last observation fall back to LOCF semantics). Aggregates are
     rounded to 6dp BEFORE filling so both fills are cross-engine
-    deterministic."""
+    deterministic.
+
+    ``start`` / ``end`` (datetime or epoch seconds, each optional)
+    pin the grid bounds explicitly — TimescaleDB's
+    ``time_bucket_gapfill(width, time, start, finish)`` shape — so
+    callers can densify LEADING/TRAILING gaps beyond the observed
+    span, or window into it. Each bound snaps down to its bucket and
+    replaces the per-group min/max it covers; observations outside
+    [start, end] are excluded from the grid (and therefore from the
+    fills — LOCF does not reach back before ``start``). Groups still
+    come from the data: a group with no rows at all never appears. A
+    group whose observations all fall outside an explicit range
+    yields that group's fully-null dense grid (every bucket a gap)."""
     gcols = list(group_cols)
     agg_fn = getattr(F, agg)
-    bucketed = (
+    bucketed_all = (
         df.select(
             *gcols,
             time_bucket(ts_col, step_seconds).alias("bucket"),
@@ -73,10 +102,36 @@ def gapfill(
         .groupBy(*gcols, "bucket")
         .agg(round_half_up(agg_fn("__v"), 6).alias("value"))
     )
-    # per-group dense grid: sequence over the observed [min, max]
+    # observations outside an explicit range are excluded from the
+    # fills (LOCF never reaches back before ``start``)
+    bucketed = bucketed_all
+    if start is not None:
+        bucketed = bucketed.filter(
+            F.col("bucket") >= _bound_bucket(start, step_seconds)
+        )
+    if end is not None:
+        bucketed = bucketed.filter(
+            F.col("bucket") <= _bound_bucket(end, step_seconds)
+        )
+    # per-group dense grid: sequence over the observed [min, max],
+    # each side overridden by an explicit bound when supplied. The
+    # GROUP LIST comes from the unfiltered aggregate, so with both
+    # bounds explicit an out-of-range group still yields its
+    # fully-null grid; with a one-sided bound, a group whose observed
+    # bound inverts the range (mn > mx) drops via the guard.
+    bounds = bucketed_all.groupBy(*gcols).agg(
+        F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx")
+    )
+    if start is not None:
+        bounds = bounds.withColumn(
+            "__mn", _bound_bucket(start, step_seconds)
+        )
+    if end is not None:
+        bounds = bounds.withColumn(
+            "__mx", _bound_bucket(end, step_seconds)
+        )
     grid = (
-        bucketed.groupBy(*gcols)
-        .agg(F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx"))
+        bounds.filter(F.col("__mn") <= F.col("__mx"))
         .select(
             *gcols,
             F.explode(

@@ -76,3 +76,93 @@ def test_gapfill_leading_gap_falls_back(spark):
     # next observation (TimescaleDB's interpolate boundary behavior)
     assert [r["value_locf"] for r in out] == [None, None, 8.0]
     assert [r["value_lerp"] for r in out] == [8.0, 8.0, 8.0]
+
+
+def test_gapfill_explicit_range_extends_grid(spark):
+    # time_bucket_gapfill(start, finish): bounds beyond the observed
+    # span densify LEADING and TRAILING gaps
+    out = sorted(
+        gapfill(
+            _series(spark),
+            ["g"],
+            "ts",
+            "value",
+            3600,
+            start=dt.datetime(2023, 12, 31, 23, 0),
+            end=dt.datetime(2024, 1, 1, 5, 0),
+        ).collect(),
+        key=lambda r: (r["g"], r["bucket"]),
+    )
+    g = [r for r in out if r["g"] == "g"]
+    h = [r for r in out if r["g"] == "h"]
+    # g: 23:00 .. 05:00 inclusive = 7 buckets (was 5 observed)
+    assert [r["bucket"].hour for r in g] == [23, 0, 1, 2, 3, 4, 5]
+    # leading bucket: nothing to carry, lerp falls forward
+    assert (g[0]["value_locf"], g[0]["value_lerp"]) == (None, 10.0)
+    # trailing bucket: LOCF carries the last observation
+    assert (g[-1]["value_locf"], g[-1]["value_lerp"]) == (50.0, 50.0)
+    # h (single obs at hour 2) also gets the full explicit grid
+    assert len(h) == 7 and h[3]["value"] == 7.0 and h[0]["value"] is None
+
+
+def test_gapfill_explicit_range_windows_into_span(spark):
+    # bounds INSIDE the observed span window the grid; observations
+    # outside are excluded from the fills (LOCF does not reach back)
+    out = sorted(
+        gapfill(
+            _series(spark),
+            ["g"],
+            "ts",
+            "value",
+            3600,
+            start=dt.datetime(2024, 1, 1, 2, 0),
+            end=dt.datetime(2024, 1, 1, 3, 0),
+        ).collect(),
+        key=lambda r: (r["g"], r["bucket"]),
+    )
+    g = [r for r in out if r["g"] == "g"]
+    assert [r["bucket"].hour for r in g] == [2, 3]
+    # hours 0-1 observations are outside the range: nothing to carry
+    assert [r["value_locf"] for r in g] == [None, None]
+    # h's only observation (hour 2) is in range; with BOTH bounds
+    # explicit every group with data gets the same grid
+    h = [r for r in out if r["g"] == "h"]
+    assert [r["bucket"].hour for r in h] == [2, 3]
+    assert h[0]["value"] == 7.0 and h[1]["value_locf"] == 7.0
+
+
+def test_gapfill_epoch_bounds_snap_to_bucket(spark):
+    # integer epoch-second bounds are accepted and snap DOWN to the
+    # bucket grid (here: mid-hour start snaps to its hour)
+    base_epoch = int(dt.datetime(2024, 1, 1).timestamp())
+    out = sorted(
+        gapfill(
+            _series(spark).filter("g = 'g'"),
+            ["g"],
+            "ts",
+            "value",
+            3600,
+            start=base_epoch + 3600 + 1800,  # 01:30 -> bucket 01:00
+            end=base_epoch + 4 * 3600,
+        ).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"].hour for r in out] == [1, 2, 3, 4]
+    assert out[0]["value"] == 30.0
+
+
+def test_gapfill_one_sided_and_degenerate_range(spark):
+    df = _series(spark).filter("g = 'g'")
+    # end-only bound truncates the tail, keeps observed start
+    out = sorted(
+        gapfill(df, ["g"], "ts", "value", 3600,
+                end=dt.datetime(2024, 1, 1, 1, 0)).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"].hour for r in out] == [0, 1]
+    # start beyond every observation with an observed end bound:
+    # inverted range (mn > mx) yields no rows rather than an error
+    assert (
+        gapfill(df, ["g"], "ts", "value", 3600,
+                start=dt.datetime(2024, 1, 2)).count() == 0
+    )

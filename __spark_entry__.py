@@ -3548,83 +3548,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rendered into README.md; every entry, in or out of the window,
     # is oracle-checked locally by tools/check_oracle.py).
     #
-    # Round-9 rotation ("oldest evidence refresh" — every query had
-    # cumulative driver evidence after r8, so the window DRAINS the
-    # stale tail while admitting this round's NEW operators): the 12
-    # NEW queries lead (merge_into + sql_update_delete — the SQL DML
-    # front doors; schema_evolution — VersionedTable rename/drop
-    # column mapping; theta_sets — KMV set-op sketch; ann_sq8 /
-    # ann_pq / ann_ivfpq — the quantized ANN family; bpe_encode —
-    # tokenizer apply; gapfill — hypertable gap filling;
-    # csv_roundtrip / rows_roundtrip / drive_extract — formerly
-    # unit-only I/O edges driver-gated as roundtrips), plus
-    # quantile_sketch whose semantics CHANGED this round (priority
-    # sampling), then the 28 queries whose latest evidence is r2–r4
-    # (4+ rounds old) and the lowest-evidence r6-era queries. The r6
-    # leftovers (grouped_topk, shared_spans, boilerplate_ngrams,
-    # alpha_sample, quality_classifier, incremental_rollup,
-    # sequence_packing, decontaminate, corpus_curation, expectations,
-    # pagerank, hll_distinct, kmeans, lm_perplexity, sql_exists)
-    # head the r10 window.
+    # Round-10 rotation ("oldest evidence refresh"): `gapfill` — the
+    # build's first-ever driver-red row (r9: TIMESTAMPTZ-vs-TIMESTAMP
+    # edge, fixed by stringifying the bucket on both sides) — takes
+    # slot 1 for its re-gate. Next the five queries whose PLANS
+    # changed this round (identical results, oracle-verified
+    # locally): ann_sq8/ann_pq/ann_ivfpq candidate stages now stream
+    # quantization codes instead of float vectors with a broadcast
+    # join-back for the exact rerank, and ann_ivf/ann_ivf_nprobe pick
+    # centroids via a narrow literal-argmax instead of a corpus-wide
+    # groupBy+join. Then the whole age-3 evidence tail (15 r6-era
+    # keys) and the 29 oldest age-2 (r7-era) keys. The 20 remaining
+    # r7-era keys (leakage_safe_split … incremental_join, marked
+    # below) head the r11 window.
     return {
-        # ==== driver gate window: r9 rotation (50 entries) =============
-        # --- NEW queries (first driver evidence) -----------------------
-        "merge_into": q_merge_into,
-        "schema_evolution": q_schema_evolution,
-        "sql_update_delete": q_sql_update_delete,
-        "theta_sets": q_theta_sets,
-        "ann_sq8": q_ann_sq8,
-        "bpe_encode": q_bpe_encode,
-        "ann_pq": q_ann_pq,
-        "csv_roundtrip": q_csv_roundtrip,
-        "rows_roundtrip": q_rows_roundtrip,
-        "drive_extract": q_drive_extract,
+        # ==== driver gate window: r10 rotation (50 entries) ============
+        # --- slot 1: the r9 red row, fixed this round (stringified
+        #     bucket on both sides) ----------------------------------
         "gapfill": q_gapfill,
+        # --- changed THIS round: quantized-ANN candidate stages now
+        #     stream codes (not floats) + ivf_assign is narrow ---------
+        "ann_sq8": q_ann_sq8,
+        "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
-        # --- latest evidence r2–r3 (oldest in the ledger) --------------
-        "sort_limit": q_sort_limit,
-        "union_all": q_union_all,
-        "cast_all_string": q_cast_all_string,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "distinct": q_distinct,
-        "empty_to_null": q_empty_to_null,
-        "decimal_comma": q_decimal_comma,
-        "ann_lsh": q_ann_lsh,
-        "range_join": q_range_join,
-        "pivot": q_pivot,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        # --- latest evidence r4 ----------------------------------------
-        "latest_snapshot": q_latest_snapshot,
-        "cascading_rollup": q_cascading_rollup,
-        "tfidf": q_tfidf,
-        "filter_project": q_filter_project,
-        "compound_filter": q_compound_filter,
-        "join_suffix": q_join_suffix,
-        "map_join": q_map_join,
-        "string_funcs": q_string_funcs,
-        "split_unnest": q_split_unnest,
-        "date_parse": q_date_parse,
-        "conditional": q_conditional,
-        "try_cast": q_try_cast,
-        "rollup": q_rollup,
-        "quality_pipeline": q_quality_pipeline,
-        "dedup_exact": q_dedup_exact,
-        "join_5way": q_join_5way,
-        # --- latest evidence r6, fewest rounds of evidence first -------
-        "budget_sample": q_budget_sample,
-        "weighted_sample": q_weighted_sample,
-        "ppl_buckets": q_ppl_buckets,
-        "salted_join": q_salted_join,
-        "bloom_join": q_bloom_join,
-        "zorder_layout": q_zorder_layout,
-        "sql_nested_semi": q_sql_nested_semi,
-        "recursive_cte": q_recursive_cte,
-        "lateral_topn": q_lateral_topn,
-        # changed THIS round (priority-sampling rewrite) — re-gated now
-        "quantile_sketch": q_quantile_sketch,
-        # ==== driver gate window ends here (50 entries) ===============
-        # --- r6 leftovers: head of the r10 window ----------------------
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_nprobe": q_ann_ivf_nprobe,
+        # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -3640,59 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "lm_perplexity": q_lm_perplexity,
         "sql_exists": q_sql_exists,
-        # --- headline bench suite (benched every round; r8 evidence) ---
-        "pricing_summary": q_pricing_summary,
-        "datediff": q_datediff,
-        "groupby_having": q_groupby_having,
-        "window_rank": q_window_rank,
-        "merge_upsert": q_merge_upsert,
-        "text_stats": q_text_stats,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ann_topk": q_ann_topk,
-        "windowed_rollup": q_windowed_rollup,
-        "sessionize": q_sessionize,
-        # --- r8 window (all green r8) ----------------------------------
-        "array_agg": q_array_agg,
-        "curation_v2": q_curation_v2,
-        "latest_snapshot_agg": q_latest_snapshot_agg,
-        "quantile_sketch": q_quantile_sketch,
-        "tws_first_seen": q_tws_first_seen,
-        "ann_ivf": q_ann_ivf,
-        "grouping_sets": q_grouping_sets,
-        "session_window": q_session_window,
-        "simhash": q_simhash,
-        "lookup_join": q_lookup_join,
-        "scalar_subquery": q_scalar_subquery,
-        "multi_join_topn": q_multi_join_topn,
-        "window_running": q_window_running,
-        "cube": q_cube,
-        "intersect": q_intersect,
-        "except": q_except,
-        "minhash_signatures": q_minhash_signatures,
-        "vector_norms": q_vector_norms,
-        "embedding_neardup": q_embedding_neardup,
-        "audit_log": q_audit_log,
-        "grouped_ols": q_grouped_ols,
-        "streaming_merge": q_streaming_merge,
-        "streaming_rollup": q_streaming_rollup,
-        "first_seen": q_first_seen,
-        "asof_join": q_asof_join,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "json_extract": q_json_extract,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "ann_ivf_nprobe": q_ann_ivf_nprobe,
-        "multimodal_features": q_multimodal_features,
-        "incremental_dedup": q_incremental_dedup,
-        "canonical_docs": q_canonical_docs,
-        "sparse_cosine": q_sparse_cosine,
-        "source_overlap": q_source_overlap,
-        "gopher_quality": q_gopher_quality,
-        "pii_scrub": q_pii_scrub,
-        "stratified_sample": q_stratified_sample,
-        # --- r7 window (all green r7) ----------------------------------
+        # --- evidence age 2 (r7-era), oldest-first ---------------------
         "percentile_exact": q_percentile_exact,
         "stats_agg": q_stats_agg,
         "string_agg": q_string_agg,
@@ -3722,6 +3619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
         "bm25_search": q_bm25_search,
+        # ==== driver gate window ends here (50 entries) ===============
+        # --- age-2 remainder (r7-era) — head of the r11 window ---------
         "leakage_safe_split": q_leakage_safe_split,
         "typo_pairs": q_typo_pairs,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -3742,6 +3641,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_track": q_scd2_track,
         "snapshot_reconcile": q_snapshot_reconcile,
         "incremental_join": q_incremental_join,
+        # --- headline bench suite (benched every round) ----------------
+        "pricing_summary": q_pricing_summary,
+        "datediff": q_datediff,
+        "groupby_having": q_groupby_having,
+        "window_rank": q_window_rank,
+        "merge_upsert": q_merge_upsert,
+        "text_stats": q_text_stats,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_topk": q_ann_topk,
+        "windowed_rollup": q_windowed_rollup,
+        "sessionize": q_sessionize,
+        # --- remainder (r8/r9 evidence, ages 0-1) ----------------------
+        "merge_into": q_merge_into,
+        "schema_evolution": q_schema_evolution,
+        "sql_update_delete": q_sql_update_delete,
+        "theta_sets": q_theta_sets,
+        "bpe_encode": q_bpe_encode,
+        "csv_roundtrip": q_csv_roundtrip,
+        "rows_roundtrip": q_rows_roundtrip,
+        "drive_extract": q_drive_extract,
+        "sort_limit": q_sort_limit,
+        "union_all": q_union_all,
+        "cast_all_string": q_cast_all_string,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "distinct": q_distinct,
+        "empty_to_null": q_empty_to_null,
+        "decimal_comma": q_decimal_comma,
+        "ann_lsh": q_ann_lsh,
+        "range_join": q_range_join,
+        "pivot": q_pivot,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "latest_snapshot": q_latest_snapshot,
+        "cascading_rollup": q_cascading_rollup,
+        "tfidf": q_tfidf,
+        "filter_project": q_filter_project,
+        "compound_filter": q_compound_filter,
+        "join_suffix": q_join_suffix,
+        "map_join": q_map_join,
+        "string_funcs": q_string_funcs,
+        "split_unnest": q_split_unnest,
+        "date_parse": q_date_parse,
+        "conditional": q_conditional,
+        "try_cast": q_try_cast,
+        "rollup": q_rollup,
+        "quality_pipeline": q_quality_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "join_5way": q_join_5way,
+        "budget_sample": q_budget_sample,
+        "weighted_sample": q_weighted_sample,
+        "ppl_buckets": q_ppl_buckets,
+        "salted_join": q_salted_join,
+        "bloom_join": q_bloom_join,
+        "zorder_layout": q_zorder_layout,
+        "sql_nested_semi": q_sql_nested_semi,
+        "recursive_cte": q_recursive_cte,
+        "lateral_topn": q_lateral_topn,
+        "quantile_sketch": q_quantile_sketch,
+        "array_agg": q_array_agg,
+        "curation_v2": q_curation_v2,
+        "latest_snapshot_agg": q_latest_snapshot_agg,
+        "tws_first_seen": q_tws_first_seen,
+        "grouping_sets": q_grouping_sets,
+        "session_window": q_session_window,
+        "simhash": q_simhash,
+        "lookup_join": q_lookup_join,
+        "scalar_subquery": q_scalar_subquery,
+        "multi_join_topn": q_multi_join_topn,
+        "window_running": q_window_running,
+        "cube": q_cube,
+        "intersect": q_intersect,
+        "except": q_except,
+        "minhash_signatures": q_minhash_signatures,
+        "vector_norms": q_vector_norms,
+        "embedding_neardup": q_embedding_neardup,
+        "audit_log": q_audit_log,
+        "grouped_ols": q_grouped_ols,
+        "streaming_merge": q_streaming_merge,
+        "streaming_rollup": q_streaming_rollup,
+        "first_seen": q_first_seen,
+        "asof_join": q_asof_join,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "json_extract": q_json_extract,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "multimodal_features": q_multimodal_features,
+        "incremental_dedup": q_incremental_dedup,
+        "canonical_docs": q_canonical_docs,
+        "sparse_cosine": q_sparse_cosine,
+        "source_overlap": q_source_overlap,
+        "gopher_quality": q_gopher_quality,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
     }
 
 

@@ -904,14 +904,25 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
+    refine_iters: int = 0,
 ) -> list:
     """Product-quantization codebooks from the deterministic IVF seed
     rule (``ivf_centroids``): codebook[s][j] is subspace s's slice of
-    seed vector j — hash-free, reproducible on any engine (a per-
-    subspace k-means refinement would drop in here; the encode/ADC
-    machinery is identical either way). Returns a Python list
-    ``cb[s][j] -> list[float]`` — control plane, num_codes rows
-    collected once, like k-means centroids."""
+    seed vector j — hash-free, reproducible on any engine. Returns a
+    Python list ``cb[s][j] -> list[float]`` — control plane,
+    num_codes rows collected once, like k-means centroids.
+
+    ``refine_iters`` > 0 runs that many per-subspace Lloyd k-means
+    iterations over the corpus slices (Jégou 2011 trains codebooks
+    this way), initialized from the seed rule. ALL subspaces refine
+    in ONE corpus pass per iteration: the per-row code assignment is
+    a narrow expression over the codebook literals, then one
+    map-side-combined aggregate of (subspace, code, dim) sums —
+    num_subspaces·num_codes·subdim control-plane rows back to the
+    driver (e.g. 8·32·8 = 2048). Empty codes keep their previous
+    entry; first-min tie-break; fixed iteration count — still fully
+    deterministic (at 100 TB you would train on a sample; the
+    encode/ADC machinery is identical either way)."""
     sub = dim // num_subspaces
     rows = sorted(
         ivf_centroids(
@@ -919,13 +930,59 @@ def pq_codebooks(
         ).collect(),
         key=lambda r: r["centroid_id"],
     )
-    return [
+    cb = [
         [
             [float(v) for v in r["centroid_vec"][s * sub : (s + 1) * sub]]
             for r in rows
         ]
         for s in range(num_subspaces)
     ]
+    vecd = F.col(vec_col).cast("array<double>")
+    idxs = F.sequence(F.lit(0), F.lit(num_codes - 1))
+    for _ in range(refine_iters):
+        entries = []
+        for s in range(num_subspaces):
+            sl = F.slice(vecd, s * sub + 1, sub)
+            cbl = F.array(
+                *[
+                    F.array(*[F.lit(x) for x in cb[s][j]])
+                    for j in range(num_codes)
+                ]
+            )
+            dists = F.transform(
+                cbl,
+                lambda cv: F.aggregate(
+                    F.zip_with(sl, cv, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            code = F.array_min(
+                F.zip_with(
+                    dists,
+                    idxs,
+                    lambda d, j: F.struct(d.alias("d"), j.alias("j")),
+                )
+            )["j"]
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("s"), code.alias("c"), sl.alias("v")
+                )
+            )
+        agg = (
+            corpus.select(F.explode(F.array(*entries)).alias("e"))
+            .select(
+                F.col("e.s").alias("s"),
+                F.col("e.c").alias("c"),
+                F.posexplode("e.v").alias("pos", "x"),
+            )
+            .groupBy("s", "c", "pos")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .collect()
+        )
+        for r in agg:
+            cb[r["s"]][r["c"]][r["pos"]] = r["sx"] / r["n"]
+    return cb
 
 
 def ann_topk_pq(
@@ -939,6 +996,7 @@ def ann_topk_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Product-quantization ANN with exact rerank (Jégou et al. 2011,
     "Product quantization for nearest neighbor search"): each vector
@@ -958,7 +1016,8 @@ def ann_topk_pq(
     """
     sub = dim // num_subspaces
     cb = pq_codebooks(
-        corpus, num_codes, num_subspaces, dim, id_col, vec_col
+        corpus, num_codes, num_subspaces, dim, id_col, vec_col,
+        refine_iters=refine_iters,
     )
     # ||codebook vector||^2 per (subspace, code) — plain Python over
     # the control-plane lists; sequential sum matches the oracle's
@@ -1128,6 +1187,7 @@ def ann_topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFPQ composition): the coarse quantizer
     routes every corpus vector into ONE inverted list and each query
@@ -1145,7 +1205,8 @@ def ann_topk_ivfpq(
 
     sub = dim // num_subspaces
     cb = pq_codebooks(
-        corpus, num_codes, num_subspaces, dim, id_col, vec_col
+        corpus, num_codes, num_subspaces, dim, id_col, vec_col,
+        refine_iters=refine_iters,
     )
     cb_norm2 = [
         [sum(x * x for x in cb[s][j]) for j in range(num_codes)]

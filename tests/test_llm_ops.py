@@ -523,6 +523,79 @@ def test_ann_pq_rerank_exact_and_recall(spark, sf_dir):
             assert sim == bf_all[pair]
 
 
+def test_pq_codebook_refinement_reduces_distortion(spark, sf_dir):
+    """Per-subspace Lloyd refinement (r10): each iteration must not
+    increase total quantization distortion (the Lloyd monotonicity
+    guarantee — both the assignment and the centroid-update step are
+    error-non-increasing), the first iteration strictly improves on
+    the seed-rule slices here, and the whole procedure is
+    deterministic (no RNG: rank-of-id seeds, first-min ties)."""
+    from fbs_data_pipelines_spark.operators.similarity import pq_codebooks
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(num_codes=16, num_subspaces=8, dim=64)
+    seed = pq_codebooks(e, **kw)
+    ref1 = pq_codebooks(e, **kw, refine_iters=1)
+    ref2 = pq_codebooks(e, **kw, refine_iters=2)
+    assert ref2 == pq_codebooks(e, **kw, refine_iters=2)
+
+    vecs = [
+        [float(x) for x in r["embedding"]]
+        for r in e.select("embedding").collect()
+    ]
+
+    def distortion(cb):
+        sub = 64 // 8
+        tot = 0.0
+        for v in vecs:
+            for s in range(8):
+                sl = v[s * sub : (s + 1) * sub]
+                tot += min(
+                    sum((a - b) ** 2 for a, b in zip(sl, c))
+                    for c in cb[s]
+                )
+        return tot
+
+    d0, d1, d2 = distortion(seed), distortion(ref1), distortion(ref2)
+    assert d1 < d0
+    assert d2 <= d1
+
+
+def test_ann_pq_refined_still_exact_rerank(spark, sf_dir):
+    """ann_topk_pq with refined codebooks: the candidate CUT changes
+    but the rerank stage still reports EXACT cosines, and recall
+    must not fall below the seed-rule configuration's floor."""
+    from fbs_data_pipelines_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_pq,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf_all = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ann_topk_bruteforce(e, queries, k=50).collect()
+    }
+    bf_top5 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bruteforce(e, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ann_topk_pq(
+            e, queries, k=5, rerank=100, num_codes=32,
+            num_subspaces=8, refine_iters=2,
+        ).collect()
+    }
+    assert len(got) == 25
+    assert len(set(got) & bf_top5) / len(bf_top5) >= 0.8
+    for pair, sim in got.items():
+        if pair in bf_all:
+            assert sim == bf_all[pair]
+
+
 def test_ann_ivfpq_composition_bounds(spark, sf_dir):
     """IVF-PQ recall decomposes as min(IVF routing, PQ+rerank): at a
     generous rerank the composite hits the pure-IVF nprobe ceiling

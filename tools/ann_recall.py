@@ -96,16 +96,18 @@ def main() -> int:
             {"method": f"sq8_rerank={rr}", "k": k,
              "recall_at_k": round(r, 4), "n_queries": len(exact)}
         )
-        r = recall(
-            topk_sets(
-                ann_topk_pq(emb, queries, k=k, rerank=rr,
-                            num_codes=32, num_subspaces=8)
+        for iters in (0, 1, 2):
+            r = recall(
+                topk_sets(
+                    ann_topk_pq(emb, queries, k=k, rerank=rr,
+                                num_codes=32, num_subspaces=8,
+                                refine_iters=iters)
+                )
             )
-        )
-        results.append(
-            {"method": f"pq32x8_rerank={rr}", "k": k,
-             "recall_at_k": round(r, 4), "n_queries": len(exact)}
-        )
+            results.append(
+                {"method": f"pq32x8_rerank={rr}_refine={iters}", "k": k,
+                 "recall_at_k": round(r, 4), "n_queries": len(exact)}
+            )
     for nprobe in (2, 4, 8):
         r = recall(
             topk_sets(

@@ -3540,6 +3540,83 @@ def q_map_ops(spark, sf_dir):
     )
 
 
+def q_sql_qualify(spark, sf_dir):
+    """QUALIFY front door (sql_qualify.py): Spark SQL has no QUALIFY
+    clause; the reference's embedded-SQL door is DuckDB
+    (/root/reference/src/db_manager.py:26-76) where QUALIFY is the
+    idiomatic post-window filter, so the engine accepts the dialect
+    and rewrites it — predicate into the projection (windows are
+    legal there), select-list aliases substituted, trailing ORDER
+    BY/LIMIT outside the filter, helper column dropped. The oracle
+    is the IDENTICAL statement run natively by DuckDB — the rewrite
+    is correct iff both agree."""
+    from fbs_data_pipelines_spark.sql_qualify import sql_qualify
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_q")
+    return sql_qualify(
+        spark,
+        """
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS price_rank
+        FROM v_orders_q
+        WHERE o_custkey <= 300
+        QUALIFY price_rank <= 5 OR row_number() OVER (
+            PARTITION BY o_orderpriority ORDER BY o_orderkey) = 1
+        """,
+    )
+
+
+def q_skew_stats(spark, sf_dir):
+    """Join-key skew diagnostics (operators/diagnostics.py): the
+    heavy-hitter profile that decides salt-vs-broadcast-vs-bucket
+    before a 100 TB join — one combiner-reduced groupBy, a broadcast
+    scalar total, a tree-reduced top-k; the ranking window touches
+    top_k rows only. Oracle replays counts + total + running share."""
+    from fbs_data_pipelines_spark.operators.diagnostics import key_skew_stats
+
+    return key_skew_stats(_t(spark, sf_dir, "lineitem"), "l_suppkey", 20)
+
+
+def q_winsorize(spark, sf_dir):
+    """Per-group winsorization (operators/robust.py): clamp
+    l_extendedprice into its per-returnflag exact [p5, p95] interval
+    (Spark `percentile` == DuckDB `quantile_cont`, both
+    sort-interpolated), then compare raw vs winsorized means. The
+    bounds relation is one row per group, broadcast back — no second
+    corpus shuffle; the clamp is a narrow projection."""
+    from fbs_data_pipelines_spark.operators.robust import winsorize
+
+    w = winsorize(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        ),
+        "l_extendedprice",
+        ["l_returnflag"],
+        0.05,
+        0.95,
+    )
+    return w.groupBy("l_returnflag").agg(
+        round_half_up(F.avg("l_extendedprice"), 4).alias("avg_raw"),
+        round_half_up(F.avg("l_extendedprice_w"), 4).alias("avg_w"),
+        round_half_up(F.min("l_extendedprice_w"), 4).alias("lo_w"),
+        round_half_up(F.max("l_extendedprice_w"), 4).alias("hi_w"),
+    )
+
+
+def q_knn_join(spark, sf_dir):
+    """Corpus-to-corpus k-NN join (ann_knn_join): every embedding
+    row gets its top-3 cosine neighbors via LSH-bucketed multi-probe
+    pairing — BOTH sides corpus-scale, so nothing is broadcast: the
+    pairing is a shuffle equi-join on the bucket key and the final
+    window moves (id, neighbor, sim) triples only. Oracle replays
+    buckets, probes, cosines, and ranking."""
+    from fbs_data_pipelines_spark.operators.similarity import ann_knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_knn_join(e, e, k=3, num_planes=6, probe_flips=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -3557,10 +3634,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quantization codes instead of float vectors with a broadcast
     # join-back for the exact rerank, and ann_ivf/ann_ivf_nprobe pick
     # centroids via a narrow literal-argmax instead of a corpus-wide
-    # groupBy+join. Then the whole age-3 evidence tail (15 r6-era
-    # keys) and the 29 oldest age-2 (r7-era) keys. The 20 remaining
-    # r7-era keys (leakage_safe_split … incremental_join, marked
-    # below) head the r11 window.
+    # groupBy+join. Then the four queries NEW this round (sql_qualify
+    # — the QUALIFY-dialect front door, oracle = DuckDB running the
+    # identical statement natively; skew_stats — join-key heavy-
+    # hitter diagnostics; winsorize — per-group exact-percentile
+    # clamping; knn_join — corpus-to-corpus LSH k-NN join), the
+    # whole age-3 evidence tail (15 r6-era keys), and the 25 oldest
+    # age-2 (r7-era) keys. The 24 remaining r7-era keys
+    # (paragraph_dedup … incremental_join, marked below) head the
+    # r11 window.
     return {
         # ==== driver gate window: r10 rotation (50 entries) ============
         # --- slot 1: the r9 red row, fixed this round (stringified
@@ -3573,6 +3655,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
+        # --- NEW this round (first driver evidence) --------------------
+        "sql_qualify": q_sql_qualify,
+        "skew_stats": q_skew_stats,
+        "winsorize": q_winsorize,
+        "knn_join": q_knn_join,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -3615,12 +3702,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "sample_exact_k": q_sample_exact_k,
         "mixture_interleave": q_mixture_interleave,
+        # ==== driver gate window ends here (50 entries) ===============
+        # --- age-2 remainder (r7-era) — head of the r11 window ---------
         "paragraph_dedup": q_paragraph_dedup,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
         "bm25_search": q_bm25_search,
-        # ==== driver gate window ends here (50 entries) ===============
-        # --- age-2 remainder (r7-era) — head of the r11 window ---------
         "leakage_safe_split": q_leakage_safe_split,
         "typo_pairs": q_typo_pairs,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -7179,6 +7266,97 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    # sql_qualify: DuckDB parses QUALIFY natively — the oracle IS the
+    # identical statement, so the Spark-side rewriter is correct iff
+    # both engines agree on the result
+    sql["sql_qualify"] = """
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS price_rank
+        FROM orders
+        WHERE o_custkey <= 300
+        QUALIFY price_rank <= 5 OR row_number() OVER (
+            PARTITION BY o_orderpriority ORDER BY o_orderkey) = 1
+    """
+
+    # skew_stats: counts + broadcast total + top-k + running share,
+    # shares rounded exactly as the Spark expression
+    sql["skew_stats"] = """
+        WITH counts AS (
+            SELECT l_suppkey AS key, count(*) AS cnt
+            FROM lineitem GROUP BY l_suppkey
+        ), tot AS (
+            SELECT sum(cnt) AS t FROM counts
+        ), topk AS (
+            SELECT key, cnt FROM counts
+            ORDER BY cnt DESC, key ASC LIMIT 20
+        )
+        SELECT row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,
+               key, cnt,
+               floor(cnt / t * 1000000.0 + 0.5) / 1000000.0 AS share,
+               floor(sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) / t
+                     * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+        FROM topk, tot
+    """
+
+    # winsorize: quantile_cont == Spark's exact `percentile`
+    # (sort-based linear interpolation); 4dp rounding absorbs the
+    # engines' interpolation/summation ULP differences
+    sql["winsorize"] = """
+        WITH b AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0
+                   AS avg_raw,
+               floor(avg(least(greatest(l_extendedprice, lo), hi))
+                     * 10000.0 + 0.5) / 10000.0 AS avg_w,
+               floor(min(least(greatest(l_extendedprice, lo), hi))
+                     * 10000.0 + 0.5) / 10000.0 AS lo_w,
+               floor(max(least(greatest(l_extendedprice, lo), hi))
+                     * 10000.0 + 0.5) / 10000.0 AS hi_w
+        FROM lineitem l JOIN b USING (l_returnflag)
+        GROUP BY l.l_returnflag
+    """
+
+    # knn_join: corpus-to-corpus multi-probe LSH pairing — the left
+    # side probes its bucket plus every 1-bit flip, the right side is
+    # bucketed once; identical cosine rounding and rank tie order
+    sql["knn_join"] = f"""
+        WITH c AS (
+            SELECT vec_id AS neighbor_id, embedding,
+                   {_bucket_expr('embedding')} AS bucket
+            FROM embeddings
+        ), l0 AS (
+            SELECT vec_id, embedding AS lemb,
+                   {_bucket_expr('embedding')} AS b0
+            FROM embeddings
+        ), l AS (
+            SELECT vec_id, lemb,
+                   unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4),
+                           xor(b0, 8), xor(b0, 16), xor(b0, 32)])
+                       AS bucket
+            FROM l0
+        ), scored AS (
+            SELECT l.vec_id, c.neighbor_id,
+                   floor((list_cosine_similarity(c.embedding::DOUBLE[],
+                       l.lemb::DOUBLE[])) * 1000000.0 + 0.5)
+                       / 1000000.0 AS sim
+            FROM c JOIN l USING (bucket)
+            WHERE c.neighbor_id <> l.vec_id
+        )
+        SELECT vec_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= 3
     """
 
     return sql

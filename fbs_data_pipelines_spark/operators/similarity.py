@@ -1362,3 +1362,85 @@ def ann_topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "sim", "rank")
     )
+
+
+def ann_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    dim: int = 64,
+    probe_flips: int = 1,
+) -> DataFrame:
+    """All-pairs k-NN JOIN: every LEFT row gets its top-``k`` nearest
+    RIGHT rows by cosine. Unlike the ``ann_topk_*`` family (a handful
+    of broadcast queries against a corpus), BOTH sides here are
+    corpus-scale — the linking step of entity resolution, semantic
+    dedup across snapshots, or train/eval neighbor audits.
+
+    Nothing is broadcast: each side is LSH-bucketed with a narrow
+    projection and the pairing is a shuffle equi-join ON THE BUCKET
+    KEY — both sides hash-partition by bucket, scoring is co-located,
+    and the per-bucket pair count (not |L|·|R|) bounds the work.
+    ``probe_flips=1`` (multi-probe, Lv 2007) fans out only the LEFT
+    side by (num_planes+1) bucket probes; the right side is bucketed
+    ONCE. The final top-k window shuffles (left_id, neighbor_id, sim)
+    triples only. Left rows whose probed buckets hold no neighbors
+    produce no output rows (standard LSH-join semantics); self-pairs
+    (same id) are excluded. Returns (id, neighbor_id, sim, rank).
+    """
+    from fbs_data_pipelines_spark.functions.vectors import dot_product, l2_norm
+
+    r = lsh_bucket(
+        right.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            l2_norm(vec_col).alias("__rn"),
+        ),
+        vec_col,
+        num_planes,
+        dim,
+    )
+    lft = lsh_bucket(
+        left.select(
+            F.col(id_col).alias("__left_id"),
+            F.col(vec_col).alias("__lvec"),
+            l2_norm(vec_col).alias("__ln"),
+        ),
+        "__lvec",
+        num_planes,
+        dim,
+    )
+    if probe_flips:
+        if probe_flips != 1:
+            raise ValueError("probe_flips supports 0 or 1")
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**i).cast("bigint"))
+                for i in range(num_planes)
+            ],
+        )
+        lft = lft.withColumn("bucket", F.explode(probes))
+    joined = lft.join(r, "bucket").filter(
+        F.col("__left_id") != F.col("neighbor_id")
+    )
+    denom = F.col("__ln") * F.col("__rn")
+    cos = F.when(denom == 0, F.lit(None)).otherwise(
+        dot_product("__lvec", vec_col) / denom
+    )
+    scored = joined.select(
+        F.col("__left_id").alias(id_col),
+        F.col("neighbor_id"),
+        round_half_up(cos, 6).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "neighbor_id", "sim", "rank")
+    )

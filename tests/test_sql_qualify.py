@@ -1,0 +1,113 @@
+"""QUALIFY front-door rewriter (sql_qualify.py): alias scoping,
+inline windows in the predicate, trailing ORDER BY/LIMIT placement,
+WITH clauses, quote safety, and the DISTINCT refusal."""
+
+from __future__ import annotations
+
+import pytest
+
+from fbs_data_pipelines_spark.sql_qualify import rewrite_qualify, sql_qualify
+
+
+@pytest.fixture()
+def t(spark):
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "a", 20.0),
+         (4, "b", 5.0), (5, "b", 15.0)],
+        "id int, g string, v double",
+    ).createOrReplaceTempView("qt")
+
+
+def test_passthrough_without_qualify(spark, t):
+    assert rewrite_qualify("SELECT id FROM qt") is None
+    assert sql_qualify(spark, "SELECT count(*) AS n FROM qt").collect()[0][
+        "n"
+    ] == 5
+
+
+def test_alias_reference(spark, t):
+    out = sql_qualify(
+        spark,
+        """
+        SELECT g, id, v,
+               row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn
+        FROM qt
+        QUALIFY rn <= 1
+        """,
+    ).collect()
+    assert {(r["g"], r["id"]) for r in out} == {("a", 2), ("b", 5)}
+    assert out[0].asDict().keys() == {"g", "id", "v", "rn"}
+
+
+def test_inline_window_predicate(spark, t):
+    out = sql_qualify(
+        spark,
+        """
+        SELECT g, id FROM qt
+        QUALIFY row_number() OVER (PARTITION BY g ORDER BY id) = 1
+        """,
+    ).collect()
+    assert {(r["g"], r["id"]) for r in out} == {("a", 1), ("b", 4)}
+
+
+def test_trailing_order_by_and_limit_apply_after_filter(spark, t):
+    out = sql_qualify(
+        spark,
+        """
+        SELECT id, v,
+               rank() OVER (ORDER BY v DESC) AS price_rank
+        FROM qt
+        QUALIFY price_rank <= 3
+        ORDER BY v ASC
+        LIMIT 2
+        """,
+    ).collect()
+    # survivors are v in {30, 20, 15}; ORDER BY v ASC LIMIT 2 → 15, 20
+    assert [r["v"] for r in out] == [15.0, 20.0]
+
+
+def test_with_clause_and_group_by(spark, t):
+    out = sql_qualify(
+        spark,
+        """
+        WITH big AS (SELECT * FROM qt WHERE v >= 10)
+        SELECT g, sum(v) AS total
+        FROM big
+        GROUP BY g
+        QUALIFY row_number() OVER (ORDER BY total DESC) = 1
+        """,
+    ).collect()
+    assert [(r["g"], r["total"]) for r in out] == [("a", 60.0)]
+
+
+def test_quoted_literal_not_parsed(spark, t):
+    # the word QUALIFY inside a string literal must not trigger
+    out = sql_qualify(
+        spark, "SELECT 'no QUALIFY here' AS s FROM qt LIMIT 1"
+    ).collect()
+    assert out[0]["s"] == "no QUALIFY here"
+
+
+def test_distinct_rejected(spark, t):
+    with pytest.raises(ValueError, match="DISTINCT"):
+        sql_qualify(
+            spark,
+            "SELECT DISTINCT g FROM qt "
+            "QUALIFY row_number() OVER (ORDER BY g) = 1",
+        )
+
+
+def test_alias_substitution_is_word_bounded(spark, t):
+    # alias `rn` must not rewrite the column name `rn2` or text
+    # inside other identifiers
+    out = sql_qualify(
+        spark,
+        """
+        SELECT id,
+               row_number() OVER (ORDER BY id) AS rn,
+               row_number() OVER (ORDER BY id DESC) AS rn2
+        FROM qt
+        QUALIFY rn = 1 OR rn2 = 1
+        """,
+    ).collect()
+    assert {r["id"] for r in out} == {1, 5}

@@ -3617,6 +3617,55 @@ def q_knn_join(spark, sf_dir):
     return ann_knn_join(e, e, k=3, num_planes=6, probe_flips=1)
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join (sources/catalog.py save_bucketed —
+    K2's scale-grade materialization): orders and lineitem
+    materialized bucketed+sorted on the join key, then the repeated
+    join runs with ZERO Exchange (write once, shuffle never — the
+    100 TB fact-table contract; the no-shuffle plan is asserted in
+    tests/test_joins_audit.py::test_bucketed_join_has_no_shuffle).
+    Layout never changes data: the oracle is the plain join+agg."""
+    import os as _os
+    import shutil as _sh
+
+    from fbs_data_pipelines_spark.sources.catalog import save_bucketed
+
+    # a FRESH session with a stale warehouse dir (left by a prior
+    # process) makes overwrite-saveAsTable raise
+    # LOCATION_ALREADY_EXISTS — drop the catalog entry AND the
+    # orphaned location before writing
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("bj_orders", "bj_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _sh.rmtree(_os.path.join(wh, t), ignore_errors=True)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    save_bucketed(o, "bj_orders", ["o_orderkey"], 8,
+                  sort_cols=["o_orderkey"])
+    save_bucketed(li, "bj_lineitem", ["o_orderkey"], 8,
+                  sort_cols=["o_orderkey"])
+    return (
+        spark.table("bj_orders")
+        .join(spark.table("bj_lineitem"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -3660,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_stats": q_skew_stats,
         "winsorize": q_winsorize,
         "knn_join": q_knn_join,
+        "bucketed_join": q_bucketed_join,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -3701,9 +3751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "train_split": q_train_split,
         "sample_exact_k": q_sample_exact_k,
-        "mixture_interleave": q_mixture_interleave,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "mixture_interleave": q_mixture_interleave,
         "paragraph_dedup": q_paragraph_dedup,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
@@ -7357,6 +7407,19 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 3
+    """
+
+    # bucketed_join: the bucketed LAYOUT never changes data — the
+    # oracle is the plain join+agg the co-located tables answer
+    sql["bucketed_join"] = """
+        SELECT o_orderpriority,
+               floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+               floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0
+                   AS sum_price,
+               count(*) AS n
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey <= 100
+        GROUP BY o_orderpriority
     """
 
     return sql

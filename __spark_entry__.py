@@ -3617,6 +3617,32 @@ def q_knn_join(spark, sf_dir):
     return ann_knn_join(e, e, k=3, num_planes=6, probe_flips=1)
 
 
+def q_sql_star_modifiers(spark, sf_dir):
+    """DuckDB star-modifier dialect (`* EXCLUDE (…) REPLACE (… AS c)`)
+    composed with QUALIFY through the combined front door
+    (sql_qualify.sql_dialect): the star item expands against the
+    ANALYZED schema of the FROM clause (never executed), REPLACE
+    keeps the column's position, and the QUALIFY rewrite runs over
+    the expanded list. Oracle = DuckDB running the identical
+    statement natively (both modifiers and QUALIFY are its own
+    dialect)."""
+    from fbs_data_pipelines_spark.sql_qualify import sql_dialect
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_sm")
+    return sql_dialect(
+        spark,
+        """
+        SELECT * EXCLUDE (o_orderdate, o_orderstatus)
+                 REPLACE (CAST(floor(o_totalprice * 1.1 * 100.0 + 0.5)
+                               / 100.0 AS DOUBLE) AS o_totalprice)
+        FROM v_orders_sm
+        WHERE o_custkey <= 50
+        QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_orderkey) <= 3
+        """,
+    )
+
+
 def q_bucketed_join(spark, sf_dir):
     """Bucketed co-located join (sources/catalog.py save_bucketed —
     K2's scale-grade materialization): orders and lineitem
@@ -3710,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "knn_join": q_knn_join,
         "bucketed_join": q_bucketed_join,
+        "sql_star_modifiers": q_sql_star_modifiers,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -3750,9 +3777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "chunk_documents": q_chunk_documents,
         "train_split": q_train_split,
-        "sample_exact_k": q_sample_exact_k,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "sample_exact_k": q_sample_exact_k,
         "mixture_interleave": q_mixture_interleave,
         "paragraph_dedup": q_paragraph_dedup,
         "semantic_dedup": q_semantic_dedup,
@@ -7407,6 +7434,18 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 3
+    """
+
+    # sql_star_modifiers: DuckDB's own dialect on both sides — the
+    # oracle is the identical statement run natively
+    sql["sql_star_modifiers"] = """
+        SELECT * EXCLUDE (o_orderdate, o_orderstatus)
+                 REPLACE (CAST(floor(o_totalprice * 1.1 * 100.0 + 0.5)
+                               / 100.0 AS DOUBLE) AS o_totalprice)
+        FROM orders
+        WHERE o_custkey <= 50
+        QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_orderkey) <= 3
     """
 
     # bucketed_join: the bucketed LAYOUT never changes data — the

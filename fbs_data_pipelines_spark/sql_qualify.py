@@ -153,3 +153,133 @@ def sql_qualify(spark: SparkSession, statement: str) -> DataFrame:
     if rewritten is None:
         return spark.sql(statement)
     return spark.sql(rewritten).drop("__qualify")
+
+
+_STAR_MOD_HEAD = re.compile(
+    r"^\*\s+(EXCLUDE|REPLACE)\s*\(", re.IGNORECASE
+)
+
+
+def _parse_modifiers(item: str) -> tuple[list[str], dict[str, str]] | None:
+    """Parse a select-list item of the form
+    ``* [EXCLUDE (a, b)] [REPLACE (expr AS c, …)]`` (either order,
+    each at most once). Returns (excluded names, {col: replacement
+    expr}) or None when the item is not a star-modifier item."""
+    text = item.strip()
+    if not _STAR_MOD_HEAD.match(text):
+        return None
+    rest = text[1:].strip()
+    excluded: list[str] = []
+    replaced: dict[str, str] = {}
+    while rest:
+        m = re.match(r"(EXCLUDE|REPLACE)\s*\(", rest, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unparseable star modifier tail: {rest!r}")
+        kind = m.group(1).upper()
+        # find the matching close paren (quote-aware)
+        depth, quote, i = 0, None, m.end() - 1
+        while i < len(rest):
+            ch = rest[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise ValueError(f"unbalanced parens in star modifier: {item!r}")
+        body = rest[m.end() : i]
+        if kind == "EXCLUDE":
+            if excluded:
+                raise ValueError("duplicate EXCLUDE modifier")
+            excluded = [c.strip() for c in _split_top_level(body)]
+        else:
+            if replaced:
+                raise ValueError("duplicate REPLACE modifier")
+            for piece in _split_top_level(body):
+                pm = re.match(
+                    r"(.*)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$",
+                    piece,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not pm:
+                    raise ValueError(
+                        f"REPLACE items need '<expr> AS <col>': {piece!r}"
+                    )
+                replaced[pm.group(2)] = pm.group(1).strip()
+        rest = rest[i + 1 :].strip()
+    return excluded, replaced
+
+
+def expand_star_modifiers(spark: SparkSession, statement: str) -> str:
+    """Expand DuckDB-dialect ``* EXCLUDE (…) REPLACE (… AS c)`` star
+    modifiers into an explicit column list, resolved against the
+    analyzed schema of the FROM clause (``SELECT * FROM <body>`` is
+    analyzed, never executed). Statements without star modifiers are
+    returned untouched. Restrictions (each raises): only the bare
+    ``*`` (not ``t.*``) takes modifiers; no GROUP BY in the same
+    query block (star expansion under grouping is ambiguous);
+    EXCLUDE/REPLACE names must exist in the schema."""
+    text = statement.strip().rstrip(";")
+    pos = _top_level_positions(text)
+    selects = [p for w, p in pos if w == "SELECT"]
+    froms = [p for w, p in pos if w == "FROM"]
+    if not selects or not froms:
+        return statement
+    sel_start = selects[0] + len("SELECT")
+    from_start = froms[0]
+    select_list = text[sel_start:from_start]
+    items = _split_top_level(select_list)
+    parsed = [(i, _parse_modifiers(it)) for i, it in enumerate(items)]
+    hits = [(i, p) for i, p in parsed if p is not None]
+    if not hits:
+        return statement
+    if len(hits) > 1:
+        raise ValueError("multiple star-modifier items")
+    if re.search(r"\bGROUP\s+BY\b", text[from_start:], re.IGNORECASE):
+        raise ValueError(
+            "star modifiers with GROUP BY are not supported — list "
+            "the columns explicitly"
+        )
+    # the FROM body up to the first trailing clause: schema probe
+    stop = [
+        p
+        for w, p in pos
+        if w in ("QUALIFY", "ORDER", "LIMIT") and p > from_start
+    ]
+    body_end = min(stop) if stop else len(text)
+    probe = f"SELECT * {text[from_start:body_end]}"
+    cols = spark.sql(probe).columns  # analysis only — nothing runs
+    idx, (excluded, replaced) = hits[0]
+    missing = [c for c in excluded if c not in cols] + [
+        c for c in replaced if c not in cols
+    ]
+    if missing:
+        raise ValueError(f"star modifier names not in schema: {missing}")
+    expansion = ", ".join(
+        f"({replaced[c]}) AS {c}" if c in replaced else c
+        for c in cols
+        if c not in excluded
+    )
+    items[idx] = expansion
+    return (
+        text[: selects[0]]
+        + "SELECT "
+        + ", ".join(items)
+        + " "
+        + text[from_start:]
+    )
+
+
+def sql_dialect(spark: SparkSession, statement: str) -> DataFrame:
+    """The combined dialect front door: DuckDB star modifiers
+    (``* EXCLUDE/REPLACE``) expanded first, then the QUALIFY rewrite
+    — the two compose (a QUALIFY filter over a modified star list is
+    the idiomatic DuckDB top-n-per-group-with-projection shape)."""
+    return sql_qualify(spark, expand_star_modifiers(spark, statement))

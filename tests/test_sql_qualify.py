@@ -111,3 +111,59 @@ def test_alias_substitution_is_word_bounded(spark, t):
         """,
     ).collect()
     assert {r["id"] for r in out} == {1, 5}
+
+
+def test_star_exclude_and_replace(spark, t):
+    from fbs_data_pipelines_spark.sql_qualify import sql_dialect
+
+    out = sql_dialect(
+        spark,
+        "SELECT * EXCLUDE (g) REPLACE (v * 2 AS v) FROM qt WHERE id <= 2",
+    )
+    assert out.columns == ["id", "v"]
+    assert {(r["id"], r["v"]) for r in out.collect()} == {
+        (1, 20.0), (2, 60.0),
+    }
+
+
+def test_star_modifiers_compose_with_qualify(spark, t):
+    from fbs_data_pipelines_spark.sql_qualify import sql_dialect
+
+    out = sql_dialect(
+        spark,
+        """
+        SELECT * EXCLUDE (id) REPLACE (v * 10 AS v)
+        FROM qt
+        QUALIFY row_number() OVER (PARTITION BY g ORDER BY id) = 1
+        """,
+    ).collect()
+    assert {(r["g"], r["v"]) for r in out} == {("a", 100.0), ("b", 50.0)}
+
+
+def test_star_modifier_errors(spark, t):
+    from fbs_data_pipelines_spark.sql_qualify import (
+        expand_star_modifiers,
+        sql_dialect,
+    )
+
+    with pytest.raises(ValueError, match="not in schema"):
+        sql_dialect(spark, "SELECT * EXCLUDE (nope) FROM qt")
+    with pytest.raises(ValueError, match="GROUP BY"):
+        sql_dialect(
+            spark,
+            "SELECT * EXCLUDE (v) FROM qt GROUP BY id, g",
+        )
+    # plain statements pass through untouched
+    stmt = "SELECT id, v FROM qt"
+    assert expand_star_modifiers(spark, stmt) == stmt
+
+
+def test_star_replace_expr_with_commas_and_parens(spark, t):
+    from fbs_data_pipelines_spark.sql_qualify import sql_dialect
+
+    out = sql_dialect(
+        spark,
+        "SELECT * EXCLUDE (g, id) "
+        "REPLACE (least(greatest(v, 10.0), 20.0) AS v) FROM qt",
+    ).collect()
+    assert sorted(r["v"] for r in out) == [10.0, 10.0, 15.0, 20.0, 20.0]

@@ -11,6 +11,7 @@ plan shape) — this one reads the runtime counters.
 
 Usage:
     PYTHONPATH=/root/repo python tools/shuffle_audit.py [small_sf big_sf]
+        [--names q1,q2,...]   # default: the bench HEADLINE set
 
 Prints one JSON line per query:
   {"query": ..., "sf_small": .., "sf_big": ..,
@@ -70,13 +71,19 @@ def main() -> int:
     from fbs_data_pipelines_spark import get_spark
     from fbs_data_pipelines_spark.caching import release_cache
 
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = sys.argv[1:]
+    names = list(HEADLINE)
+    if "--names" in args:
+        i = args.index("--names")
+        names = args[i + 1].split(",")
+        del args[i : i + 2]
+    small = args[0] if args else "/root/testdata/sf0.01"
+    big = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="shuffle-audit")
     queries = entry_mod.queries()
 
     bad = []
-    for name in HEADLINE:
+    for name in names:
         stats = []
         for sf_dir in (small, big):
             df = queries[name](spark, sf_dir)

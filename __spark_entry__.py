@@ -3617,6 +3617,22 @@ def q_knn_join(spark, sf_dir):
     return ann_knn_join(e, e, k=3, num_planes=6, probe_flips=1)
 
 
+def q_ohlc(spark, sf_dir):
+    """Hypertable OHLC downsampling (operators/timeseries.py — the
+    summarizing half of the gapfill pair): hourly candlesticks per
+    event_type over the sparse event subset. ONE map-side-combined
+    shuffle; open/close via min_by/max_by over struct(ts, value)
+    (deterministic tie rules), high/low/n plain aggregates; values
+    pass through untouched so the oracle (rank-1 window replay)
+    matches exactly; bucket stringified at the edge."""
+    from fbs_data_pipelines_spark.operators.timeseries import ohlc
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    return ohlc(e, ["event_type"], "ts", "value", 3600).withColumn(
+        "bucket", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
 def q_sql_star_modifiers(spark, sf_dir):
     """DuckDB star-modifier dialect (`* EXCLUDE (…) REPLACE (… AS c)`)
     composed with QUALIFY through the combined front door
@@ -3709,15 +3725,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quantization codes instead of float vectors with a broadcast
     # join-back for the exact rerank, and ann_ivf/ann_ivf_nprobe pick
     # centroids via a narrow literal-argmax instead of a corpus-wide
-    # groupBy+join. Then the four queries NEW this round (sql_qualify
-    # — the QUALIFY-dialect front door, oracle = DuckDB running the
-    # identical statement natively; skew_stats — join-key heavy-
-    # hitter diagnostics; winsorize — per-group exact-percentile
-    # clamping; knn_join — corpus-to-corpus LSH k-NN join), the
-    # whole age-3 evidence tail (15 r6-era keys), and the 25 oldest
-    # age-2 (r7-era) keys. The 24 remaining r7-era keys
-    # (paragraph_dedup … incremental_join, marked below) head the
-    # r11 window.
+    # groupBy+join. Then the seven queries NEW this round
+    # (sql_qualify — the QUALIFY-dialect front door, oracle = DuckDB
+    # running the identical statement natively; skew_stats — join-key
+    # heavy-hitter diagnostics; winsorize — per-group
+    # exact-percentile clamping; knn_join — corpus-to-corpus LSH
+    # k-NN join; bucketed_join — save_bucketed zero-shuffle join;
+    # sql_star_modifiers — DuckDB * EXCLUDE/REPLACE dialect; ohlc —
+    # hypertable candlestick downsampling), the whole age-3 evidence
+    # tail (15 r6-era keys), and the 22 oldest age-2 (r7-era) keys.
+    # The 27 remaining r7-era keys (train_split … incremental_join,
+    # marked below) head the r11 window.
     return {
         # ==== driver gate window: r10 rotation (50 entries) ============
         # --- slot 1: the r9 red row, fixed this round (stringified
@@ -3737,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "bucketed_join": q_bucketed_join,
         "sql_star_modifiers": q_sql_star_modifiers,
+        "ohlc": q_ohlc,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -3776,9 +3795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "collocations": q_collocations,
         "chunk_documents": q_chunk_documents,
-        "train_split": q_train_split,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "train_split": q_train_split,
         "sample_exact_k": q_sample_exact_k,
         "mixture_interleave": q_mixture_interleave,
         "paragraph_dedup": q_paragraph_dedup,
@@ -7434,6 +7453,35 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 3
+    """
+
+    # ohlc: rank-1 window replay of min_by/max_by(struct(ts, value))
+    # — earliest row (ties -> smaller value) opens, latest (ties ->
+    # larger value) closes; values pass through untouched
+    sql["ohlc"] = """
+        WITH base AS (
+            SELECT event_type,
+                   to_timestamp((CAST(epoch(ts) AS BIGINT) // 3600)
+                                * 3600) AS bucket,
+                   ts, value
+            FROM events WHERE user_id % 97 = 0
+        ), ranked AS (
+            SELECT event_type, bucket, value,
+                   row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts ASC, value ASC) AS ra,
+                   row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, value DESC) AS rd
+            FROM base
+        )
+        SELECT event_type,
+               strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               max(CASE WHEN ra = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rd = 1 THEN value END) AS close,
+               count(*) AS n
+        FROM ranked
+        GROUP BY event_type, bucket
     """
 
     # sql_star_modifiers: DuckDB's own dialect on both sides — the

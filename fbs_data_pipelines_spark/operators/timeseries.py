@@ -180,3 +180,41 @@ def gapfill(
         lerp.alias("value_lerp"),
         "is_gap",
     )
+
+
+def ohlc(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Per-bucket open/high/low/close downsampling — the other half
+    of the hypertable pair (gapfill densifies, OHLC summarizes; the
+    classic ``candlestick`` rollup for any metric stream, not just
+    prices). ONE map-side-combined shuffle: open/close are ``min_by``
+    / ``max_by`` over struct(ts, value) (earliest row wins open,
+    latest wins close; exact ts ties break toward the smaller /
+    larger value respectively, so the result is deterministic on any
+    row layout), high/low/n are plain aggregates. Values pass
+    through UNTOUCHED (no arithmetic, no rounding) — cross-engine
+    exact. Output: (group…, bucket, open, high, low, close, n)."""
+    gcols = list(group_cols)
+    v = F.col("__v")
+    key = F.struct(F.col("__ts"), v)
+    return (
+        df.select(
+            *gcols,
+            time_bucket(ts_col, step_seconds).alias("bucket"),
+            F.col(ts_col).alias("__ts"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy(*gcols, "bucket")
+        .agg(
+            F.min_by(v, key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, key).alias("close"),
+            F.count("*").alias("n"),
+        )
+    )

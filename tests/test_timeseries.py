@@ -166,3 +166,36 @@ def test_gapfill_one_sided_and_degenerate_range(spark):
         gapfill(df, ["g"], "ts", "value", 3600,
                 start=dt.datetime(2024, 1, 2)).count() == 0
     )
+
+
+def test_ohlc_buckets_and_tie_rules(spark):
+    from fbs_data_pipelines_spark.operators.timeseries import ohlc
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # hour 0: open=10 (earliest), close=5 (latest), high=30, low=5
+        ("g", base + dt.timedelta(minutes=0), 10.0),
+        ("g", base + dt.timedelta(minutes=20), 30.0),
+        ("g", base + dt.timedelta(minutes=50), 5.0),
+        # hour 1: ts TIE at minute 0 — open takes the smaller value,
+        # close the larger (both rows share the extreme timestamp)
+        ("g", base + dt.timedelta(hours=1), 7.0),
+        ("g", base + dt.timedelta(hours=1), 3.0),
+        # other group, single row: open=high=low=close
+        ("h", base, 42.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = {
+        (r["g"], r["bucket"].hour): r
+        for r in ohlc(df, ["g"], "ts", "value", 3600).collect()
+    }
+    g0 = out[("g", 0)]
+    assert (g0["open"], g0["high"], g0["low"], g0["close"], g0["n"]) == (
+        10.0, 30.0, 5.0, 5.0, 3,
+    )
+    g1 = out[("g", 1)]
+    assert (g1["open"], g1["close"]) == (3.0, 7.0)
+    h = out[("h", 0)]
+    assert (h["open"], h["high"], h["low"], h["close"], h["n"]) == (
+        42.0, 42.0, 42.0, 42.0, 1,
+    )

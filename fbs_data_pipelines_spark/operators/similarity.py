@@ -905,6 +905,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     n_rows: int | None = None,
     refine_iters: int = 0,
+    train_fraction: float | None = None,
 ) -> list:
     """Product-quantization codebooks from the deterministic IVF seed
     rule (``ivf_centroids``): codebook[s][j] is subspace s's slice of
@@ -921,8 +922,12 @@ def pq_codebooks(
     num_subspaces·num_codes·subdim control-plane rows back to the
     driver (e.g. 8·32·8 = 2048). Empty codes keep their previous
     entry; first-min tie-break; fixed iteration count — still fully
-    deterministic (at 100 TB you would train on a sample; the
-    encode/ADC machinery is identical either way)."""
+    deterministic. ``train_fraction`` trains the refinement on a
+    deterministic md5-bucket sample of the corpus (the portable
+    hash-mod rule every sampling operator uses) — the 100 TB shape:
+    codebook quality converges long before the full corpus is seen,
+    so the refinement passes scan a fraction while ENCODE still
+    covers every row; same-fraction runs reproduce bit-for-bit."""
     sub = dim // num_subspaces
     rows = sorted(
         ivf_centroids(
@@ -939,6 +944,15 @@ def pq_codebooks(
     ]
     vecd = F.col(vec_col).cast("array<double>")
     idxs = F.sequence(F.lit(0), F.lit(num_codes - 1))
+    train = corpus
+    if train_fraction is not None and refine_iters:
+        from fbs_data_pipelines_spark.operators.sampling import (
+            deterministic_sample,
+        )
+
+        train = deterministic_sample(
+            corpus, id_col, train_fraction, salt="pq-train"
+        )
     for _ in range(refine_iters):
         entries = []
         for s in range(num_subspaces):
@@ -970,7 +984,7 @@ def pq_codebooks(
                 )
             )
         agg = (
-            corpus.select(F.explode(F.array(*entries)).alias("e"))
+            train.select(F.explode(F.array(*entries)).alias("e"))
             .select(
                 F.col("e.s").alias("s"),
                 F.col("e.c").alias("c"),
@@ -1364,15 +1378,33 @@ def ann_topk_ivfpq(
     )
 
 
+def _auto_planes(n_rows: int, target_bucket_size: int) -> int:
+    """Plane count so the expected LSH bucket holds about
+    ``target_bucket_size`` vectors: 2^planes ≈ n/target. The per-
+    bucket pair cost is what the join pays — a FIXED plane count
+    that is right at 500 rows is catastrophically coarse at 5e9, so
+    the dial must move with the corpus. Clamped to [1, 40] (the
+    bucket id is a bigint; 2^40 buckets is past any real corpus)."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return 1
+    return max(
+        1, min(40, math.ceil(math.log2(n_rows / target_bucket_size)))
+    )
+
+
 def ann_knn_join(
     left: DataFrame,
     right: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 6,
+    num_planes: int | None = 6,
     dim: int = 64,
     probe_flips: int = 1,
+    target_bucket_size: int = 64,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs k-NN JOIN: every LEFT row gets its top-``k`` nearest
     RIGHT rows by cosine. Unlike the ``ann_topk_*`` family (a handful
@@ -1390,8 +1422,18 @@ def ann_knn_join(
     triples only. Left rows whose probed buckets hold no neighbors
     produce no output rows (standard LSH-join semantics); self-pairs
     (same id) are excluded. Returns (id, neighbor_id, sim, rank).
+
+    ``num_planes=None`` sizes the bucket space from the RIGHT side's
+    row count (``n_rows`` skips the sizing count when known):
+    2^planes ≈ n/target_bucket_size, so per-bucket pair cost stays
+    bounded as the corpus grows instead of being pinned by a
+    fixed-resolution bucket space.
     """
     from fbs_data_pipelines_spark.functions.vectors import dot_product, l2_norm
+
+    if num_planes is None:
+        n = n_rows if n_rows is not None else right.count()
+        num_planes = _auto_planes(n, target_bucket_size)
 
     r = lsh_bucket(
         right.select(

@@ -97,3 +97,57 @@ def test_ann_knn_join_no_self_pairs_and_rank_shape(spark, sf_dir):
     for ranks in per.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 2
+
+
+def test_auto_planes_scales_with_corpus():
+    from fbs_data_pipelines_spark.operators.similarity import _auto_planes
+
+    assert _auto_planes(50, 64) == 1       # tiny corpus: one split
+    assert _auto_planes(500, 64) == 3      # 2^3 = 8 buckets of ~64
+    assert _auto_planes(64_000, 64) == 10
+    assert _auto_planes(5_000_000_000, 64) == 27
+    assert _auto_planes(10**18, 64) == 40  # clamped
+
+
+def test_knn_join_auto_planes_end_to_end(spark, sf_dir):
+    from fbs_data_pipelines_spark.operators.similarity import ann_knn_join
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann_knn_join(e, e, k=2, num_planes=None,
+                       target_bucket_size=64).collect()
+    assert all(r["vec_id"] != r["neighbor_id"] for r in out)
+    assert max(r["rank"] for r in out) <= 2
+
+
+def test_pq_train_fraction_deterministic_and_effective(spark, sf_dir):
+    """Sampled refinement: same fraction reproduces bit-for-bit,
+    and even a half-corpus refinement still beats the unrefined
+    seed-rule codebooks on full-corpus distortion."""
+    from fbs_data_pipelines_spark.operators.similarity import pq_codebooks
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(num_codes=16, num_subspaces=8, dim=64)
+    half = pq_codebooks(e, **kw, refine_iters=1, train_fraction=0.5)
+    assert half == pq_codebooks(e, **kw, refine_iters=1,
+                                train_fraction=0.5)
+    seed = pq_codebooks(e, **kw)
+    full = pq_codebooks(e, **kw, refine_iters=1)
+    assert half != seed and half != full
+
+    vecs = [
+        [float(x) for x in r["embedding"]]
+        for r in e.select("embedding").collect()
+    ]
+
+    def distortion(cb):
+        tot = 0.0
+        for v in vecs:
+            for s in range(8):
+                sl = v[s * 8 : (s + 1) * 8]
+                tot += min(
+                    sum((a - b) ** 2 for a, b in zip(sl, c))
+                    for c in cb[s]
+                )
+        return tot
+
+    assert distortion(half) < distortion(seed)

@@ -1202,6 +1202,7 @@ def ann_topk_ivfpq(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     refine_iters: int = 0,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFPQ composition): the coarse quantizer
     routes every corpus vector into ONE inverted list and each query
@@ -1214,14 +1215,75 @@ def ann_topk_ivfpq(
     the 100 TB memory-bandwidth story. Both quantizers are seed-rule
     deterministic, so the DuckDB oracle reproduces list assignment,
     codes, ADC scores, and the final ranking. Output shape matches
-    the other ``ann_topk_*`` operators; sims are exact cosines."""
+    the other ``ann_topk_*`` operators; sims are exact cosines.
+
+    ``residual=True`` is the FAISS-faithful refinement: codebooks are
+    trained on and codes encode the RESIDUAL r = x − centroid(x)
+    (residuals are far more concentrated than raw vectors, so the
+    same code budget quantizes them with less error). The candidate
+    relation is unchanged — (id, codes, centroid_id) — because the
+    reconstruction x̂ = centroid + r̂ decomposes into control-plane
+    lookups: q·x̂ = q·centroid (per probed (query, centroid) pair,
+    computed on the broadcast side) + q·r̂ (the same ADC tables, now
+    against residual codebooks), and ‖x̂‖² = ‖centroid‖² +
+    2·centroid·r̂ + ‖r̂‖² where centroid·r̂ is a precomputed
+    (centroid, subspace, code) literal table. Still fully
+    deterministic; rerank exactness is untouched."""
     from fbs_data_pipelines_spark.caching import CacheScope
 
     sub = dim // num_subspaces
-    cb = pq_codebooks(
-        corpus, num_codes, num_subspaces, dim, id_col, vec_col,
-        refine_iters=refine_iters,
+    vecd = F.col(vec_col).cast("array<double>")
+    idxs = F.sequence(F.lit(0), F.lit(num_codes - 1))
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+        )
+
+    scope = CacheScope()
+    cents = scope.persist(
+        ivf_centroids(corpus, num_centroids, id_col, vec_col)
     )
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        cents,
+        "neighbor_id",
+        vec_col,
+    )
+    if residual:
+        cent_rows = sorted(
+            cents.collect(), key=lambda r: r["centroid_id"]
+        )
+        cent_vecs = [
+            [float(x) for x in r["centroid_vec"]] for r in cent_rows
+        ]
+        cent_lit = F.array(
+            *[F.array(*[F.lit(x) for x in cv]) for cv in cent_vecs]
+        )
+        cnorm2_lit = F.array(
+            *[F.lit(sum(x * x for x in cv)) for cv in cent_vecs]
+        )
+
+        def res_of(vec_expr, cid_col):
+            return F.zip_with(
+                vec_expr,
+                F.element_at(cent_lit, cid_col + 1),
+                lambda a, b: a - b,
+            )
+
+        train = assigned.select(
+            "neighbor_id",
+            res_of(vecd, F.col("centroid_id")).alias("__res"),
+        )
+        cb = pq_codebooks(
+            train, num_codes, num_subspaces, dim, "neighbor_id",
+            "__res", refine_iters=refine_iters,
+        )
+    else:
+        cb = pq_codebooks(
+            corpus, num_codes, num_subspaces, dim, id_col, vec_col,
+            refine_iters=refine_iters,
+        )
     cb_norm2 = [
         [sum(x * x for x in cb[s][j]) for j in range(num_codes)]
         for s in range(num_subspaces)
@@ -1235,11 +1297,9 @@ def ann_topk_ivfpq(
         )
         for s in range(num_subspaces)
     ]
-    idxs = F.sequence(F.lit(0), F.lit(num_codes - 1))
-    vecd = F.col(vec_col).cast("array<double>")
 
-    def codes(col: str):
-        v = F.col(col).cast("array<double>")
+    def codes(v):
+        v = v.cast("array<double>")
         out = []
         for s in range(num_subspaces):
             sl = F.slice(v, s * sub + 1, sub)
@@ -1259,26 +1319,15 @@ def ann_topk_ivfpq(
             out.append(F.array_min(cand)["j"])
         return F.array(*out)
 
-    def norm(c):
-        return F.sqrt(
-            F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
-        )
-
-    scope = CacheScope()
-    cents = scope.persist(
-        ivf_centroids(corpus, num_centroids, id_col, vec_col)
-    )
     # candidate relation: (id, codes, centroid_id) ONLY — IVF bounds
     # the rows, PQ bounds the bytes, and the floats must not ride
     # the probed-list exchange (r9 judge directive #3)
-    c = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
-        cents,
+    enc = (
+        res_of(vecd, F.col("centroid_id")) if residual else vecd
+    )
+    c = assigned.select(
         "neighbor_id",
-        vec_col,
-    ).select(
-        "neighbor_id",
-        codes(vec_col).alias("__codes"),
+        codes(enc).alias("__codes"),
         "centroid_id",
     )
     qcols = [F.col(query_id_col), vecd.alias("__qvec")]
@@ -1301,6 +1350,21 @@ def ann_topk_ivfpq(
         "__qvec",
         n=nprobe,
     )
+    if residual:
+        # q·centroid per probed (query, centroid) pair — nprobe rows
+        # per query on the broadcast side, never the candidate stage
+        q = q.withColumn(
+            "__qc",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qvec"),
+                    F.element_at(cent_lit, F.col("centroid_id") + 1),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
     # probed-list join: only pairs whose corpus list is among the
     # query's nprobe lists exist — lists are disjoint, so a pair
     # appears at most once
@@ -1326,8 +1390,58 @@ def ann_topk_ivfpq(
             for s in range(num_subspaces)
         ],
     )
-    denom = F.col("__qn") * F.sqrt(rnorm2)
-    approx = F.when(denom == 0, F.lit(None)).otherwise(adc / denom)
+    if residual:
+        # centroid·r̂: (centroid, subspace, code) control-plane table
+        cent_cb = F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(
+                            *[
+                                F.lit(
+                                    sum(
+                                        a * b
+                                        for a, b in zip(
+                                            cv[s * sub : (s + 1) * sub],
+                                            cb[s][j],
+                                        )
+                                    )
+                                )
+                                for j in range(num_codes)
+                            ]
+                        )
+                        for s in range(num_subspaces)
+                    ]
+                )
+                for cv in cent_vecs
+            ]
+        )
+        cdot = reduce(
+            lambda a, b: a + b,
+            [
+                F.element_at(
+                    F.element_at(
+                        F.element_at(cent_cb, F.col("centroid_id") + 1),
+                        s + 1,
+                    ),
+                    F.col("__codes").getItem(s) + 1,
+                )
+                for s in range(num_subspaces)
+            ],
+        )
+        recon_norm2 = (
+            F.element_at(cnorm2_lit, F.col("centroid_id") + 1)
+            + F.lit(2.0) * cdot
+            + rnorm2
+        )
+        numer = F.col("__qc") + adc
+        denom = F.col("__qn") * F.sqrt(
+            F.greatest(recon_norm2, F.lit(0.0))
+        )
+    else:
+        numer = adc
+        denom = F.col("__qn") * F.sqrt(rnorm2)
+    approx = F.when(denom == 0, F.lit(None)).otherwise(numer / denom)
     scored = joined.select(
         F.col(query_id_col),
         "neighbor_id",

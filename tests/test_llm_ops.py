@@ -631,3 +631,37 @@ def test_ann_ivfpq_composition_bounds(spark, sf_dir):
                     num_subspaces=8)
     )
     assert full == pq
+
+
+def test_ann_ivfpq_residual_exact_rerank_and_determinism(spark, sf_dir):
+    """Residual IVF-PQ (FAISS-faithful): sims are still EXACT cosines
+    (the rerank stage is untouched by the encoding change), output
+    shape/cardinality match, and the whole path is deterministic."""
+    from fbs_data_pipelines_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivfpq,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf_all = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ann_topk_bruteforce(e, queries, k=100).collect()
+    }
+
+    def run():
+        return {
+            (r["query_id"], r["neighbor_id"]): (r["sim"], r["rank"])
+            for r in ann_topk_ivfpq(
+                e, queries, k=5, rerank=50, nprobe=4, residual=True
+            ).collect()
+        }
+
+    got = run()
+    assert got == run()  # deterministic
+    assert len(got) == 25
+    for pair, (sim, _) in got.items():
+        if pair in bf_all:
+            assert sim == bf_all[pair]

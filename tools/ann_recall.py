@@ -109,17 +109,20 @@ def main() -> int:
                  "recall_at_k": round(r, 4), "n_queries": len(exact)}
             )
     for nprobe in (2, 4, 8):
-        r = recall(
-            topk_sets(
-                ann_topk_ivfpq(emb, queries, k=k, rerank=10 * k,
-                               nprobe=nprobe, num_codes=32,
-                               num_subspaces=8)
+        for residual in (False, True):
+            r = recall(
+                topk_sets(
+                    ann_topk_ivfpq(emb, queries, k=k, rerank=10 * k,
+                                   nprobe=nprobe, num_codes=32,
+                                   num_subspaces=8, residual=residual)
+                )
             )
-        )
-        results.append(
-            {"method": f"ivfpq_nprobe={nprobe}_rerank={10 * k}", "k": k,
-             "recall_at_k": round(r, 4), "n_queries": len(exact)}
-        )
+            tag = "res" if residual else "raw"
+            results.append(
+                {"method": f"ivfpq_nprobe={nprobe}_rerank={10 * k}_{tag}",
+                 "k": k, "recall_at_k": round(r, 4),
+                 "n_queries": len(exact)}
+            )
     for row in results:
         print(json.dumps(row))
     return 0

@@ -3617,6 +3617,57 @@ def q_knn_join(spark, sf_dir):
     return ann_knn_join(e, e, k=3, num_planes=6, probe_flips=1)
 
 
+def q_time_travel(spark, sf_dir):
+    """Time-travel SQL front door (sql_qualify.sql_time_travel — the
+    Delta/Iceberg `FROM t VERSION AS OF n` idiom over the engine's
+    VersionedTable): three deterministic commits rebuilt per run in
+    a scratch dir (base prices → 10% repricing of every 3rd order →
+    retirement of every 7th), then ONE statement joins the v1
+    snapshot against the latest through the dialect syntax and
+    aggregates the per-priority repricing drift of surviving
+    orders. Plain name = latest; snapshots are immutable dirs, so
+    concurrent commits cannot shear the query. Oracle replays the
+    three commit states relationally."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+    from fbs_data_pipelines_spark.sql_qualify import sql_time_travel
+
+    path = _os.path.join(_tf.gettempdir(), "fbs_q_time_travel")
+    _sh.rmtree(path, ignore_errors=True)
+    vt = VersionedTable(spark, path)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 60)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    v1 = vt.commit(base)
+    repriced = base.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            round_half_up(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    vt.commit(repriced)
+    vt.commit(repriced.filter(F.col("o_orderkey") % 7 != 0))
+    return sql_time_travel(
+        spark,
+        f"""
+        SELECT b.o_orderpriority,
+               count(*) AS n,
+               CAST(floor(sum(b.o_totalprice - a.o_totalprice)
+                          * 100.0 + 0.5) / 100.0 AS DOUBLE) AS drift
+        FROM tt_orders VERSION AS OF {v1} a
+        JOIN tt_orders b ON a.o_orderkey = b.o_orderkey
+        GROUP BY b.o_orderpriority
+        """,
+        {"tt_orders": vt},
+    )
+
+
 def q_ohlc(spark, sf_dir):
     """Hypertable OHLC downsampling (operators/timeseries.py — the
     summarizing half of the gapfill pair): hourly candlesticks per
@@ -3725,17 +3776,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quantization codes instead of float vectors with a broadcast
     # join-back for the exact rerank, and ann_ivf/ann_ivf_nprobe pick
     # centroids via a narrow literal-argmax instead of a corpus-wide
-    # groupBy+join. Then the seven queries NEW this round
+    # groupBy+join. Then the eight queries NEW this round
     # (sql_qualify — the QUALIFY-dialect front door, oracle = DuckDB
     # running the identical statement natively; skew_stats — join-key
     # heavy-hitter diagnostics; winsorize — per-group
     # exact-percentile clamping; knn_join — corpus-to-corpus LSH
     # k-NN join; bucketed_join — save_bucketed zero-shuffle join;
     # sql_star_modifiers — DuckDB * EXCLUDE/REPLACE dialect; ohlc —
-    # hypertable candlestick downsampling), the whole age-3 evidence
-    # tail (15 r6-era keys), and the 22 oldest age-2 (r7-era) keys.
-    # The 27 remaining r7-era keys (train_split … incremental_join,
-    # marked below) head the r11 window.
+    # hypertable candlestick downsampling; time_travel — the
+    # `VERSION AS OF` front door over VersionedTable), the whole
+    # age-3 evidence tail (15 r6-era keys), and the 21 oldest age-2
+    # (r7-era) keys. The 28 remaining r7-era keys (chunk_documents …
+    # incremental_join, marked below) head the r11 window.
     return {
         # ==== driver gate window: r10 rotation (50 entries) ============
         # --- slot 1: the r9 red row, fixed this round (stringified
@@ -3756,6 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "sql_star_modifiers": q_sql_star_modifiers,
         "ohlc": q_ohlc,
+        "time_travel": q_time_travel,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -3794,9 +3847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "token_entropy": q_token_entropy,
         "collocations": q_collocations,
-        "chunk_documents": q_chunk_documents,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "chunk_documents": q_chunk_documents,
         "train_split": q_train_split,
         "sample_exact_k": q_sample_exact_k,
         "mixture_interleave": q_mixture_interleave,
@@ -7453,6 +7506,31 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 3
+    """
+
+    # time_travel: the three commit states replayed relationally —
+    # base, reprice every 3rd, retire every 7th; drift aggregated
+    # between snapshot 1 and latest
+    sql["time_travel"] = """
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders WHERE o_custkey <= 60
+        ), rep AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN floor(o_totalprice * 1.1 * 100.0 + 0.5)
+                             / 100.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM base
+        ), v3 AS (
+            SELECT * FROM rep WHERE o_orderkey % 7 <> 0
+        )
+        SELECT b.o_orderpriority,
+               count(*) AS n,
+               floor(sum(b.o_totalprice - a.o_totalprice)
+                     * 100.0 + 0.5) / 100.0 AS drift
+        FROM base a JOIN v3 b ON a.o_orderkey = b.o_orderkey
+        GROUP BY b.o_orderpriority
     """
 
     # ohlc: rank-1 window replay of min_by/max_by(struct(ts, value))

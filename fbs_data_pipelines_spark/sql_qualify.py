@@ -283,3 +283,49 @@ def sql_dialect(spark: SparkSession, statement: str) -> DataFrame:
     — the two compose (a QUALIFY filter over a modified star list is
     the idiomatic DuckDB top-n-per-group-with-projection shape)."""
     return sql_qualify(spark, expand_star_modifiers(spark, statement))
+
+
+def _inside_quotes(text: str, idx: int) -> bool:
+    """True when position ``idx`` falls inside a string literal."""
+    quote = None
+    for ch in text[:idx]:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+    return quote is not None
+
+
+def sql_time_travel(spark: SparkSession, statement: str, tables) -> DataFrame:
+    """Delta/Iceberg-style time-travel SQL over the engine's
+    VersionedTable: ``FROM <name> VERSION AS OF <n>`` (optional
+    ``FOR`` prefix, any casing) resolves to the table's immutable
+    snapshot ``n``; a plain ``<name>`` reference resolves to the
+    LATEST version. ``tables`` maps names to ``VersionedTable``
+    instances. Each distinct (name, version) registers one temp view
+    over ``vt.read(version)`` — snapshot reads scan immutable
+    directories, so concurrent commits cannot shear the query. The
+    rewritten text then flows through ``sql_dialect`` (star
+    modifiers + QUALIFY compose with time travel). Quote-aware:
+    a string literal containing 'VERSION AS OF' never rewrites."""
+    out = statement
+    for name, vt in tables.items():
+        vt.read().createOrReplaceTempView(name)
+        pattern = re.compile(
+            rf"\b{re.escape(name)}\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)",
+            re.IGNORECASE,
+        )
+        pieces, last = [], 0
+        for m in pattern.finditer(out):
+            if _inside_quotes(out, m.start()):
+                continue
+            version = int(m.group(1))
+            view = f"__{name}_v{version}"
+            vt.read(version).createOrReplaceTempView(view)
+            pieces.append(out[last : m.start()])
+            pieces.append(view)
+            last = m.end()
+        pieces.append(out[last:])
+        out = "".join(pieces)
+    return sql_dialect(spark, out)

@@ -167,3 +167,50 @@ def test_star_replace_expr_with_commas_and_parens(spark, t):
         "REPLACE (least(greatest(v, 10.0), 20.0) AS v) FROM qt",
     ).collect()
     assert sorted(r["v"] for r in out) == [10.0, 10.0, 15.0, 20.0, 20.0]
+
+
+def test_time_travel_version_as_of(spark, tmp_path):
+    from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+    from fbs_data_pipelines_spark.sql_qualify import sql_time_travel
+
+    vt = VersionedTable(spark, str(tmp_path / "tt"))
+    v1 = vt.commit(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id int, v double"))
+    v2 = vt.commit(spark.createDataFrame(
+        [(1, 11.0), (3, 30.0)], "id int, v double"))
+    # plain name = latest; VERSION AS OF pins the snapshot
+    out = sql_time_travel(
+        spark,
+        f"""
+        SELECT a.id, a.v AS v_old, b.v AS v_new
+        FROM tt VERSION AS OF {v1} a JOIN tt b ON a.id = b.id
+        """,
+        {"tt": vt},
+    ).collect()
+    assert [(r["id"], r["v_old"], r["v_new"]) for r in out] == [
+        (1, 10.0, 11.0)
+    ]
+    # FOR VERSION AS OF spelling + compose with QUALIFY
+    out2 = sql_time_travel(
+        spark,
+        f"""
+        SELECT id, v FROM tt FOR VERSION AS OF {v2}
+        QUALIFY row_number() OVER (ORDER BY v DESC) = 1
+        """,
+        {"tt": vt},
+    ).collect()
+    assert [(r["id"], r["v"]) for r in out2] == [(3, 30.0)]
+
+
+def test_time_travel_quoted_literal_untouched(spark, tmp_path):
+    from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+    from fbs_data_pipelines_spark.sql_qualify import sql_time_travel
+
+    vt = VersionedTable(spark, str(tmp_path / "tt2"))
+    vt.commit(spark.createDataFrame([(1,)], "id int"))
+    out = sql_time_travel(
+        spark,
+        "SELECT id, 'tt2 VERSION AS OF 9' AS s FROM tt2",
+        {"tt2": vt},
+    ).collect()
+    assert out[0]["s"] == "tt2 VERSION AS OF 9"

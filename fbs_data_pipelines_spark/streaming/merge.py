@@ -326,3 +326,51 @@ def stream_static_enrich(
     """
     keys = [on] if isinstance(on, str) else list(on)
     return stream.join(F.broadcast(dim), keys, how)
+
+
+def windowed_ohlc(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window OHLC — the streaming twin of
+    ``operators/timeseries.ohlc`` (works on both batch and streaming
+    DataFrames). ``min_by``/``max_by`` over struct(ts, value) are
+    ORDER-INSENSITIVE aggregates, so the candlestick is exact under
+    any micro-batch arrival order: whatever interleaving the stream
+    delivers, the earliest-row open and latest-row close win (same
+    tie rules as the batch operator — exact-ts ties break toward the
+    smaller value for open, larger for close). Late rows beyond the
+    watermark are dropped in streaming mode; values pass through
+    untouched."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    v = F.col(value_col)
+    key = F.struct(F.col(ts_col), v)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.col(group_col),
+        )
+        .agg(
+            F.min_by(v, key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, key).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            group_col,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )

@@ -1490,3 +1490,48 @@ def test_sample_video_frames_stride_and_err(spark):
     )
     assert by_id[2][0]["err"].startswith("!")
     assert by_id[2][0]["frame"] is None
+
+
+def test_windowed_ohlc_streaming_matches_batch(spark):
+    from fbs_data_pipelines_spark.streaming.merge import windowed_ohlc
+
+    tmp = tempfile.mkdtemp(prefix="ohlc_stream_")
+    data = spark.range(0, 600).select(
+        (F.timestamp_seconds(F.lit(1700000000) + F.col("id"))).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("event_type"),
+        ((F.col("id") * 37) % 101).cast("double").alias("value"),
+    )
+    data.write.parquet(f"{tmp}/events")
+    # batch reference over the SAME windows
+    ref = {
+        (r["window_start"], r["event_type"]):
+            (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in windowed_ohlc(
+            spark.read.parquet(f"{tmp}/events"),
+            window_duration="1 minute",
+        ).collect()
+    }
+    src = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(f"{tmp}/events")
+    ohlc = windowed_ohlc(src, window_duration="1 minute",
+                         watermark="10 seconds")
+    assert ohlc.isStreaming
+    q = (
+        ohlc.writeStream.format("memory")
+        .queryName("ohlc_stream_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"], r["event_type"]):
+            (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in spark.sql("SELECT * FROM ohlc_stream_test").collect()
+    }
+    # complete-mode streaming result == batch result, window for window
+    assert got == ref and len(ref) > 0
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -3617,6 +3617,28 @@ def q_knn_join(spark, sf_dir):
     return ann_knn_join(e, e, k=3, num_planes=6, probe_flips=1)
 
 
+def q_standardize_embeddings(spark, sf_dir):
+    """Per-dimension z-score normalization
+    (functions/vectors.standardize_embeddings): dim stats are ONE
+    posexplode aggregate (64 control-plane rows, the SQ8 grid
+    pattern) baked as literals; the normalization is a narrow
+    zip_with — no corpus shuffle. Elements rounded to 6dp at the
+    edge; the oracle replays unnest + per-dim stats + the identical
+    CASE/round arithmetic."""
+    from fbs_data_pipelines_spark.functions.vectors import (
+        standardize_embeddings,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    z = standardize_embeddings(e, "vec_id", "embedding")
+    return z.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding_z"), lambda x: round_half_up(x, 6)
+        ).alias("zvec"),
+    )
+
+
 def q_time_travel(spark, sf_dir):
     """Time-travel SQL front door (sql_qualify.sql_time_travel — the
     Delta/Iceberg `FROM t VERSION AS OF n` idiom over the engine's
@@ -3776,7 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quantization codes instead of float vectors with a broadcast
     # join-back for the exact rerank, and ann_ivf/ann_ivf_nprobe pick
     # centroids via a narrow literal-argmax instead of a corpus-wide
-    # groupBy+join. Then the eight queries NEW this round
+    # groupBy+join. Then the nine queries NEW this round
     # (sql_qualify — the QUALIFY-dialect front door, oracle = DuckDB
     # running the identical statement natively; skew_stats — join-key
     # heavy-hitter diagnostics; winsorize — per-group
@@ -3784,10 +3806,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # k-NN join; bucketed_join — save_bucketed zero-shuffle join;
     # sql_star_modifiers — DuckDB * EXCLUDE/REPLACE dialect; ohlc —
     # hypertable candlestick downsampling; time_travel — the
-    # `VERSION AS OF` front door over VersionedTable), the whole
-    # age-3 evidence tail (15 r6-era keys), and the 21 oldest age-2
-    # (r7-era) keys. The 28 remaining r7-era keys (chunk_documents …
-    # incremental_join, marked below) head the r11 window.
+    # `VERSION AS OF` front door over VersionedTable;
+    # standardize_embeddings — per-dim z-score preconditioning), the
+    # whole age-3 evidence tail (15 r6-era keys), and the 20 oldest
+    # age-2 (r7-era) keys. The 29 remaining r7-era keys
+    # (collocations … incremental_join, marked below) head the r11
+    # window.
     return {
         # ==== driver gate window: r10 rotation (50 entries) ============
         # --- slot 1: the r9 red row, fixed this round (stringified
@@ -3809,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_star_modifiers": q_sql_star_modifiers,
         "ohlc": q_ohlc,
         "time_travel": q_time_travel,
+        "standardize_embeddings": q_standardize_embeddings,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -3846,9 +3871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram": q_top_ngram,
         "corpus_stats": q_corpus_stats,
         "token_entropy": q_token_entropy,
-        "collocations": q_collocations,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "collocations": q_collocations,
         "chunk_documents": q_chunk_documents,
         "train_split": q_train_split,
         "sample_exact_k": q_sample_exact_k,
@@ -7506,6 +7531,26 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 3
+    """
+
+    # standardize_embeddings: unnest + per-dim stats + identical
+    # CASE/round arithmetic, list re-assembled in subscript order
+    sql["standardize_embeddings"] = """
+        WITH ux AS (
+            SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), dims AS (
+            SELECT i, avg(x) AS mu, stddev_pop(x) AS sd
+            FROM ux GROUP BY i
+        )
+        SELECT ux.vec_id,
+               list(CASE WHEN dims.sd > 0
+                         THEN floor((ux.x - dims.mu) / dims.sd
+                                    * 1000000.0 + 0.5) / 1000000.0
+                         ELSE 0.0 END ORDER BY ux.i) AS zvec
+        FROM ux JOIN dims ON ux.i = dims.i
+        GROUP BY ux.vec_id
     """
 
     # time_travel: the three commit states replayed relationally —

@@ -48,3 +48,42 @@ def sign_bits(a: Column | str, planes: Column) -> Column:
         s = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
         return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
     return F.transform(planes, bit)
+
+
+def standardize_embeddings(
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+):
+    """Per-dimension z-score normalization — the preconditioning step
+    before k-means / PQ / distance workloads when dimensions carry
+    different scales (a dominant dimension otherwise owns every
+    distance). Dimension stats (mean, population std) are ONE
+    posexplode aggregate — dim-count control-plane rows, exactly the
+    SQ8 grid pattern — baked back as literal arrays; the
+    normalization itself is a narrow ``zip_with`` projection, so the
+    corpus never shuffles. Zero-variance dimensions map to 0. Adds
+    ``out_col`` (default ``{vec_col}_z``)."""
+    from pyspark.sql import functions as F
+
+    vecd = _as_double(_col(vec_col))
+    stats = (
+        df.select(F.posexplode(vecd).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.avg("x").alias("mu"),
+            F.stddev_pop("x").alias("sd"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    mu_arr = F.array(*[F.lit(float(r["mu"])) for r in stats])
+    sd_arr = F.array(*[F.lit(float(r["sd"])) for r in stats])
+    centered = F.zip_with(vecd, mu_arr, lambda x, m: x - m)
+    z = F.zip_with(
+        centered,
+        sd_arr,
+        lambda d, s: F.when(s > 0, d / s).otherwise(F.lit(0.0)),
+    )
+    return df.withColumn(out_col or f"{vec_col}_z", z)

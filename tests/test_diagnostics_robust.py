@@ -151,3 +151,25 @@ def test_pq_train_fraction_deterministic_and_effective(spark, sf_dir):
         return tot
 
     assert distortion(half) < distortion(seed)
+
+
+def test_standardize_embeddings_zscores_and_zero_variance(spark):
+    from fbs_data_pipelines_spark.functions.vectors import (
+        standardize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [3.0, 5.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["embedding_z"]
+        for r in standardize_embeddings(df).collect()
+    }
+    # dim 0: mean 3, pop std sqrt(8/3); dim 1 constant -> 0
+    import math
+    sd = math.sqrt(8 / 3)
+    assert out[1][0] == pytest.approx(-2 / sd)
+    assert out[2][0] == pytest.approx(0.0)
+    assert out[3][0] == pytest.approx(2 / sd)
+    assert [out[i][1] for i in (1, 2, 3)] == [0.0, 0.0, 0.0]

@@ -3781,6 +3781,64 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_scd2_apply(spark, sf_dir):
+    """Incremental SCD2 maintenance (operators/audit.scd2_apply —
+    the snapshot-driven counterpart of scd2_build's log-driven
+    history): an existing Type-2 customer dimension (open rows for
+    every customer + a closed LEGACY generation for every 10th)
+    receives a new full snapshot (every 4th customer repriced to
+    PROMO, every 11th gone, a NEWBIE key block added); changed keys
+    close-and-reopen at run_ts, missing keys close (full-snapshot
+    mode), history passes through. ONE full-outer join on the key;
+    the up-to-two rows per changed key are emitted in a single
+    array+filter+inline pass, so the join never executes twice.
+    String validity dates keep the comparison edge tz-free."""
+    from fbs_data_pipelines_spark.operators.audit import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    cur = c.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        F.lit("2023-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("cust_id"),
+        F.lit("LEGACY").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        F.lit("2022-01-01").alias("valid_from"),
+        F.lit("2023-01-01").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    snap = (
+        c.filter(F.col("c_custkey") % 11 != 0)
+        .select(
+            F.col("c_custkey").alias("cust_id"),
+            F.when(F.col("c_custkey") % 4 == 0, F.lit("PROMO"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 900000).alias("cust_id"),
+                F.lit("NEWBIE").alias("segment"),
+                F.col("c_nationkey").alias("nation"),
+            )
+        )
+    )
+    return scd2_apply(
+        hist.unionByName(cur),
+        snap,
+        "cust_id",
+        ["segment", "nation"],
+        "2024-01-01",
+        close_missing=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -3834,6 +3892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc": q_ohlc,
         "time_travel": q_time_travel,
         "standardize_embeddings": q_standardize_embeddings,
+        "scd2_apply": q_scd2_apply,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -3870,9 +3929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "top_ngram": q_top_ngram,
         "corpus_stats": q_corpus_stats,
-        "token_entropy": q_token_entropy,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "token_entropy": q_token_entropy,
         "collocations": q_collocations,
         "chunk_documents": q_chunk_documents,
         "train_split": q_train_split,
@@ -7630,6 +7689,58 @@ def oracle_sql() -> dict[str, str]:
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_custkey <= 100
         GROUP BY o_orderpriority
+    """
+
+    # scd2_apply: the full-outer merge replayed relationally —
+    # history UNION closed-or-kept old generations UNION opened new
+    # generations; attrs never null here so IS DISTINCT FROM mirrors
+    # the null-safe struct compare
+    sql["scd2_apply"] = """
+        WITH cur AS (
+            SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+                   c_nationkey AS nation, '2023-01-01' AS valid_from
+            FROM customer
+        ), snap AS (
+            SELECT c_custkey AS cust_id,
+                   CASE WHEN c_custkey % 4 = 0 THEN 'PROMO'
+                        ELSE c_mktsegment END AS segment,
+                   c_nationkey AS nation
+            FROM customer WHERE c_custkey % 11 <> 0
+            UNION ALL
+            SELECT c_custkey + 900000, 'NEWBIE', c_nationkey
+            FROM customer WHERE c_custkey % 13 = 0
+        ), j AS (
+            SELECT coalesce(cur.cust_id, snap.cust_id) AS cust_id,
+                   cur.segment AS cseg, cur.nation AS cnat,
+                   cur.valid_from AS vf,
+                   snap.segment AS sseg, snap.nation AS snat,
+                   cur.cust_id IS NOT NULL AS in_dim,
+                   snap.cust_id IS NOT NULL AS in_snap
+            FROM cur FULL OUTER JOIN snap
+              ON cur.cust_id = snap.cust_id
+        ), flags AS (
+            SELECT *,
+                   (in_dim AND in_snap AND
+                    (cseg IS DISTINCT FROM sseg OR
+                     cnat IS DISTINCT FROM snat)) AS changed,
+                   (in_dim AND in_snap AND
+                    (cseg IS DISTINCT FROM sseg OR
+                     cnat IS DISTINCT FROM snat))
+                   OR (in_dim AND NOT in_snap) AS closes
+            FROM j
+        )
+        SELECT c_custkey AS cust_id, 'LEGACY' AS segment,
+               c_nationkey AS nation, '2022-01-01' AS valid_from,
+               '2023-01-01' AS valid_to, FALSE AS is_current
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT cust_id, cseg, cnat, vf,
+               CASE WHEN closes THEN '2024-01-01' END,
+               NOT closes
+        FROM flags WHERE in_dim
+        UNION ALL
+        SELECT cust_id, sseg, snat, '2024-01-01', NULL, TRUE
+        FROM flags WHERE changed OR (in_snap AND NOT in_dim)
     """
 
     return sql

@@ -269,3 +269,101 @@ def snapshot_reconcile(
     return o.join(n, "__k", "full_outer").select(
         F.col("__k").alias(key_col), status.alias("status")
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key_col: str,
+    attr_cols: Sequence[str],
+    run_ts,
+    close_missing: bool = False,
+) -> DataFrame:
+    """Apply a new full snapshot to an EXISTING Type-2 dimension —
+    the incremental-maintenance counterpart of ``scd2_build`` (which
+    derives history from an event log) and the history-keeping
+    counterpart of ``merge_snapshot``'s SCD-1 (reference:
+    log_handler.py:99-128 keeps only latest state; this closes the
+    superseded version and opens a new one).
+
+    ``dim`` carries ``key_col``, ``attr_cols``, ``valid_from``,
+    ``valid_to`` (null while open) and ``is_current``; ``snapshot``
+    carries ``key_col`` + ``attr_cols``. For each key:
+
+    - attrs unchanged (null-safe struct compare) → current row kept;
+    - attrs changed → current row CLOSED at ``run_ts``, new open row
+      with the snapshot's attrs;
+    - key only in snapshot → new open row;
+    - key only in dim → closed at ``run_ts`` iff ``close_missing``
+      (full-snapshot mode), else kept open.
+
+    Closed history rows (``is_current = false``) pass through without
+    joining. ``run_ts`` is any literal orderable value — the caller
+    picks the validity column type (string dates here keep the
+    comparison edge tz-free).
+
+    Scale shape: ONE full-outer equi-join on the key between the
+    CURRENT slice and the snapshot (both shuffle once,
+    co-partitioned); the up-to-two output rows per joined key are
+    emitted in a SINGLE pass via array+filter+inline (a two-branch
+    union of the same join would execute the join twice); history is
+    a pass-through filter unioned below the join, no window, no
+    second corpus pass.
+    """
+    ts = F.lit(run_ts)
+    null_vt = F.lit(None).cast(dim.schema["valid_to"].dataType)
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+    out_fields = [key_col, *attr_cols, "valid_from", "valid_to",
+                  "is_current"]
+
+    c = cur.select(
+        F.col(key_col).alias("__k"),
+        F.struct(*[F.col(a) for a in attr_cols]).alias("__cattr"),
+        F.col("valid_from").alias("__vf"),
+    )
+    s = snapshot.select(
+        F.col(key_col).alias("__k"),
+        F.struct(*[F.col(a) for a in attr_cols]).alias("__sattr"),
+    )
+    j = c.join(s, "__k", "full_outer")
+
+    in_dim = F.col("__cattr").isNotNull()
+    in_snap = F.col("__sattr").isNotNull()
+    changed = in_dim & in_snap & ~F.col("__cattr").eqNullSafe(
+        F.col("__sattr")
+    )
+    closes = changed | (
+        (in_dim & ~in_snap) if close_missing else F.lit(False)
+    )
+
+    def _row(attr_src, vf, vt, is_cur):
+        return F.struct(
+            F.col("__k").alias(key_col),
+            *[F.col(attr_src)[a].alias(a) for a in attr_cols],
+            vf.alias("valid_from"),
+            vt.alias("valid_to"),
+            is_cur.alias("is_current"),
+        )
+
+    old_row = F.when(
+        in_dim,
+        _row(
+            "__cattr",
+            F.col("__vf"),
+            F.when(closes, ts).otherwise(null_vt),
+            ~closes,
+        ),
+    )
+    new_row = F.when(
+        changed | (in_snap & ~in_dim),
+        _row("__sattr", ts, null_vt, F.lit(True)),
+    )
+    merged = j.select(
+        F.inline(
+            F.filter(
+                F.array(old_row, new_row), lambda x: x.isNotNull()
+            )
+        )
+    )
+    return hist.select(*out_fields).unionByName(merged)

@@ -384,3 +384,104 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply — incremental snapshot maintenance of an existing SCD2 dim
+# ---------------------------------------------------------------------------
+
+
+def _scd2_fixture(spark):
+    from pyspark.sql import Row
+
+    dim = spark.createDataFrame(
+        [
+            # closed history row — must pass through untouched
+            Row(k=1, seg="LEGACY", valid_from="2022-01-01",
+                valid_to="2023-01-01", is_current=False),
+            Row(k=1, seg="A", valid_from="2023-01-01",
+                valid_to=None, is_current=True),   # unchanged
+            Row(k=2, seg="B", valid_from="2023-01-01",
+                valid_to=None, is_current=True),   # changed -> C
+            Row(k=3, seg="D", valid_from="2023-01-01",
+                valid_to=None, is_current=True),   # missing from snap
+        ]
+    )
+    snap = spark.createDataFrame(
+        [
+            Row(k=1, seg="A"),    # unchanged
+            Row(k=2, seg="C"),    # changed
+            Row(k=9, seg="NEW"),  # brand-new key
+        ]
+    )
+    return dim, snap
+
+
+def test_scd2_apply_branches(spark):
+    from fbs_data_pipelines_spark.operators.audit import scd2_apply
+
+    dim, snap = _scd2_fixture(spark)
+    out = scd2_apply(dim, snap, "k", ["seg"], "2024-01-01",
+                     close_missing=True)
+    rows = {(r.k, r.seg, r.valid_from, r.valid_to, r.is_current)
+            for r in out.collect()}
+    assert rows == {
+        (1, "LEGACY", "2022-01-01", "2023-01-01", False),  # history
+        (1, "A", "2023-01-01", None, True),                # unchanged
+        (2, "B", "2023-01-01", "2024-01-01", False),       # closed
+        (2, "C", "2024-01-01", None, True),                # reopened
+        (3, "D", "2023-01-01", "2024-01-01", False),       # closed (full)
+        (9, "NEW", "2024-01-01", None, True),              # inserted
+    }
+
+
+def test_scd2_apply_keep_missing_open(spark):
+    from fbs_data_pipelines_spark.operators.audit import scd2_apply
+
+    dim, snap = _scd2_fixture(spark)
+    out = scd2_apply(dim, snap, "k", ["seg"], "2024-01-01",
+                     close_missing=False)
+    r3 = [r for r in out.collect() if r.k == 3]
+    assert len(r3) == 1
+    assert r3[0].valid_to is None and r3[0].is_current is True
+
+
+def test_scd2_apply_single_join(spark):
+    """The two output rows per changed key are emitted in ONE pass
+    (array+filter+inline) — the plan must contain exactly one join,
+    not a self-unioned pair of them."""
+    from fbs_data_pipelines_spark.operators.audit import scd2_apply
+
+    dim, snap = _scd2_fixture(spark)
+    out = scd2_apply(dim, snap, "k", ["seg"], "2024-01-01",
+                     close_missing=True)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1
+
+
+def test_scd2_apply_null_safe_attr_compare(spark):
+    """A null attribute equal on both sides is UNCHANGED (null-safe
+    struct compare), and null->value is a real change."""
+    from pyspark.sql import Row
+
+    from fbs_data_pipelines_spark.operators.audit import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, None, "2023-01-01", None, True),
+            (2, None, "2023-01-01", None, True),
+        ],
+        "k long, seg string, valid_from string, valid_to string, "
+        "is_current boolean",
+    )
+    snap = spark.createDataFrame(
+        [(1, None), (2, "X")], "k long, seg string"
+    )
+    out = scd2_apply(dim, snap, "k", ["seg"], "2024-01-01")
+    rows = {(r.k, r.seg, r.valid_from, r.valid_to, r.is_current)
+            for r in out.collect()}
+    assert rows == {
+        (1, None, "2023-01-01", None, True),
+        (2, None, "2023-01-01", "2024-01-01", False),
+        (2, "X", "2024-01-01", None, True),
+    }

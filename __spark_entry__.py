@@ -3839,6 +3839,29 @@ def q_scd2_apply(spark, sf_dir):
     )
 
 
+def q_mad_outliers(spark, sf_dir):
+    """MAD robust outlier detection (operators/robust.mad_outliers —
+    the Iglewicz–Hoaglin modified z-score, the detection counterpart
+    of winsorize's treatment): per-event-type median + MAD (two exact
+    percentile aggregates, each a per-group row broadcast back — the
+    corpus never reshuffles), z = 0.6745·(x−med)/MAD, |z| > 3.5
+    flags. Spark `percentile` == DuckDB `quantile_cont` on both the
+    median and the MAD, so the oracle replays exactly; degenerate
+    MAD=0 groups flag nothing by rule."""
+    from fbs_data_pipelines_spark.operators.robust import mad_outliers
+
+    e = _t(spark, sf_dir, "events")
+    out = mad_outliers(
+        e.select("event_type", "value"), "value", ["event_type"], k=3.5
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        round_half_up(F.min("robust_z"), 6).alias("z_min"),
+        round_half_up(F.max("robust_z"), 6).alias("z_max"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -3893,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "standardize_embeddings": q_standardize_embeddings,
         "scd2_apply": q_scd2_apply,
+        "mad_outliers": q_mad_outliers,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -3928,9 +3952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "repetition_stats": q_repetition_stats,
         "top_ngram": q_top_ngram,
-        "corpus_stats": q_corpus_stats,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "corpus_stats": q_corpus_stats,
         "token_entropy": q_token_entropy,
         "collocations": q_collocations,
         "chunk_documents": q_chunk_documents,
@@ -7741,6 +7765,37 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT cust_id, sseg, snat, '2024-01-01', NULL, TRUE
         FROM flags WHERE changed OR (in_snap AND NOT in_dim)
+    """
+
+    # mad_outliers: median + MAD via quantile_cont (the same
+    # sort-interpolated definition as Spark `percentile`), identical
+    # left-assoc z arithmetic, MAD=0 -> null z flags nothing
+    sql["mad_outliers"] = """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), mad AS (
+            SELECT e.event_type,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        ), z AS (
+            SELECT e.event_type, e.value,
+                   CASE WHEN mad.mad > 0
+                        THEN 0.6745 * (e.value - med.med) / mad.mad
+                   END AS rz
+            FROM events e
+            JOIN med USING (event_type)
+            JOIN mad USING (event_type)
+        )
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               floor(min(rz) * 1000000.0 + 0.5) / 1000000.0 AS z_min,
+               floor(max(rz) * 1000000.0 + 0.5) / 1000000.0 AS z_max
+        FROM z
+        GROUP BY event_type
     """
 
     return sql

@@ -51,3 +51,56 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: float = 3.5,
+    z_col: str = "robust_z",
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Median-absolute-deviation outlier detection (the
+    Iglewicz–Hoaglin modified z-score) — the DETECTION counterpart of
+    ``winsorize``'s treatment: ``z = 0.6745 * (x - median) / MAD``
+    per group, flagged when ``|z| > k`` (3.5 is the published
+    default). Median/MAD resist the very outliers a mean/stddev
+    z-score would absorb.
+
+    MAD depends on the median, so this is inherently TWO exact
+    aggregates; both are per-group single rows broadcast back — the
+    corpus itself is scanned twice but never reshuffled. A degenerate
+    group (MAD = 0, i.e. >50% of values identical) yields a null
+    ``z`` and flags nothing — deterministic, documented, and exactly
+    replayable in SQL (no epsilon fudge).
+
+    Exact ``percentile(x, 0.5)`` matches DuckDB ``quantile_cont`` —
+    same sort-interpolated definition, so oracles replay bit-for-bit
+    on both the median and the MAD.
+    """
+    gcols = list(group_cols)
+    med = df.groupBy(*gcols).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), gcols)
+    mad = with_med.groupBy(*gcols).agg(
+        F.percentile(
+            F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)
+        ).alias("__mad")
+    )
+    z = F.when(
+        F.col("__mad") > 0,
+        F.lit(0.6745)
+        * (F.col(value_col) - F.col("__med"))
+        / F.col("__mad"),
+    )
+    return (
+        with_med.join(F.broadcast(mad), gcols)
+        .withColumn(z_col, z)
+        .withColumn(
+            flag_col,
+            F.coalesce(F.abs(F.col(z_col)) > k, F.lit(False)),
+        )
+        .drop("__med", "__mad")
+    )

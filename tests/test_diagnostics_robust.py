@@ -173,3 +173,43 @@ def test_standardize_embeddings_zscores_and_zero_variance(spark):
     assert out[2][0] == pytest.approx(0.0)
     assert out[3][0] == pytest.approx(2 / sd)
     assert [out[i][1] for i in (1, 2, 3)] == [0.0, 0.0, 0.0]
+
+
+def test_mad_outliers_flags_and_z(spark):
+    from fbs_data_pipelines_spark.operators.robust import mad_outliers
+
+    rows = [("g", float(v)) for v in [10, 11, 12, 13, 14]] + [
+        ("g", 1000.0)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = mad_outliers(df, "x", ["grp"], k=3.5)
+    got = {r.x: (r.robust_z, r.is_outlier) for r in out.collect()}
+    # median = 12.5, MAD = median(|x-12.5|) = median({2.5,1.5,.5,.5,1.5,987.5}) = 1.5
+    assert got[1000.0][1] is True
+    assert abs(got[1000.0][0] - 0.6745 * (1000.0 - 12.5) / 1.5) < 1e-9
+    assert all(not v[1] for x, v in got.items() if x != 1000.0)
+
+
+def test_mad_outliers_degenerate_group_flags_nothing(spark):
+    from fbs_data_pipelines_spark.operators.robust import mad_outliers
+
+    df = spark.createDataFrame(
+        [("g", 5.0)] * 4 + [("g", 9.0)], "grp string, x double"
+    )
+    # >50% identical -> MAD = 0 -> z null, nothing flagged
+    out = mad_outliers(df, "x", ["grp"])
+    rows = out.collect()
+    assert all(r.robust_z is None for r in rows)
+    assert all(r.is_outlier is False for r in rows)
+
+
+def test_mad_outliers_groups_independent(spark):
+    from fbs_data_pipelines_spark.operators.robust import mad_outliers
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 100]] + [
+        ("b", float(v)) for v in [100, 101, 102, 103, 104]
+    ]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = mad_outliers(df, "x", ["grp"], k=3.5)
+    flagged = {(r.grp, r.x) for r in out.collect() if r.is_outlier}
+    assert flagged == {("a", 100.0)}  # 100 is normal in group b

@@ -3862,6 +3862,82 @@ def q_mad_outliers(spark, sf_dir):
     )
 
 
+def q_record_linkage(spark, sf_dir):
+    """Probabilistic record linkage (operators/linkage.py — the
+    Fellegi–Sunter blocking+scoring pipeline): customers vs a
+    deterministically-perturbed registry copy (every 7th name
+    lowercased, every 11th nation shifted, every 3rd balance
+    shifted). TWO blocking passes — (nation, name tail) and
+    (segment, name tail) — so a single perturbed field can't hide a
+    pair; per-field agreement weights (+4/−2 name, +3/−2 nation,
+    +2/−1 balance within 0.05, +1/−1 segment); threshold 4.0 (a
+    doubly-perturbed pair legitimately falls below — linkage is
+    precision/recall, not recall-at-any-cost); best-match resolution
+    per left record. Candidates = Σ blocks |A_b|·|B_b|, never
+    |A|·|B|; scoring is a narrow CASE-sum; the oracle replays
+    blocks, weights, and the rank tiebreak exactly."""
+    from fbs_data_pipelines_spark.operators.linkage import link_records
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    b = c.select(
+        (F.col("c_custkey") + 500000).alias("cust_id"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lower(F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(
+            F.col("c_custkey") % 11 == 0,
+            (F.col("c_nationkey") + 1) % 25,
+        )
+        .otherwise(F.col("c_nationkey"))
+        .alias("nation"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 0.5
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    blocking = [
+        (
+            F.concat_ws(
+                "|", F.col("a_nation"), F.substring("a_name", -3, 3)
+            ),
+            F.concat_ws(
+                "|", F.col("b_nation"), F.substring("b_name", -3, 3)
+            ),
+        ),
+        (
+            F.concat_ws(
+                "|", F.col("a_segment"), F.substring("a_name", -3, 3)
+            ),
+            F.concat_ws(
+                "|", F.col("b_segment"), F.substring("b_name", -3, 3)
+            ),
+        ),
+    ]
+    comparisons = [
+        (F.col("a_name") == F.col("b_name"), 4.0, -2.0),
+        (F.col("a_nation") == F.col("b_nation"), 3.0, -2.0),
+        (
+            F.abs(F.col("a_acctbal") - F.col("b_acctbal")) <= 0.05,
+            2.0,
+            -1.0,
+        ),
+        (F.col("a_segment") == F.col("b_segment"), 1.0, -1.0),
+    ]
+    return link_records(
+        a, b, "cust_id", "cust_id", blocking, comparisons,
+        threshold=4.0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -3917,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize_embeddings": q_standardize_embeddings,
         "scd2_apply": q_scd2_apply,
         "mad_outliers": q_mad_outliers,
+        "record_linkage": q_record_linkage,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -3951,9 +4028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "rolling_fingerprint": q_rolling_fingerprint,
         "repetition_stats": q_repetition_stats,
-        "top_ngram": q_top_ngram,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "top_ngram": q_top_ngram,
         "corpus_stats": q_corpus_stats,
         "token_entropy": q_token_entropy,
         "collocations": q_collocations,
@@ -7796,6 +7873,66 @@ def oracle_sql() -> dict[str, str]:
                floor(max(rz) * 1000000.0 + 0.5) / 1000000.0 AS z_max
         FROM z
         GROUP BY event_type
+    """
+
+    # record_linkage: both blocking passes replayed as equi-joins,
+    # UNION-deduplicated (the carried fields are functionally
+    # dependent on the pair, so full-row UNION == pair dedup), the
+    # identical left-assoc CASE-sum of weights, threshold, and the
+    # (score DESC, b_cust_id ASC) rank tiebreak
+    sql["record_linkage"] = """
+        WITH a AS (
+            SELECT c_custkey AS cust_id, c_name AS name,
+                   c_nationkey AS nation,
+                   c_acctbal AS acctbal, c_mktsegment AS segment
+            FROM customer
+        ), b AS (
+            SELECT c_custkey + 500000 AS cust_id,
+                   CASE WHEN c_custkey % 7 = 0 THEN lower(c_name)
+                        ELSE c_name END AS name,
+                   CASE WHEN c_custkey % 11 = 0
+                        THEN (c_nationkey + 1) % 25
+                        ELSE c_nationkey END AS nation,
+                   CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 0.5
+                        ELSE c_acctbal END AS acctbal,
+                   c_mktsegment AS segment
+            FROM customer
+        ), cand AS (
+            SELECT a.cust_id AS a_cust_id, b.cust_id AS b_cust_id,
+                   a.name AS a_name, b.name AS b_name,
+                   a.nation AS a_nation, b.nation AS b_nation,
+                   a.acctbal AS a_acctbal, b.acctbal AS b_acctbal,
+                   a.segment AS a_segment, b.segment AS b_segment
+            FROM a JOIN b
+              ON CAST(a.nation AS VARCHAR) || '|' ||
+                 substr(a.name, -3, 3)
+               = CAST(b.nation AS VARCHAR) || '|' ||
+                 substr(b.name, -3, 3)
+            UNION
+            SELECT a.cust_id, b.cust_id, a.name, b.name,
+                   a.nation, b.nation, a.acctbal, b.acctbal,
+                   a.segment, b.segment
+            FROM a JOIN b
+              ON a.segment || '|' || substr(a.name, -3, 3)
+               = b.segment || '|' || substr(b.name, -3, 3)
+        ), scored AS (
+            SELECT a_cust_id, b_cust_id,
+                   CAST(0.0 AS DOUBLE)
+                   + CASE WHEN a_name = b_name THEN 4.0 ELSE -2.0 END
+                   + CASE WHEN a_nation = b_nation THEN 3.0
+                          ELSE -2.0 END
+                   + CASE WHEN abs(a_acctbal - b_acctbal) <= 0.05
+                          THEN 2.0 ELSE -1.0 END
+                   + CASE WHEN a_segment = b_segment THEN 1.0
+                          ELSE -1.0 END AS score
+            FROM cand
+        )
+        SELECT a_cust_id, b_cust_id, score
+        FROM scored
+        WHERE score >= 4.0
+        QUALIFY row_number() OVER (PARTITION BY a_cust_id
+                                   ORDER BY score DESC,
+                                            b_cust_id ASC) = 1
     """
 
     return sql

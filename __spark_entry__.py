@@ -3938,6 +3938,42 @@ def q_record_linkage(spark, sf_dir):
     )
 
 
+def q_udtf_sentences(spark, sf_dir):
+    """Spark-4 Python UDTF surface (functions/udtf_text.py): sentence
+    segmentation as a registered table-valued function driven through
+    SQL `LATERAL` — the one-to-many Python extension point
+    complementing the mapInPandas kernels. The split rule is a
+    literal `'. '` split + trim + whitespace token count, chosen to
+    be engine-replayable; `idx` keeps the ORIGINAL split position so
+    dropped empties leave provenance gaps. The lateral join
+    parallelizes per input partition — no shuffle of its own."""
+    from fbs_data_pipelines_spark.functions.udtf_text import (
+        register_text_udtfs,
+    )
+
+    register_text_udtfs(spark)
+    # the synthetic corpus has no sentence punctuation — synthesize
+    # a three-sentence text per doc from fixed substring windows
+    # (identical substr semantics in DuckDB) so the one-to-many
+    # yield is actually exercised
+    _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    ).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(". "),
+            F.substring("text", 41, 40),
+            F.lit(". "),
+            F.substring("text", 81, 40),
+        ).alias("text"),
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.idx, s.sentence, s.n_tokens "
+        "FROM __udtf_docs d, LATERAL split_sentences(d.text) s"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -3994,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_apply": q_scd2_apply,
         "mad_outliers": q_mad_outliers,
         "record_linkage": q_record_linkage,
+        "udtf_sentences": q_udtf_sentences,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -4027,9 +4064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_extract": q_regexp_extract,
         "fuzzy_match": q_fuzzy_match,
         "rolling_fingerprint": q_rolling_fingerprint,
-        "repetition_stats": q_repetition_stats,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "repetition_stats": q_repetition_stats,
         "top_ngram": q_top_ngram,
         "corpus_stats": q_corpus_stats,
         "token_entropy": q_token_entropy,
@@ -7933,6 +7970,31 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (PARTITION BY a_cust_id
                                    ORDER BY score DESC,
                                             b_cust_id ASC) = 1
+    """
+
+    # udtf_sentences: the literal '. ' split replayed via
+    # string_split + generate_subscripts; trim/strip equivalence via
+    # regexp_replace on both ends; whitespace token count
+    sql["udtf_sentences"] = r"""
+        WITH d AS (
+            SELECT doc_id,
+                   substr(text, 1, 40) || '. ' ||
+                   substr(text, 41, 40) || '. ' ||
+                   substr(text, 81, 40) AS text
+            FROM documents WHERE doc_id % 20 = 0
+        ), s AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, '. '), 1)
+                       AS idx,
+                   regexp_replace(
+                       unnest(string_split(text, '. ')),
+                       '^\s+|\s+$', '', 'g') AS sentence
+            FROM d
+        )
+        SELECT doc_id, idx, sentence,
+               CAST(len(regexp_split_to_array(sentence, '\s+'))
+                    AS INT) AS n_tokens
+        FROM s WHERE sentence <> ''
     """
 
     return sql

@@ -3974,6 +3974,37 @@ def q_udtf_sentences(spark, sf_dir):
     )
 
 
+def q_ewma(spark, sf_dir):
+    """EWMA smoothing (operators/timeseries.ewma — the hypertable
+    family's third member after gapfill/ohlc): per-event-type
+    exponential moving average, α=0.3 over a 20-row trailing frame,
+    computed as an EXPLICIT ordered left fold (collect_list +
+    F.aggregate) rather than a windowed float sum — engines
+    disagree on internal summation trees, a written-out fold they
+    cannot. The oracle replays the identical fold via DuckDB
+    list_reduce (same seed rule: first frame element). One per-group
+    window exchange; the fold is a narrow projection."""
+    from fbs_data_pipelines_spark.operators.timeseries import ewma
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 23 == 0)
+    out = ewma(
+        e.select("event_type", "ts", "event_id", "value"),
+        ["event_type"],
+        "ts",
+        "value",
+        alpha=0.3,
+        lookback=20,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_id",
+        "value",
+        round_half_up(F.col("ewma"), 6).alias("ewma"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -4031,6 +4062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "record_linkage": q_record_linkage,
         "udtf_sentences": q_udtf_sentences,
+        "ewma": q_ewma,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -4063,9 +4095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": q_date_parts,
         "regexp_extract": q_regexp_extract,
         "fuzzy_match": q_fuzzy_match,
-        "rolling_fingerprint": q_rolling_fingerprint,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "rolling_fingerprint": q_rolling_fingerprint,
         "repetition_stats": q_repetition_stats,
         "top_ngram": q_top_ngram,
         "corpus_stats": q_corpus_stats,
@@ -7995,6 +8027,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_split_to_array(sentence, '\s+'))
                     AS INT) AS n_tokens
         FROM s WHERE sentence <> ''
+    """
+
+    # ewma: the identical seeded left fold via list_reduce over the
+    # same ordered 20-row frame; CASTs keep DuckDB's literal
+    # arithmetic in DOUBLE (its bare 0.3 is DECIMAL)
+    sql["ewma"] = """
+        WITH base AS (
+            SELECT event_type, ts, event_id, value
+            FROM events WHERE user_id % 23 = 0
+        ), w AS (
+            SELECT event_type, ts, event_id, value,
+                   list(CAST(value AS DOUBLE)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+                   ) AS lst
+            FROM base
+        )
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               event_id, value,
+               floor(list_reduce(lst,
+                   (acc, x) -> CAST(0.3 AS DOUBLE) * x +
+                               (CAST(1.0 AS DOUBLE) -
+                                CAST(0.3 AS DOUBLE)) * acc)
+                   * 1000000.0 + 0.5) / 1000000.0 AS ewma
+        FROM w
     """
 
     return sql

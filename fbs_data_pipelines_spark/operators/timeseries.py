@@ -218,3 +218,51 @@ def ohlc(
             F.count("*").alias("n"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    lookback: int = 20,
+    tiebreak_col: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per group — the
+    classic time-series smoother (y_t = α·x_t + (1−α)·y_{t−1},
+    seeded with the frame's first observation, the pandas
+    ``ewm(adjust=False)`` recurrence).
+
+    Computed as an EXPLICIT left fold over a bounded trailing frame
+    (``lookback`` rows): ``collect_list`` over the ordered window
+    preserves frame order, and ``F.aggregate`` folds it
+    deterministically — NOT a windowed float sum, whose engine-
+    internal summation tree (segment trees in some engines) would
+    make cross-engine bit-equality unattainable. The bounded frame
+    also bounds both memory and the O(lookback) per-row fold: with
+    α·(1−α)^k decaying geometrically, a 20-row tail carries the
+    full-precision value to ~1e-3 at α=0.3 — the standard truncation.
+
+    Scale shape: ONE per-group window (exchange + sort), a narrow
+    fold projection on top. No driver participation, no second pass.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("need 0 < alpha <= 1")
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    lst = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a = F.lit(float(alpha))
+    folded = F.aggregate(
+        F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return df.withColumn(out_col, folded)

@@ -199,3 +199,75 @@ def test_ohlc_buckets_and_tie_rules(spark):
     assert (h["open"], h["high"], h["low"], h["close"], h["n"]) == (
         42.0, 42.0, 42.0, 42.0, 1,
     )
+
+
+# ---------------------------------------------------------------------------
+# ewma
+# ---------------------------------------------------------------------------
+
+
+def _py_ewma(xs, alpha):
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = alpha * x + (1 - alpha) * acc
+    return acc
+
+
+def test_ewma_matches_reference_fold(spark):
+    from fbs_data_pipelines_spark.operators.timeseries import ewma
+
+    xs = [10.0, 12.0, 11.0, 15.0, 14.0]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)],
+        "grp string, ts long, x double",
+    )
+    out = {
+        r.ts: r.ewma
+        for r in ewma(df, ["grp"], "ts", "x", alpha=0.3).collect()
+    }
+    for t in range(len(xs)):
+        assert abs(out[t] - _py_ewma(xs[: t + 1], 0.3)) < 1e-12
+
+
+def test_ewma_lookback_truncates_frame(spark):
+    from fbs_data_pipelines_spark.operators.timeseries import ewma
+
+    xs = [float(v) for v in range(10)]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)],
+        "grp string, ts long, x double",
+    )
+    out = {
+        r.ts: r.ewma
+        for r in ewma(
+            df, ["grp"], "ts", "x", alpha=0.5, lookback=3
+        ).collect()
+    }
+    # row 9 sees only rows 7..9
+    assert abs(out[9] - _py_ewma(xs[7:10], 0.5)) < 1e-12
+
+
+def test_ewma_groups_and_ties(spark):
+    from fbs_data_pipelines_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 1, 4.0), ("a", 1, 2, 8.0), ("b", 1, 1, 100.0)],
+        "grp string, ts long, tb long, x double",
+    )
+    out = ewma(
+        df, ["grp"], "ts", "x", alpha=0.5, tiebreak_col="tb"
+    ).collect()
+    got = {(r.grp, r.tb): r.ewma for r in out}
+    assert got[("a", 1)] == 4.0
+    assert got[("a", 2)] == 6.0  # 0.5*8 + 0.5*4
+    assert got[("b", 1)] == 100.0
+
+
+def test_ewma_alpha_validation(spark):
+    import pytest as _pt
+
+    from fbs_data_pipelines_spark.operators.timeseries import ewma
+
+    df = spark.range(1).withColumn("x", F.lit(1.0))
+    with _pt.raises(ValueError):
+        ewma(df, [], "id", "x", alpha=0.0)

@@ -4005,6 +4005,29 @@ def q_ewma(spark, sf_dir):
     )
 
 
+def q_chi2_independence(spark, sf_dir):
+    """Pearson chi-square independence test
+    (operators/diagnostics.chi2_independence): is order priority
+    independent of order status? ONE corpus shuffle (combiner-
+    reduced cell counts); margins/expected/fold run over the 15-cell
+    relation. The cell sum is an explicit (a,b)-sorted fold — the
+    same cross-engine-exact pattern as ewma — and the oracle replays
+    cells, margins, the (o−e)²/e arithmetic, and the fold
+    term-for-term."""
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        chi2_independence,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    r = chi2_independence(o, "o_orderpriority", "o_orderstatus")
+    return r.select(
+        round_half_up(F.col("chi2"), 6).alias("chi2"),
+        "dof",
+        round_half_up(F.col("cramers_v"), 6).alias("cramers_v"),
+        "n",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -4063,6 +4086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "udtf_sentences": q_udtf_sentences,
         "ewma": q_ewma,
+        "chi2_independence": q_chi2_independence,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -4094,9 +4118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_ops": q_array_ops,
         "date_parts": q_date_parts,
         "regexp_extract": q_regexp_extract,
-        "fuzzy_match": q_fuzzy_match,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "fuzzy_match": q_fuzzy_match,
         "rolling_fingerprint": q_rolling_fingerprint,
         "repetition_stats": q_repetition_stats,
         "top_ngram": q_top_ngram,
@@ -8054,6 +8078,50 @@ def oracle_sql() -> dict[str, str]:
                                 CAST(0.3 AS DOUBLE)) * acc)
                    * 1000000.0 + 0.5) / 1000000.0 AS ewma
         FROM w
+    """
+
+    # chi2_independence: cells/margins/(o-e)^2/e replayed with the
+    # identical double arithmetic, cell sum as the same (a,b)-sorted
+    # seeded fold (list_reduce)
+    sql["chi2_independence"] = """
+        WITH cells AS (
+            SELECT o_orderpriority AS a, o_orderstatus AS b,
+                   count(*) AS o
+            FROM orders GROUP BY 1, 2
+        ), ra AS (
+            SELECT a, sum(o) AS ra FROM cells GROUP BY a
+        ), cb AS (
+            SELECT b, sum(o) AS rb FROM cells GROUP BY b
+        ), nn AS (
+            SELECT sum(o) AS n FROM cells
+        ), scored AS (
+            SELECT cells.a, cells.b, cells.o,
+                   (CAST(o AS DOUBLE) -
+                    CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                 * (CAST(o AS DOUBLE) -
+                    CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                 / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS c
+            FROM cells
+            JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn
+        ), s AS (
+            SELECT list(c ORDER BY a, b) AS lst,
+                   count(DISTINCT a) AS ka,
+                   count(DISTINCT b) AS kb,
+                   CAST(sum(o) AS BIGINT) AS n
+            FROM scored
+        )
+        SELECT floor(list_reduce(lst, (acc, x) -> acc + x)
+                     * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+               CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+               floor(sqrt(list_reduce(lst, (acc, x) -> acc + x)
+                          / (CAST(n AS DOUBLE) *
+                             CAST(least(ka - 1, kb - 1) AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cramers_v,
+               n
+        FROM s
     """
 
     return sql

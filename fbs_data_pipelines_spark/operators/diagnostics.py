@@ -64,3 +64,76 @@ def key_skew_stats(
             ),
         )
     )
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns — the EDA step before trusting a stratified
+    sample or a per-segment model: are the two dimensions actually
+    related? Returns ONE row: ``chi2``, ``dof``, ``cramers_v``
+    (effect size, chi2 normalized to [0,1]), ``n``.
+
+    chi2 = Σ_cells (observed − expected)² / expected with
+    expected = row_total · col_total / n. The cell sum is an
+    EXPLICIT fold over the (a, b)-sorted cell list — cell counts are
+    categorical-small, and a written-out fold is the only float sum
+    two engines reproduce bit-for-bit (same rationale as
+    ``timeseries.ewma``).
+
+    Plan shape: ONE corpus shuffle (the combiner-reduced cell
+    count); margins, expected counts, and the fold all run over the
+    |A|·|B|-cell relation (broadcast joins, then a single-row agg).
+    """
+    cells = df.groupBy(col_a, col_b).agg(F.count("*").alias("__o"))
+    ra = cells.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy(col_b).agg(F.sum("__o").alias("__rb"))
+    n = cells.agg(F.sum("__o").alias("__n"))
+    e = (
+        F.col("__ra").cast("double")
+        * F.col("__rb").cast("double")
+        / F.col("__n").cast("double")
+    )
+    contrib = (
+        (F.col("__o").cast("double") - e)
+        * (F.col("__o").cast("double") - e)
+        / e
+    )
+    scored = (
+        cells.join(F.broadcast(ra), col_a)
+        .join(F.broadcast(cb), col_b)
+        .crossJoin(F.broadcast(n))
+        .withColumn("__c", contrib)
+    )
+    summary = scored.agg(
+        F.array_sort(
+            F.collect_list(F.struct(col_a, col_b, F.col("__c")))
+        ).alias("__cells"),
+        F.countDistinct(col_a).alias("__ka"),
+        F.countDistinct(col_b).alias("__kb"),
+        F.sum("__o").alias("n"),
+    )
+    contribs = F.transform(F.col("__cells"), lambda s: s["__c"])
+    chi2 = F.aggregate(
+        F.slice(
+            contribs, 2, F.greatest(F.size(contribs) - 1, F.lit(0))
+        ),
+        F.element_at(contribs, 1),
+        lambda acc, x: acc + x,
+    )
+    dof = (F.col("__ka") - 1) * (F.col("__kb") - 1)
+    return summary.select(
+        chi2.alias("chi2"),
+        dof.cast("long").alias("dof"),
+        F.sqrt(
+            chi2
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("__ka") - 1, F.col("__kb") - 1).cast(
+                    "double"
+                )
+            )
+        ).alias("cramers_v"),
+        F.col("n"),
+    )

@@ -213,3 +213,38 @@ def test_mad_outliers_groups_independent(spark):
     out = mad_outliers(df, "x", ["grp"], k=3.5)
     flagged = {(r.grp, r.x) for r in out.collect() if r.is_outlier}
     assert flagged == {("a", 100.0)}  # 100 is normal in group b
+
+
+def test_chi2_independence_hand_case(spark):
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        chi2_independence,
+    )
+
+    # classic 2x2: |10 20| |20 10| -> chi2 = n*(ad-bc)^2/(r1*r2*c1*c2)
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 20 + [("y", "q")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    expected = 60 * (10 * 10 - 20 * 20) ** 2 / (30 * 30 * 30 * 30)
+    assert abs(r.chi2 - expected) < 1e-9
+    assert r.dof == 1
+    assert r.n == 60
+    assert abs(r.cramers_v - (expected / 60) ** 0.5) < 1e-12
+
+
+def test_chi2_independent_columns_near_zero(spark):
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        chi2_independence,
+    )
+
+    # perfectly proportional table -> chi2 exactly 0
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 20 + [("y", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert abs(r.chi2) < 1e-9
+    assert r.cramers_v < 1e-9

@@ -3867,8 +3867,12 @@ def q_record_linkage(spark, sf_dir):
     Fellegi–Sunter blocking+scoring pipeline): customers vs a
     deterministically-perturbed registry copy (every 7th name
     lowercased, every 11th nation shifted, every 3rd balance
-    shifted). TWO blocking passes — (nation, name tail) and
-    (segment, name tail) — so a single perturbed field can't hide a
+    shifted). TWO blocking passes — (nation, name tail-5) and
+    (segment, name tail-5); the tail-5 key's cardinality GROWS with
+    the corpus (names are zero-padded sequence numbers), so block
+    sizes — and the candidate count — stay linear at scale (a
+    fixed-cardinality key saturates and goes quadratic; measured in
+    tools/shuffle_audit.py) — so a single perturbed field can't hide a
     pair; per-field agreement weights (+4/−2 name, +3/−2 nation,
     +2/−1 balance within 0.05, +1/−1 segment); threshold 4.0 (a
     doubly-perturbed pair legitimately falls below — linkage is
@@ -3907,18 +3911,18 @@ def q_record_linkage(spark, sf_dir):
     blocking = [
         (
             F.concat_ws(
-                "|", F.col("a_nation"), F.substring("a_name", -3, 3)
+                "|", F.col("a_nation"), F.substring("a_name", -5, 5)
             ),
             F.concat_ws(
-                "|", F.col("b_nation"), F.substring("b_name", -3, 3)
+                "|", F.col("b_nation"), F.substring("b_name", -5, 5)
             ),
         ),
         (
             F.concat_ws(
-                "|", F.col("a_segment"), F.substring("a_name", -3, 3)
+                "|", F.col("a_segment"), F.substring("a_name", -5, 5)
             ),
             F.concat_ws(
-                "|", F.col("b_segment"), F.substring("b_name", -3, 3)
+                "|", F.col("b_segment"), F.substring("b_name", -5, 5)
             ),
         ),
     ]
@@ -7998,16 +8002,16 @@ def oracle_sql() -> dict[str, str]:
                    a.segment AS a_segment, b.segment AS b_segment
             FROM a JOIN b
               ON CAST(a.nation AS VARCHAR) || '|' ||
-                 substr(a.name, -3, 3)
+                 substr(a.name, -5, 5)
                = CAST(b.nation AS VARCHAR) || '|' ||
-                 substr(b.name, -3, 3)
+                 substr(b.name, -5, 5)
             UNION
             SELECT a.cust_id, b.cust_id, a.name, b.name,
                    a.nation, b.nation, a.acctbal, b.acctbal,
                    a.segment, b.segment
             FROM a JOIN b
-              ON a.segment || '|' || substr(a.name, -3, 3)
-               = b.segment || '|' || substr(b.name, -3, 3)
+              ON a.segment || '|' || substr(a.name, -5, 5)
+               = b.segment || '|' || substr(b.name, -5, 5)
         ), scored AS (
             SELECT a_cust_id, b_cust_id,
                    CAST(0.0 AS DOUBLE)

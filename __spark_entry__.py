@@ -4032,6 +4032,35 @@ def q_chi2_independence(spark, sf_dir):
     )
 
 
+def q_table_profile(spark, sf_dir):
+    """One-pass table profiling (operators/diagnostics.table_profile
+    — the data-catalog summary): every column of `orders` profiled in
+    ONE wide aggregation (count/nulls/exact-distinct/min/max/mean)
+    and emitted one row per column via inline — never a job per
+    column (plan-asserted in tests). Numerics report min/max/avg as
+    doubles (rounded at the edge), temporal/string columns report
+    stringified min/max per the tz-free edge rule. Exact distinct
+    expands the aggregate (map output ×(n_cols+1)) — the documented
+    trade; `approx_distinct=True` is the 100 TB path."""
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        table_profile,
+    )
+
+    prof = table_profile(_t(spark, sf_dir, "orders"))
+    return prof.select(
+        "column",
+        "dtype",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        round_half_up(F.col("min_num"), 6).alias("min_num"),
+        round_half_up(F.col("max_num"), 6).alias("max_num"),
+        round_half_up(F.col("avg"), 4).alias("avg"),
+        "min_str",
+        "max_str",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -4091,6 +4120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_sentences": q_udtf_sentences,
         "ewma": q_ewma,
         "chi2_independence": q_chi2_independence,
+        "table_profile": q_table_profile,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -4121,9 +4151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_navigation": q_window_navigation,
         "array_ops": q_array_ops,
         "date_parts": q_date_parts,
-        "regexp_extract": q_regexp_extract,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "regexp_extract": q_regexp_extract,
         "fuzzy_match": q_fuzzy_match,
         "rolling_fingerprint": q_rolling_fingerprint,
         "repetition_stats": q_repetition_stats,
@@ -8126,6 +8156,80 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000.0 + 0.5) / 1000000.0 AS cramers_v,
                n
         FROM s
+    """
+
+    # table_profile: the one-pass wide aggregate replayed, one UNION
+    # branch per column; exact count(DISTINCT) both sides; temporal
+    # min/max stringified; numeric avg at 4dp (cross-partition float
+    # sum order), min/max at 6dp
+    sql["table_profile"] = """
+        WITH a AS (
+            SELECT count(*) AS n,
+                count(o_orderkey) AS c1,
+                count(DISTINCT o_orderkey) AS d1,
+                CAST(min(o_orderkey) AS DOUBLE) AS mn1,
+                CAST(max(o_orderkey) AS DOUBLE) AS mx1,
+                avg(CAST(o_orderkey AS DOUBLE)) AS av1,
+                count(o_custkey) AS c2,
+                count(DISTINCT o_custkey) AS d2,
+                CAST(min(o_custkey) AS DOUBLE) AS mn2,
+                CAST(max(o_custkey) AS DOUBLE) AS mx2,
+                avg(CAST(o_custkey AS DOUBLE)) AS av2,
+                count(o_orderstatus) AS c3,
+                count(DISTINCT o_orderstatus) AS d3,
+                min(o_orderstatus) AS mns3,
+                max(o_orderstatus) AS mxs3,
+                count(o_totalprice) AS c4,
+                count(DISTINCT o_totalprice) AS d4,
+                CAST(min(o_totalprice) AS DOUBLE) AS mn4,
+                CAST(max(o_totalprice) AS DOUBLE) AS mx4,
+                avg(CAST(o_totalprice AS DOUBLE)) AS av4,
+                count(o_orderdate) AS c5,
+                count(DISTINCT o_orderdate) AS d5,
+                strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')
+                    AS mns5,
+                strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+                    AS mxs5,
+                count(o_orderpriority) AS c6,
+                count(DISTINCT o_orderpriority) AS d6,
+                min(o_orderpriority) AS mns6,
+                max(o_orderpriority) AS mxs6
+            FROM orders
+        )
+        SELECT 'o_orderkey' AS "column", 'bigint' AS dtype,
+               n AS n_rows, n - c1 AS n_nulls, d1 AS n_distinct,
+               floor(mn1 * 1000000.0 + 0.5) / 1000000.0 AS min_num,
+               floor(mx1 * 1000000.0 + 0.5) / 1000000.0 AS max_num,
+               floor(av1 * 10000.0 + 0.5) / 10000.0 AS avg,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM a
+        UNION ALL
+        SELECT 'o_custkey', 'bigint', n, n - c2, d2,
+               floor(mn2 * 1000000.0 + 0.5) / 1000000.0,
+               floor(mx2 * 1000000.0 + 0.5) / 1000000.0,
+               floor(av2 * 10000.0 + 0.5) / 10000.0,
+               NULL, NULL
+        FROM a
+        UNION ALL
+        SELECT 'o_orderstatus', 'string', n, n - c3, d3,
+               NULL, NULL, NULL, mns3, mxs3
+        FROM a
+        UNION ALL
+        SELECT 'o_totalprice', 'double', n, n - c4, d4,
+               floor(mn4 * 1000000.0 + 0.5) / 1000000.0,
+               floor(mx4 * 1000000.0 + 0.5) / 1000000.0,
+               floor(av4 * 10000.0 + 0.5) / 10000.0,
+               NULL, NULL
+        FROM a
+        UNION ALL
+        SELECT 'o_orderdate', 'timestamp', n, n - c5, d5,
+               NULL, NULL, NULL, mns5, mxs5
+        FROM a
+        UNION ALL
+        SELECT 'o_orderpriority', 'string', n, n - c6, d6,
+               NULL, NULL, NULL, mns6, mxs6
+        FROM a
     """
 
     return sql

@@ -137,3 +137,94 @@ def chi2_independence(
         ).alias("cramers_v"),
         F.col("n"),
     )
+
+
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "long",
+    "float", "double", "decimal",
+)
+
+
+def table_profile(
+    df: DataFrame, approx_distinct: bool = False, rsd: float = 0.05
+) -> DataFrame:
+    """One-pass per-column table profile — the data-catalog summary
+    (row count, null count, distinct count, min/max, mean) computed
+    for EVERY column in a single scan: one wide aggregation row, then
+    one output row per column via inline (never one job per column).
+
+    Numeric columns report ``min_num``/``max_num``/``avg`` (doubles);
+    string/temporal/other columns report ``min_str``/``max_str``
+    (temporal stringified — the repo's tz-free edge rule). Distinct
+    counts are EXACT by default (Spark expands the aggregate: one
+    shuffle, map output ×(n_cols+1) — fine into the tens of columns);
+    ``approx_distinct=True`` swaps in HLL ``approx_count_distinct``
+    (no expand, one combiner-reduced pass) for wide tables at 100 TB
+    where exactness isn't worth the expand factor. Mode/top-value is
+    deliberately NOT here — that's one full groupBy per column; use
+    ``key_skew_stats`` on the columns that matter.
+    """
+    cols = df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"__cnt{i}"))
+        aggs.append(
+            (
+                F.approx_count_distinct(col, rsd)
+                if approx_distinct
+                else F.countDistinct(col)
+            ).alias(f"__nd{i}")
+        )
+        t = dtypes[c]
+        if t.startswith(_NUMERIC_PREFIXES):
+            aggs.append(F.min(col.cast("double")).alias(f"__mn{i}"))
+            aggs.append(F.max(col.cast("double")).alias(f"__mx{i}"))
+            aggs.append(F.avg(col.cast("double")).alias(f"__av{i}"))
+        elif t.startswith("timestamp"):
+            aggs.append(
+                F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"__mns{i}"
+                )
+            )
+            aggs.append(
+                F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"__mxs{i}"
+                )
+            )
+        else:
+            aggs.append(F.min(col).cast("string").alias(f"__mns{i}"))
+            aggs.append(F.max(col).cast("string").alias(f"__mxs{i}"))
+    row = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for i, c in enumerate(cols):
+        t = dtypes[c]
+        numeric = t.startswith(_NUMERIC_PREFIXES)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(t).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__cnt{i}")).alias("n_nulls"),
+                F.col(f"__nd{i}").alias("n_distinct"),
+                (F.col(f"__mn{i}") if numeric else null_d).alias(
+                    "min_num"
+                ),
+                (F.col(f"__mx{i}") if numeric else null_d).alias(
+                    "max_num"
+                ),
+                (F.col(f"__av{i}") if numeric else null_d).alias(
+                    "avg"
+                ),
+                (null_s if numeric else F.col(f"__mns{i}")).alias(
+                    "min_str"
+                ),
+                (null_s if numeric else F.col(f"__mxs{i}")).alias(
+                    "max_str"
+                ),
+            )
+        )
+    return row.select(F.inline(F.array(*structs)))

@@ -248,3 +248,58 @@ def test_chi2_independent_columns_near_zero(spark):
     r = chi2_independence(df, "a", "b").collect()[0]
     assert abs(r.chi2) < 1e-9
     assert r.cramers_v < 1e-9
+
+
+def test_table_profile_per_column_stats(spark):
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (2, None, 30.0)],
+        "id long, s string, v double",
+    )
+    prof = {r.column: r for r in table_profile(df).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert prof["id"].n_rows == 3 and prof["id"].n_nulls == 0
+    assert prof["id"].n_distinct == 2
+    assert prof["id"].min_num == 1.0 and prof["id"].max_num == 2.0
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_str == "a" and prof["s"].max_str == "b"
+    assert prof["s"].min_num is None
+    assert prof["v"].n_nulls == 1
+    assert abs(prof["v"].avg - 20.0) < 1e-12
+
+
+def test_table_profile_single_job(spark):
+    """The profile must be ONE wide aggregation, not a per-column
+    fan-out of jobs — the plan has exactly one Aggregate chain."""
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0)], "id long, s string, v double"
+    )
+    plan = (
+        table_profile(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Generate") == 1  # the single inline
+    assert "Join" not in plan and "Union" not in plan
+
+
+def test_table_profile_approx_distinct_mode(spark):
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        table_profile,
+    )
+
+    df = spark.range(1000).withColumn("s", F.lit("x"))
+    prof = {
+        r.column: r
+        for r in table_profile(df, approx_distinct=True).collect()
+    }
+    assert abs(prof["id"].n_distinct - 1000) <= 100
+    assert prof["s"].n_distinct == 1

@@ -4061,6 +4061,74 @@ def q_table_profile(spark, sf_dir):
     )
 
 
+def q_streaming_scd2(spark, sf_dir):
+    """Streaming SCD2 maintenance end-to-end
+    (streaming/merge.streaming_scd2_apply): two deterministic
+    snapshot CSVs rebuilt per run from `customer` (base; then every
+    4th segment → PROMO, every 11th key vanishes) arrive as two
+    micro-batches; each plays scd2_apply against a VersionedTable
+    dimension and commits. The returned dim is the FULL SCD2 history
+    — and because order-insensitive set logic drives the merge,
+    streaming == sequential batch application, which is exactly what
+    the relational oracle replays. Batch replay after a
+    commit/checkpoint crash is semantically idempotent (documented
+    in the operator)."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+    from fbs_data_pipelines_spark.streaming.merge import (
+        streaming_scd2_apply,
+    )
+
+    tmp = _os.path.join(_tf.gettempdir(), "fbs_q_streaming_scd2")
+    _sh.rmtree(tmp, ignore_errors=True)
+    _os.makedirs(f"{tmp}/snaps")
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 80)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    with open(f"{tmp}/snaps/snap1.csv", "w") as f:
+        f.write("k,seg\n")
+        for r in base:
+            f.write(f"{r.k},{r.seg}\n")
+    with open(f"{tmp}/snaps/snap2.csv", "w") as f:
+        f.write("k,seg\n")
+        for r in base:
+            if r.k % 11 == 0:
+                continue
+            seg = "PROMO" if r.k % 4 == 0 else r.seg
+            f.write(f"{r.k},{seg}\n")
+    _os.utime(f"{tmp}/snaps/snap1.csv", (1_700_000_000,) * 2)
+    _os.utime(f"{tmp}/snaps/snap2.csv", (1_700_000_100,) * 2)
+
+    q = streaming_scd2_apply(
+        spark,
+        f"{tmp}/snaps",
+        "k long, seg string",
+        f"{tmp}/dim",
+        f"{tmp}/ckpt",
+        key_col="k",
+        attr_cols=["seg"],
+        run_ts_fn=lambda b: f"2024-01-0{b + 1}",
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+    return VersionedTable(spark, f"{tmp}/dim").read().select(
+        "k", "seg", "valid_from", "valid_to", "is_current"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -4121,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "chi2_independence": q_chi2_independence,
         "table_profile": q_table_profile,
+        "streaming_scd2": q_streaming_scd2,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -4150,9 +4219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_range_30d": q_window_range_30d,
         "window_navigation": q_window_navigation,
         "array_ops": q_array_ops,
-        "date_parts": q_date_parts,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "date_parts": q_date_parts,
         "regexp_extract": q_regexp_extract,
         "fuzzy_match": q_fuzzy_match,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -8230,6 +8299,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'o_orderpriority', 'string', n, n - c6, d6,
                NULL, NULL, NULL, mns6, mxs6
         FROM a
+    """
+
+    # streaming_scd2: the two micro-batches replayed relationally —
+    # snapshot 1 opens the dim at 2024-01-01, snapshot 2 closes
+    # vanished/changed keys at 2024-01-02 and opens the changed ones
+    sql["streaming_scd2"] = """
+        WITH s1 AS (
+            SELECT c_custkey AS k, c_mktsegment AS seg
+            FROM customer WHERE c_custkey <= 80
+        ), s2 AS (
+            SELECT c_custkey AS k,
+                   CASE WHEN c_custkey % 4 = 0 THEN 'PROMO'
+                        ELSE c_mktsegment END AS seg
+            FROM customer
+            WHERE c_custkey <= 80 AND c_custkey % 11 <> 0
+        ), j AS (
+            SELECT s1.k AS k, s1.seg AS oseg, s2.seg AS nseg,
+                   s2.k IS NOT NULL AS in2
+            FROM s1 LEFT JOIN s2 ON s1.k = s2.k
+        )
+        SELECT k, oseg AS seg, '2024-01-01' AS valid_from,
+               CASE WHEN (NOT in2) OR oseg <> nseg
+                    THEN '2024-01-02' END AS valid_to,
+               NOT ((NOT in2) OR oseg <> nseg) AS is_current
+        FROM j
+        UNION ALL
+        SELECT k, nseg, '2024-01-02', NULL, TRUE
+        FROM j WHERE in2 AND oseg <> nseg
     """
 
     return sql

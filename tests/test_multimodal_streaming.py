@@ -1535,3 +1535,61 @@ def test_windowed_ohlc_streaming_matches_batch(spark):
     # complete-mode streaming result == batch result, window for window
     assert got == ref and len(ref) > 0
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_scd2_apply_two_snapshots(spark):
+    """Two snapshot files -> two micro-batches -> SCD2 history equals
+    the sequential batch application; every intermediate dimension
+    state is time-travelable."""
+    import os
+
+    from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+    from fbs_data_pipelines_spark.streaming.merge import (
+        streaming_scd2_apply,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scd2_stream_")
+    snap_dir = f"{tmp}/snaps"
+    os.makedirs(snap_dir)
+    with open(f"{snap_dir}/snap1.csv", "w") as f:
+        f.write("k,seg\n1,A\n2,B\n")
+    with open(f"{snap_dir}/snap2.csv", "w") as f:
+        f.write("k,seg\n1,A2\n3,C\n")
+    # deterministic arrival order for maxFilesPerTrigger=1
+    os.utime(f"{snap_dir}/snap1.csv", (1_700_000_000, 1_700_000_000))
+    os.utime(f"{snap_dir}/snap2.csv", (1_700_000_100, 1_700_000_100))
+
+    q = streaming_scd2_apply(
+        spark,
+        snap_dir,
+        "k string, seg string",
+        f"{tmp}/dim",
+        f"{tmp}/ckpt",
+        key_col="k",
+        attr_cols=["seg"],
+        run_ts_fn=lambda b: f"2024-01-0{b + 1}",
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    vt = VersionedTable(spark, f"{tmp}/dim")
+    final = {
+        (r.k, r.seg, r.valid_from, r.valid_to, r.is_current)
+        for r in vt.read().collect()
+    }
+    assert final == {
+        ("1", "A", "2024-01-01", "2024-01-02", False),
+        ("1", "A2", "2024-01-02", None, True),
+        ("2", "B", "2024-01-01", "2024-01-02", False),
+        ("3", "C", "2024-01-02", None, True),
+    }
+    # time travel: v1 is the pre-evolution dimension
+    v1 = {
+        (r.k, r.seg, r.is_current)
+        for r in vt.read(version=1).collect()
+    }
+    assert v1 == {("1", "A", True), ("2", "B", True)}
+    shutil.rmtree(tmp, ignore_errors=True)

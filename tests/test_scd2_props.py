@@ -1,0 +1,138 @@
+"""Property tests for scd2_apply and ewma — model-based invariants
+over generated inputs (small example counts: each example builds
+Spark DataFrames)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fbs_data_pipelines_spark.operators.audit import scd2_apply
+from fbs_data_pipelines_spark.operators.timeseries import ewma
+
+_SEGS = ["A", "B", "C"]
+
+_dim_entry = st.tuples(
+    st.sampled_from(_SEGS),          # current segment
+    st.booleans(),                   # has a closed history row?
+)
+
+
+@st.composite
+def _scenario(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    dim = {k: draw(_dim_entry) for k in range(1, n + 1)}
+    snap_keys = draw(
+        st.sets(st.integers(min_value=1, max_value=8), max_size=8)
+    )
+    snap = {k: draw(st.sampled_from(_SEGS)) for k in snap_keys}
+    return dim, snap
+
+
+def _build_dim(spark, dim):
+    rows = []
+    for k, (seg, has_hist) in dim.items():
+        if has_hist:
+            rows.append((k, "OLD", "2022-01-01", "2023-01-01", False))
+        rows.append((k, seg, "2023-01-01", None, True))
+    return spark.createDataFrame(
+        rows,
+        "k long, seg string, valid_from string, valid_to string, "
+        "is_current boolean",
+    )
+
+
+def _build_snap(spark, snap):
+    return spark.createDataFrame(
+        [(k, s) for k, s in snap.items()] or [(None, None)],
+        "k long, seg string",
+    ).filter(F.col("k").isNotNull())
+
+
+@settings(max_examples=8, deadline=None)
+@given(_scenario())
+def test_scd2_apply_invariants(spark, scenario):
+    dim, snap = scenario
+    out = scd2_apply(
+        _build_dim(spark, dim),
+        _build_snap(spark, snap),
+        "k",
+        ["seg"],
+        "2024-01-01",
+        close_missing=True,
+    ).collect()
+
+    open_rows = {r.k: r for r in out if r.is_current}
+    # 1. every snapshot key has exactly ONE open row, with the
+    #    snapshot's attrs
+    currents = [r for r in out if r.is_current]
+    assert len(currents) == len(open_rows)
+    assert set(open_rows) == set(snap)
+    for k, s in snap.items():
+        assert open_rows[k].seg == s
+        assert open_rows[k].valid_to is None
+    # 2. keys missing from the snapshot have no open row (checked by
+    #    the set equality above) and their old row closed at run_ts
+    for k in dim:
+        if k not in snap:
+            closed = [
+                r for r in out
+                if r.k == k and r.valid_from == "2023-01-01"
+            ]
+            assert len(closed) == 1
+            assert closed[0].valid_to == "2024-01-01"
+    # 3. history rows pass through untouched
+    hist_in = {k for k, (_, h) in dim.items() if h}
+    hist_out = {
+        r.k for r in out if r.valid_from == "2022-01-01"
+    }
+    assert hist_out == hist_in
+
+
+@settings(max_examples=6, deadline=None)
+@given(_scenario())
+def test_scd2_apply_idempotent_replay(spark, scenario):
+    """Re-applying the SAME snapshot must not change the row set —
+    the streaming crash-replay contract (streaming/merge.py)."""
+    dim, snap = scenario
+    d = _build_dim(spark, dim)
+    s = _build_snap(spark, snap)
+    once = scd2_apply(d, s, "k", ["seg"], "2024-01-01",
+                      close_missing=True)
+    twice = scd2_apply(once, s, "k", ["seg"], "2024-01-01",
+                       close_missing=True)
+    rows1 = sorted(map(tuple, once.collect()))
+    rows2 = sorted(map(tuple, twice.collect()))
+    assert rows1 == rows2
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.floats(min_value=0.05, max_value=1.0),
+)
+def test_ewma_bounded_by_frame(spark, xs, alpha):
+    """EWMA is a convex combination of frame values: always within
+    [min, max] of its trailing frame; alpha=1 reproduces the input."""
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "ts long, x double"
+    )
+    out = sorted(
+        (r.ts, r.ewma)
+        for r in ewma(df, [], "ts", "x", alpha=alpha, lookback=5)
+        .collect()
+    )
+    for t, y in out:
+        frame = xs[max(0, t - 4): t + 1]
+        assert min(frame) - 1e-9 <= y <= max(frame) + 1e-9
+    if alpha == 1.0:
+        for t, y in out:
+            assert y == xs[t]

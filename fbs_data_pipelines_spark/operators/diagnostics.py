@@ -82,30 +82,22 @@ def chi2_independence(
     two engines reproduce bit-for-bit (same rationale as
     ``timeseries.ewma``).
 
-    Plan shape: ONE corpus shuffle (the combiner-reduced cell
-    count); margins, expected counts, and the fold all run over the
-    |A|·|B|-cell relation (broadcast joins, then a single-row agg).
+    Plan shape: ONE corpus scan and ONE corpus shuffle (the
+    combiner-reduced cell count); margins are WINDOW sums over the
+    |A|·|B|-cell relation (integer sums — order-independent), so the
+    corpus is never rescanned per margin; then a single-row agg.
     """
     cells = df.groupBy(col_a, col_b).agg(F.count("*").alias("__o"))
-    ra = cells.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
-    cb = cells.groupBy(col_b).agg(F.sum("__o").alias("__rb"))
-    n = cells.agg(F.sum("__o").alias("__n"))
-    e = (
-        F.col("__ra").cast("double")
-        * F.col("__rb").cast("double")
-        / F.col("__n").cast("double")
-    )
+    ra = F.sum("__o").over(Window.partitionBy(col_a))
+    rb = F.sum("__o").over(Window.partitionBy(col_b))
+    n = F.sum("__o").over(Window.partitionBy(F.lit(1)))
+    e = ra.cast("double") * rb.cast("double") / n.cast("double")
     contrib = (
         (F.col("__o").cast("double") - e)
         * (F.col("__o").cast("double") - e)
         / e
     )
-    scored = (
-        cells.join(F.broadcast(ra), col_a)
-        .join(F.broadcast(cb), col_b)
-        .crossJoin(F.broadcast(n))
-        .withColumn("__c", contrib)
-    )
+    scored = cells.withColumn("__c", contrib)
     summary = scored.agg(
         F.array_sort(
             F.collect_list(F.struct(col_a, col_b, F.col("__c")))

@@ -83,11 +83,20 @@ def mad_outliers(
     med = df.groupBy(*gcols).agg(
         F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
     )
-    with_med = df.join(F.broadcast(med), gcols)
-    mad = with_med.groupBy(*gcols).agg(
-        F.percentile(
-            F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)
-        ).alias("__mad")
+    # the MAD aggregate CARRIES the median forward (min over a
+    # per-group constant), so the stats relation needs no second
+    # reference to `med` — three corpus scans total (median, MAD,
+    # final projection), the minimum for an uncached exact-MAD
+    # pipeline (a med⋈mad stats join would re-evaluate med's scan)
+    stats = (
+        df.join(F.broadcast(med), gcols)
+        .groupBy(*gcols)
+        .agg(
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)
+            ).alias("__mad"),
+            F.min("__med").alias("__med"),
+        )
     )
     z = F.when(
         F.col("__mad") > 0,
@@ -96,7 +105,7 @@ def mad_outliers(
         / F.col("__mad"),
     )
     return (
-        with_med.join(F.broadcast(mad), gcols)
+        df.join(F.broadcast(stats), gcols)
         .withColumn(z_col, z)
         .withColumn(
             flag_col,

@@ -4129,6 +4129,33 @@ def q_streaming_scd2(spark, sf_dir):
     )
 
 
+def q_benford(spark, sf_dir):
+    """Benford's-law conformance profile
+    (operators/diagnostics.benford_profile — the forensic-audit
+    screen): leading-digit distribution of l_extendedprice vs
+    log10(1+1/d), per-digit observed/expected/deviation/χ² term.
+    Digit extraction is pure double arithmetic
+    (⌊|x|/10^⌊log10|x|⌋⌋ — string rendering differs across engines,
+    math does not); one narrow projection + one 9-group combiner-
+    reduced aggregate. TPC-H prices are uniform-ish, so the profile
+    SHOWS non-conformance — the operator reports, it doesn't
+    verdict."""
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        benford_profile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = benford_profile(li, "l_extendedprice")
+    return out.select(
+        "digit",
+        "n",
+        round_half_up(F.col("obs_p"), 6).alias("obs_p"),
+        round_half_up(F.col("exp_p"), 6).alias("exp_p"),
+        round_half_up(F.col("dev"), 6).alias("dev"),
+        round_half_up(F.col("chi2_term"), 6).alias("chi2_term"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the
     # FIRST 50 entries. The window ROTATES each round so that driver
@@ -4190,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_independence": q_chi2_independence,
         "table_profile": q_table_profile,
         "streaming_scd2": q_streaming_scd2,
+        "benford": q_benford,
         # --- evidence age 3 (r6-era) — the stale tail, drained --------
         "grouped_topk": q_grouped_topk,
         "shared_spans": q_shared_spans,
@@ -4218,9 +4246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "window_range_30d": q_window_range_30d,
         "window_navigation": q_window_navigation,
-        "array_ops": q_array_ops,
         # ==== driver gate window ends here (50 entries) ===============
         # --- age-2 remainder (r7-era) — head of the r11 window ---------
+        "array_ops": q_array_ops,
         "date_parts": q_date_parts,
         "regexp_extract": q_regexp_extract,
         "fuzzy_match": q_fuzzy_match,
@@ -8327,6 +8355,42 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT k, nseg, '2024-01-02', NULL, TRUE
         FROM j WHERE in2 AND oseg <> nseg
+    """
+
+    # benford: identical double arithmetic for the digit
+    # (floor(x/10^floor(log10 x))), 9-cell counts, window total,
+    # log10 expectation
+    sql["benford"] = """
+        WITH base AS (
+            SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS x
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND abs(CAST(l_extendedprice AS DOUBLE)) > 0
+        ), d AS (
+            SELECT CAST(floor(x / pow(10.0, floor(log10(x))))
+                        AS INT) AS digit
+            FROM base
+        ), cells AS (
+            SELECT digit, count(*) AS n FROM d GROUP BY digit
+        ), t AS (
+            SELECT cells.digit, cells.n, sum(n) OVER () AS total
+            FROM cells
+        )
+        SELECT digit, n,
+               floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS obs_p,
+               floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS exp_p,
+               floor((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                      - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS dev,
+               floor((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                      - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                     * (CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                      - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                     / log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
+        FROM t
     """
 
     return sql

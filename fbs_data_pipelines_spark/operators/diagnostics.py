@@ -220,3 +220,45 @@ def table_profile(
             )
         )
     return row.select(F.inline(F.array(*structs)))
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law conformance profile — the forensic-audit screen
+    for fabricated or truncated numeric data: the observed leading-
+    digit distribution of ``value_col`` against Benford's expectation
+    p(d) = log10(1 + 1/d), one row per digit 1–9 with the observed
+    share, expected share, deviation, and the digit's χ² term.
+
+    The leading digit is extracted ARITHMETICALLY
+    (⌊|x| / 10^⌊log10|x|⌋⌋) rather than via string formatting —
+    double→string rendering differs across engines, double math does
+    not. Zero/null values are excluded (they have no leading digit).
+
+    Plan shape: one narrow projection + ONE 9-group combiner-reduced
+    aggregate; the χ² terms are per-digit expressions over the
+    9-row relation. Conformance thresholds (Nigrini's MAD bands)
+    are a judgment call left to the caller — the profile returns the
+    numbers, not a verdict.
+    """
+    x = F.abs(F.col(value_col).cast("double"))
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    cells = (
+        df.filter(F.col(value_col).isNotNull() & (x > 0))
+        .select(digit.cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy(F.lit(1)))
+    obs = F.col("n").cast("double") / total.cast("double")
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    chi2_term = (
+        (obs - exp_p) * (obs - exp_p) / exp_p
+    )
+    return cells.select(
+        "digit",
+        "n",
+        obs.alias("obs_p"),
+        exp_p.alias("exp_p"),
+        (obs - exp_p).alias("dev"),
+        chi2_term.alias("chi2_term"),
+    )

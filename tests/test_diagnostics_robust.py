@@ -303,3 +303,36 @@ def test_table_profile_approx_distinct_mode(spark):
     }
     assert abs(prof["id"].n_distinct - 1000) <= 100
     assert prof["s"].n_distinct == 1
+
+
+def test_benford_profile_digits_and_shares(spark):
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        benford_profile,
+    )
+    import math
+
+    vals = [1.0, 12.0, 150.0, 0.019, 2.5, 30.0, 3.7, 9000.0, 0.0, None]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "x double"
+    )
+    rows = {r.digit: r for r in benford_profile(df, "x").collect()}
+    # zero and null excluded -> 8 values; leading digits:
+    # 1,1,1,1,2,3,3,9
+    assert sum(r.n for r in rows.values()) == 8
+    assert rows[1].n == 4 and rows[2].n == 1 and rows[3].n == 2
+    assert rows[9].n == 1
+    assert abs(rows[1].obs_p - 0.5) < 1e-12
+    assert abs(rows[1].exp_p - math.log10(2.0)) < 1e-12
+    assert abs(rows[1].dev - (0.5 - math.log10(2.0))) < 1e-12
+
+
+def test_benford_subunit_values_use_first_nonzero_digit(spark):
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        benford_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(0.042,), (0.0007,)], "x double"
+    )
+    rows = {r.digit: r.n for r in benford_profile(df, "x").collect()}
+    assert rows == {4: 1, 7: 1}

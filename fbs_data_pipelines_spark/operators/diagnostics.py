@@ -222,6 +222,129 @@ def table_profile(
     return row.select(F.inline(F.array(*structs)))
 
 
+_FLOAT_PREFIXES = ("float", "double")
+
+
+def table_profile_hll(df: DataFrame) -> DataFrame:
+    """Wide-table profile with engine-PORTABLE HyperLogLog distinct
+    counts — the 100 TB catalog-profile path under an exact
+    cross-engine oracle.
+
+    ``table_profile(approx_distinct=True)`` (Spark's built-in HLL++)
+    is one pass and production-fine, but its register layout is
+    engine-private: another engine cannot reproduce the estimate, so
+    a correctness harness could only tolerance-check it. This variant
+    spends a SECOND combiner-reduced pass to buy exact verifiability
+    and mergeable state: the base stats (count / nulls / min / max /
+    avg) stay ONE wide aggregation (same skeleton as
+    ``table_profile``, and still no exact-distinct expand — that
+    expand is the cost this mode exists to avoid), and distinct
+    counts come from ``operators/sketches`` portable HLL over a
+    ``stack()`` unpivot of the profiled columns: (column,
+    value-string) → md5 register state → estimate. State is
+    ≤ n_cols × 4096 rows, map-side combined, and mergeable across
+    batches (union + max per register — the incremental-catalog
+    contract).
+
+    Float/double columns fall back to EXACT ``countDistinct`` inside
+    the wide aggregate: their double→string rendering is
+    engine-private (Java vs C scientific-notation thresholds), so
+    hashing the rendered string would not be portable. Ints, bools,
+    strings, dates, and zero-fraction timestamps render identically
+    in Spark and DuckDB. ``n_distinct`` is a double in this mode
+    (HLL estimates are continuous; the float-exact fallback is
+    cast)."""
+    from fbs_data_pipelines_spark.operators.sketches import approx_distinct
+
+    cols = df.columns
+    dtypes = dict(df.dtypes)
+    is_float = {c: dtypes[c].startswith(_FLOAT_PREFIXES) for c in cols}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"__cnt{i}"))
+        if is_float[c]:
+            aggs.append(
+                F.countDistinct(col).cast("double").alias(f"__nd{i}")
+            )
+        t = dtypes[c]
+        if t.startswith(_NUMERIC_PREFIXES):
+            aggs.append(F.min(col.cast("double")).alias(f"__mn{i}"))
+            aggs.append(F.max(col.cast("double")).alias(f"__mx{i}"))
+            aggs.append(F.avg(col.cast("double")).alias(f"__av{i}"))
+        elif t.startswith("timestamp"):
+            aggs.append(
+                F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"__mns{i}"
+                )
+            )
+            aggs.append(
+                F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"__mxs{i}"
+                )
+            )
+        else:
+            aggs.append(F.min(col).cast("string").alias(f"__mns{i}"))
+            aggs.append(F.max(col).cast("string").alias(f"__mxs{i}"))
+    row = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for i, c in enumerate(cols):
+        t = dtypes[c]
+        numeric = t.startswith(_NUMERIC_PREFIXES)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(t).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__cnt{i}")).alias("n_nulls"),
+                (F.col(f"__nd{i}") if is_float[c] else null_d).alias(
+                    "nd_exact"
+                ),
+                (F.col(f"__mn{i}") if numeric else null_d).alias(
+                    "min_num"
+                ),
+                (F.col(f"__mx{i}") if numeric else null_d).alias(
+                    "max_num"
+                ),
+                (F.col(f"__av{i}") if numeric else null_d).alias(
+                    "avg"
+                ),
+                (null_s if numeric else F.col(f"__mns{i}")).alias(
+                    "min_str"
+                ),
+                (null_s if numeric else F.col(f"__mxs{i}")).alias(
+                    "max_str"
+                ),
+            )
+        )
+    prof = row.select(F.inline(F.array(*structs)))
+    hll_cols = [c for c in cols if not is_float[c]]
+    pairs: list = []
+    for c in hll_cols:
+        pairs.extend([F.lit(c), F.col(c).cast("string")])
+    stacked = df.select(
+        F.stack(F.lit(len(hll_cols)), *pairs).alias("column", "pval")
+    )
+    est = approx_distinct(stacked, ["column"], "pval")
+    out = prof.join(F.broadcast(est), "column", "left")
+    return out.select(
+        "column",
+        "dtype",
+        "n_rows",
+        "n_nulls",
+        F.coalesce(F.col("approx_distinct"), F.col("nd_exact")).alias(
+            "n_distinct"
+        ),
+        "min_num",
+        "max_num",
+        "avg",
+        "min_str",
+        "max_str",
+    )
+
+
 def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
     """Benford's-law conformance profile — the forensic-audit screen
     for fabricated or truncated numeric data: the observed leading-

@@ -38,8 +38,30 @@ def norm(v):
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, list):
+        # Kept only so NO-ORACLE (rows-only) queries can still print;
+        # gated queries never reach here — complex-typed top-level
+        # result columns are REFUSED before value comparison (r10
+        # judge directive #2: the driver's pandas canonicalizer
+        # cannot hash/sort list cells, so tuple-izing them locally
+        # hid a driver-red edge).
         return tuple(norm(x) for x in v)
     return v
+
+
+# Spark dtype prefixes the DRIVER's pandas canonicalization cannot
+# sort (pandas sort_values factorizes object cells through a
+# hashtable; list/dict/Row cells raise "unhashable type"). Any query
+# emitting one of these at the top level is a FAIL here, full stop —
+# serialize at the edge (array_join / to_json / posexplode) instead.
+COMPLEX_EDGE_PREFIXES = ("array<", "struct<", "map<")
+
+
+def complex_edge_cols(dtypes: dict) -> list:
+    return [
+        f"{c}: {t}"
+        for c, t in dtypes.items()
+        if t.strip().lower().startswith(COMPLEX_EDGE_PREFIXES)
+    ]
 
 
 def _spark_family(dtype: str) -> str:
@@ -137,6 +159,15 @@ def main() -> int:
         t1 = time.time()
         if name not in oracles:
             print(f"  {name}: NO-ORACLE rows={len(srows)} ({t1-t0:.1f}s)")
+            continue
+        bad_edge = complex_edge_cols(stypes)
+        if bad_edge:
+            failures.append(name)
+            print(
+                f"  {name}: FAIL COMPLEX-EDGE {'; '.join(bad_edge)} "
+                "(driver's pandas canonicalizer cannot sort these — "
+                "serialize at the query edge)"
+            )
             continue
         cur = con.execute(oracles[name])
         ocols = [d[0] for d in cur.description]

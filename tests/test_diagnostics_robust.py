@@ -305,6 +305,65 @@ def test_table_profile_approx_distinct_mode(spark):
     assert prof["s"].n_distinct == 1
 
 
+def test_table_profile_hll_matches_sketch_and_exact_fallback(spark):
+    """Portable-HLL profile: non-float columns carry the SAME
+    estimate operators/sketches.approx_distinct computes (register
+    parity, not tolerance), float columns fall back to exact
+    countDistinct, and the base stats equal the exact profile's."""
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        table_profile,
+        table_profile_hll,
+    )
+    from fbs_data_pipelines_spark.operators.sketches import (
+        approx_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 7}", float(i % 13) / 3.0, None if i % 5 == 0 else i % 11)
+         for i in range(200)],
+        "id long, s string, v double, k long",
+    )
+    prof = {r.column: r for r in table_profile_hll(df).collect()}
+    exact = {r.column: r for r in table_profile(df).collect()}
+    assert set(prof) == {"id", "s", "v", "k"}
+    # float column: exact fallback, as a double
+    assert prof["v"].n_distinct == float(exact["v"].n_distinct)
+    # non-float columns: bit-equal to the standalone sketch
+    for c in ("id", "s", "k"):
+        sk = approx_distinct(
+            df.select(F.lit(1).alias("g"), F.col(c)), ["g"], c
+        ).collect()[0]["approx_distinct"]
+        assert prof[c].n_distinct == sk, c
+        # and within the configured HLL error of exact (m=4096)
+        assert abs(prof[c].n_distinct - exact[c].n_distinct) <= max(
+            3.0, 0.05 * exact[c].n_distinct
+        ), c
+    # base stats identical to the exact profile
+    for c in prof:
+        for f in ("n_rows", "n_nulls", "min_num", "max_num", "avg",
+                  "min_str", "max_str"):
+            assert getattr(prof[c], f) == getattr(exact[c], f), (c, f)
+
+
+def test_table_profile_hll_no_exact_distinct_expand(spark):
+    """The portable mode must not pay the exact-distinct expand for
+    non-float columns: the optimized plan has no Expand node when
+    all profiled columns are HLL-covered (the expand is exactly what
+    this mode exists to avoid)."""
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        table_profile_hll,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    plan = (
+        table_profile_hll(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+
+
 def test_benford_profile_digits_and_shares(spark):
     from fbs_data_pipelines_spark.operators.diagnostics import (
         benford_profile,

@@ -1,0 +1,111 @@
+"""CDC changelog application (operators/cdc.py) — semantics,
+determinism, and the one-shuffle plan claim."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fbs_data_pipelines_spark.operators.cdc import (
+    SNAPSHOT_SEQ,
+    cdc_apply,
+    cdc_apply_to_snapshot,
+)
+
+SCHEMA = "k long, seq long, op string, v string, amt double"
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_cdc_apply_last_writer_wins_and_deletes(spark):
+    log = _log(
+        spark,
+        [
+            (1, 1, "I", "a", 1.0),
+            (1, 2, "U", "a2", 1.5),
+            (2, 1, "I", "b", 2.0),
+            (2, 2, "D", None, None),
+            (3, 1, "I", "c", 3.0),
+        ],
+    )
+    got = {r.k: r for r in cdc_apply(log, ["k"]).collect()}
+    assert set(got) == {1, 3}  # key 2 deleted
+    assert got[1].v == "a2" and got[1].amt == 1.5 and got[1].seq == 2
+    assert got[3].v == "c" and got[3].seq == 1
+
+
+def test_cdc_apply_delete_then_reinsert_resurrects(spark):
+    log = _log(
+        spark,
+        [
+            (1, 1, "I", "a", 1.0),
+            (1, 2, "D", None, None),
+            (1, 3, "I", "a3", 9.0),
+        ],
+    )
+    got = cdc_apply(log, ["k"]).collect()
+    assert len(got) == 1 and got[0].v == "a3" and got[0].seq == 3
+
+
+def test_cdc_apply_tie_break_is_order_insensitive(spark):
+    """Duplicate seq per key: the struct's lexicographic order (seq,
+    op, payload…) decides, identically for any input order — replays
+    and micro-batch interleavings cannot flip the winner."""
+    rows = [
+        (1, 5, "U", "x", 1.0),
+        (1, 5, "U", "y", 2.0),  # same seq/op, larger payload wins
+        (1, 5, "I", "z", 9.0),  # 'I' < 'U' in the op field
+    ]
+    fwd = cdc_apply(_log(spark, rows), ["k"]).collect()
+    rev = cdc_apply(_log(spark, list(reversed(rows))), ["k"]).collect()
+    assert fwd == rev
+    assert fwd[0].v == "y"  # ('U','y') > ('U','x') > ('I','z')
+
+
+def test_cdc_apply_to_snapshot_union_path(spark):
+    snap = spark.createDataFrame(
+        [(1, "old", 1.0), (2, "keep", 2.0), (3, "gone", 3.0)],
+        "k long, v string, amt double",
+    )
+    log = _log(
+        spark,
+        [
+            (1, 10, "U", "new", 1.5),
+            (3, 10, "D", None, None),
+            (4, 10, "I", "fresh", 4.0),
+        ],
+    )
+    got = {r.k: r for r in cdc_apply_to_snapshot(snap, log, ["k"]).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1].v == "new"
+    assert got[2].v == "keep" and got[2].seq == SNAPSHOT_SEQ
+    assert got[4].v == "fresh"
+
+
+def test_cdc_apply_multi_column_key(spark):
+    log = spark.createDataFrame(
+        [
+            (1, "A", 1, "I", "x"),
+            (1, "A", 2, "U", "x2"),
+            (1, "B", 1, "I", "y"),
+        ],
+        "k1 long, k2 string, seq long, op string, v string",
+    )
+    got = {(r.k1, r.k2): r.v for r in cdc_apply(log, ["k1", "k2"]).collect()}
+    assert got == {(1, "A"): "x2", (1, "B"): "y"}
+
+
+def test_cdc_apply_one_shuffle_no_window(spark):
+    """The scale claim: ONE hash-partitioned exchange (the algebraic
+    max-of-struct aggregate, map-side combined), and no Window/Sort
+    of the event stream."""
+    log = _log(spark, [(1, 1, "I", "a", 1.0), (1, 2, "U", "b", 2.0)])
+    df = cdc_apply(log, ["k"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+    assert "Window" not in final
+    # map-side combine: a partial aggregate appears below the exchange
+    assert "partial_max" in final or "HashAggregate" in final

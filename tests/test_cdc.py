@@ -109,3 +109,47 @@ def test_cdc_apply_one_shuffle_no_window(spark):
     assert "Window" not in final
     # map-side combine: a partial aggregate appears below the exchange
     assert "partial_max" in final or "HashAggregate" in final
+
+
+# --- model-based property test ---------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_event = st.tuples(
+    st.integers(min_value=1, max_value=4),            # key
+    st.integers(min_value=0, max_value=5),            # seq (dups allowed)
+    st.sampled_from(["I", "U", "D"]),                 # op
+    st.sampled_from(["a", "b", "c", None]),           # v
+    st.sampled_from([0.0, 1.5, -2.0]),                # amt
+)
+
+
+def _model(rows):
+    """Reference reduction: per key, max over (seq, op, v, amt) with
+    Python-tuple ordering matching Spark struct ordering (None sorts
+    FIRST, like Spark's nulls-first struct comparison)."""
+    def order_key(r):
+        _, seq, op, v, amt = r
+        return (seq, op, (v is not None, v or ""), amt)
+
+    best: dict = {}
+    for r in rows:
+        k = r[0]
+        if k not in best or order_key(r) > order_key(best[k]):
+            best[k] = r
+    return {
+        k: (seq, v, amt)
+        for k, (_, seq, op, v, amt) in best.items()
+        if op != "D"
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_event, min_size=1, max_size=25))
+def test_cdc_apply_matches_model(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r.k: (r.seq, r.v, r.amt) for r in cdc_apply(df, ["k"]).collect()
+    }
+    assert got == _model(rows)

@@ -1,0 +1,99 @@
+"""Driver-gate dress rehearsal — canonicalize through PANDAS, the
+driver's actual mechanism.
+
+`tools/check_oracle.py` compares sorted Python tuples; the driver
+canonicalizes result frames with pandas ``sort_values`` and hashes.
+Rounds 9 and 10 each shipped a window query that passed the tuple
+compare and died in pandas (tz-aware timestamps; list cells). The
+COMPLEX-EDGE refusal closes the known class — this tool closes the
+UNKNOWN ones by running the exact driver mechanism: for every gate
+query (vanilla default-config session, sf0.01),
+
+  1. Spark result → ``toPandas()``; oracle → DuckDB ``.df()``;
+  2. both frames: columns sorted by name, ``sort_values`` over all
+     columns (the step that crashed r9/r10-class bugs), index reset;
+  3. shape equality + ``pandas.testing.assert_frame_equal`` with
+     ``check_dtype=False`` (the driver canonicalizes integer widths —
+     `sql_qualify`/`udtf_sentences` were gate-green with int32/int64
+     edges) and ``check_exact=True`` for float columns (oracle
+     arithmetic is single-rounded and must be bit-equal).
+
+Usage:
+    PYTHONPATH=/root/repo python tools/driver_dryrun.py [n_window]
+Prints one line per query and a summary; exit 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    out = df[cols]
+    if len(out):
+        out = out.sort_values(by=cols)  # the driver's crash point
+    return out.reset_index(drop=True)
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-dryrun")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name in list(queries)[:n]:
+        t0 = time.time()
+        try:
+            spdf = canon(queries[name](spark, SF_DIR).toPandas())
+            ddf = canon(con.execute(oracles[name]).df())
+        except Exception as exc:
+            failures.append(name)
+            print(f"  {name}: CANON-FAIL {type(exc).__name__}: {exc}"[:300])
+            continue
+        try:
+            if spdf.shape != ddf.shape:
+                raise AssertionError(
+                    f"shape spark={spdf.shape} duck={ddf.shape}"
+                )
+            pd.testing.assert_frame_equal(
+                spdf, ddf, check_dtype=False, check_exact=True,
+                check_names=True,
+            )
+        except AssertionError as exc:
+            failures.append(name)
+            print(f"  {name}: VALUE-FAIL {exc}"[:300])
+            continue
+        print(f"  {name}: OK rows={len(spdf)} ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

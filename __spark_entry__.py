@@ -893,6 +893,64 @@ def q_first_seen(spark, sf_dir):
     return out
 
 
+def q_temporal_join(spark, sf_dir):
+    """Fact-to-SCD2 temporal join (operators/joins.temporal_join —
+    the warehouse enrich-at-event-time primitive): orders join the
+    customer dimension's SCD2 history AS OF each order date, with a
+    deterministic validity GAP planted (every 4th key's first version
+    closes 1997-01-01 and the PROMO re-insert opens 1998-01-01) —
+    facts inside the gap and before the first version get NULL
+    attributes, the correctness case a plain as-of join silently
+    gets wrong (it carries the expired row through the gap). ONE
+    shuffle: asof_join's union+window pass plus a narrow expiry
+    projection — never the naive range join whose candidates
+    multiply by history length. Dates compared as ISO strings on
+    both sides (engine-agnostic ordering); the oracle is the
+    disjoint-interval range LEFT JOIN, which coincides with as-of +
+    expiry exactly because validity intervals are disjoint."""
+    from fbs_data_pipelines_spark.operators.joins import temporal_join
+
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 80)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    null_s = F.lit(None).cast("string")
+    v1 = base.select(
+        "k",
+        "seg",
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit("1997-01-01").alias("valid_to"),
+    )
+    v2_gap = base.filter(F.col("k") % 4 == 0).select(
+        "k",
+        F.lit("PROMO").alias("seg"),
+        F.lit("1998-01-01").alias("valid_from"),
+        null_s.alias("valid_to"),
+    )
+    v2_cont = base.filter(F.col("k") % 4 != 0).select(
+        "k",
+        "seg",
+        F.lit("1997-01-01").alias("valid_from"),
+        null_s.alias("valid_to"),
+    )
+    dim = v1.unionByName(v2_gap).unionByName(v2_cont)
+    fact = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 80)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("k"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("ts"),
+        )
+    )
+    out = temporal_join(fact, dim, "k", "ts", ["seg"])
+    return out.select("o_orderkey", "k", "ts", "seg", "valid_from")
+
+
 def q_variant_json(spark, sf_dir):
     """Spark-4 VARIANT semi-structured surface (parse_json →
     variant_get / try_variant_get): the modern lakehouse JSON path —
@@ -4399,12 +4457,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     under an exact portable-HLL oracle (directive #6); the
         #     CDC apply-changelog primitive (one combiner-reduced
         #     max-of-struct shuffle, never a window rank); the
-        #     streaming OHLC twin gated with real micro-batches; and
-        #     the Spark-4 VARIANT semi-structured surface ------------
+        #     streaming OHLC twin gated with real micro-batches; the
+        #     Spark-4 VARIANT semi-structured surface; and the
+        #     fact-to-SCD2 temporal join (as-of + expiry, one
+        #     shuffle, never a range cross-join) ----------------------
         "table_profile_approx": q_table_profile_approx,
         "cdc_apply": q_cdc_apply,
         "streaming_ohlc": q_streaming_ohlc,
         "variant_json": q_variant_json,
+        "temporal_join": q_temporal_join,
         # --- the ENTIRE age-3 evidence tail (38 r7-era keys — r10
         #     judge directive #5: drain the tail before adding
         #     breadth) ------------------------------------------------
@@ -4448,14 +4509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_share_having": q_value_share_having,
         # --- headline bench suite (age 2): timed every round, and
         #     this round re-gated for correctness too (groupby_having,
-        #     window_rank, and datediff — the three simplest suite
-        #     paths — ceded their slots to the three extra new
-        #     queries; refresh-slot math still honors the
-        #     >=40-to-the-tail directive: 38 age-3 + slot 1 +
-        #     7 headliners = 46) --------------------------------------
+        #     window_rank, datediff, and text_stats — the simplest,
+        #     most unit-covered suite paths — ceded their slots to the
+        #     four extra new queries; refresh-slot math still honors
+        #     the >=40-to-the-tail directive: 38 age-3 + slot 1 +
+        #     6 headliners = 45) --------------------------------------
         "pricing_summary": q_pricing_summary,
         "merge_upsert": q_merge_upsert,
-        "text_stats": q_text_stats,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_topk": q_ann_topk,
         "windowed_rollup": q_windowed_rollup,
@@ -4465,6 +4525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_having": q_groupby_having,
         "window_rank": q_window_rank,
         "datediff": q_datediff,
+        "text_stats": q_text_stats,
         "array_agg": q_array_agg,
         "asof_join": q_asof_join,
         "audit_log": q_audit_log,
@@ -5198,6 +5259,34 @@ def oracle_sql() -> dict[str, str]:
                floor((avg(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 10000.0 + 0.5) / 10000.0
                    AS k_avg
         FROM events GROUP BY event_type
+    """
+
+    # temporal_join: the disjoint-interval range LEFT JOIN — equal to
+    # as-of + expiry exactly because validity intervals are disjoint
+    sql["temporal_join"] = """
+        WITH base AS (
+            SELECT c_custkey AS k, c_mktsegment AS seg
+            FROM customer WHERE c_custkey <= 80
+        ), dim AS (
+            SELECT k, seg, '1995-01-01' AS valid_from,
+                   '1997-01-01' AS valid_to
+            FROM base
+            UNION ALL
+            SELECT k, 'PROMO', '1998-01-01', NULL
+            FROM base WHERE k % 4 = 0
+            UNION ALL
+            SELECT k, seg, '1997-01-01', NULL
+            FROM base WHERE k % 4 <> 0
+        ), fact AS (
+            SELECT o_orderkey, o_custkey AS k,
+                   strftime(o_orderdate, '%Y-%m-%d') AS ts
+            FROM orders WHERE o_custkey <= 80
+        )
+        SELECT f.o_orderkey, f.k, f.ts, d.seg, d.valid_from
+        FROM fact f
+        LEFT JOIN dim d
+          ON f.k = d.k AND f.ts >= d.valid_from
+             AND (d.valid_to IS NULL OR f.ts < d.valid_to)
     """
 
     # variant_json: the VALUES are encoding-agnostic — DuckDB replays

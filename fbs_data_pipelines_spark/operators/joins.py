@@ -149,6 +149,50 @@ def asof_join(
     )
 
 
+def temporal_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    fact_ts: str,
+    attr_cols: Sequence[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Fact-to-SCD2 temporal join: each fact row gets the dimension
+    attributes that were valid AT its event time — the row with the
+    latest ``valid_from <= fact_ts`` whose ``valid_to`` (exclusive;
+    NULL = open) has not passed. Left-join semantics: facts falling
+    in a validity GAP (the key vanished and was later re-inserted)
+    or before the key's first version get NULL attributes — the
+    correctness case a plain as-of join silently gets wrong (it
+    carries the expired row through the gap).
+
+    Scale shape: ``asof_join``'s union + ONE window pass (one
+    shuffle, O(n log n) per key group), then a narrow expiry
+    projection — never the naive range join
+    ``ON k AND ts >= valid_from AND ts < valid_to`` whose candidate
+    fan-out multiplies by history length at 100 TB. ``fact_ts`` and
+    the validity bounds must share a comparable type (ISO-8601
+    strings or timestamps — the caller picks one and the comparison
+    is then engine-agnostic)."""
+    vcols = [*attr_cols, valid_from, valid_to]
+    j = asof_join(fact, dim, on, fact_ts, valid_from, vcols)
+    expired = F.col(valid_to).isNotNull() & (
+        F.col(fact_ts) >= F.col(valid_to)
+    )
+    keep = [c for c in j.columns if c not in vcols]
+    dtypes = dict(j.dtypes)
+    return j.select(
+        *keep,
+        *[
+            F.when(~expired, F.col(c))
+            .otherwise(F.lit(None).cast(dtypes[c]))
+            .alias(c)
+            for c in vcols
+        ],
+    )
+
+
 def latest_snapshot(
     df: DataFrame, partition_by: Sequence[str], order_col: str
 ) -> DataFrame:

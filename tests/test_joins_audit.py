@@ -485,3 +485,66 @@ def test_scd2_apply_null_safe_attr_compare(spark):
         (2, None, "2023-01-01", "2024-01-01", False),
         (2, "X", "2024-01-01", None, True),
     }
+
+
+def test_temporal_join_validity_and_gaps(spark):
+    """Fact-to-SCD2 temporal join: exact valid_from boundary matches,
+    exact valid_to boundary has expired (exclusive), a validity GAP
+    and a before-first-version fact both yield NULL attributes — the
+    case a plain as-of join gets wrong."""
+    from fbs_data_pipelines_spark.operators.joins import temporal_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", "2024-01-01", "2024-02-01"),
+            (1, "v2", "2024-03-01", None),  # gap: Feb 2024
+            (2, "w1", "2024-01-01", None),  # open-ended
+        ],
+        "k long, seg string, valid_from string, valid_to string",
+    )
+    fact = spark.createDataFrame(
+        [
+            (10, 1, "2024-01-01"),  # == valid_from -> v1
+            (11, 1, "2024-01-31"),  # inside v1
+            (12, 1, "2024-02-01"),  # == valid_to (exclusive) -> gap
+            (13, 1, "2024-02-15"),  # gap -> null
+            (14, 1, "2024-03-01"),  # v2 opens
+            (15, 1, "2023-12-31"),  # before first version -> null
+            (16, 2, "2024-06-01"),  # open-ended match
+            (17, 3, "2024-01-01"),  # key absent from dim -> null
+        ],
+        "fid long, k long, ts string",
+    )
+    out = {
+        r.fid: (r.seg, r.valid_from)
+        for r in temporal_join(fact, dim, "k", "ts", ["seg"]).collect()
+    }
+    assert len(out) == 8  # left-join: every fact survives
+    assert out[10] == ("v1", "2024-01-01")
+    assert out[11] == ("v1", "2024-01-01")
+    assert out[12] == (None, None)
+    assert out[13] == (None, None)
+    assert out[14] == ("v2", "2024-03-01")
+    assert out[15] == (None, None)
+    assert out[16] == ("w1", "2024-01-01")
+    assert out[17] == (None, None)
+
+
+def test_temporal_join_one_shuffle(spark):
+    """The scale claim: one window exchange (asof's union+window),
+    no join node, no range cross-product."""
+    from fbs_data_pipelines_spark.operators.joins import temporal_join
+
+    dim = spark.createDataFrame(
+        [(1, "v1", "2024-01-01", None)],
+        "k long, seg string, valid_from string, valid_to string",
+    )
+    fact = spark.createDataFrame(
+        [(10, 1, "2024-02-01")], "fid long, k long, ts string"
+    )
+    df = temporal_join(fact, dim, "k", "ts", ["seg"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final and "Cartesian" not in final
+    assert final.count("Window") == 1

@@ -4331,12 +4331,17 @@ def q_streaming_ohlc(spark, sf_dir):
     import os as _os
     import shutil as _sh
     import tempfile as _tf
+    import uuid as _uuid
 
     from fbs_data_pipelines_spark.streaming.merge import windowed_ohlc
 
+    # uuid-keyed temp dir: concurrent runs on the same sf (pytest
+    # contract test + check_oracle) must not race on rmtree /
+    # checkpoint / sink (r11 advisor).
     base = _os.path.join(
         _tf.gettempdir(),
-        f"fbs_q_streaming_ohlc_{_os.path.basename(sf_dir.rstrip('/'))}",
+        f"fbs_q_streaming_ohlc_{_os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_uuid.uuid4().hex[:12]}",
     )
     _sh.rmtree(base, ignore_errors=True)
     src = _os.path.join(base, "batches")
@@ -4379,12 +4384,19 @@ def q_streaming_ohlc(spark, sf_dir):
         .start()
     )
     try:
-        q.awaitTermination(180)
+        finished = q.awaitTermination(180)
     finally:
         if q.isActive:
             q.stop()
-    out = spark.read.parquet(sink)
-    return out.select(
+    if not finished:
+        # Fail loudly rather than reading a possibly-partial sink
+        # (r11 advisor): a timed-out availableNow query means the
+        # result is undefined.
+        raise TimeoutError(
+            "q_streaming_ohlc: streaming query did not terminate "
+            "within 180s — refusing to read a partial sink"
+        )
+    out = spark.read.parquet(sink).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
         ),
@@ -4395,6 +4407,11 @@ def q_streaming_ohlc(spark, sf_dir):
         "close",
         "n",
     )
+    # Localize the small (O(windows)) result so the uuid-keyed temp
+    # dir can be removed immediately instead of leaking per run.
+    rows, schema = out.collect(), out.schema
+    _sh.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def q_benford(spark, sf_dir):
@@ -5291,11 +5308,14 @@ def oracle_sql() -> dict[str, str]:
 
     # variant_json: the VALUES are encoding-agnostic — DuckDB replays
     # the typed '$.k' get and the missing-path probe with its JSON
-    # functions (Spark's side goes through the VARIANT binary form)
+    # functions (Spark's side goes through the VARIANT binary form).
+    # The outer CAST(... AS BIGINT) is load-bearing: DuckDB's
+    # sum(BIGINT) returns HUGEINT, which pandas materializes as
+    # float64 and the driver's value hash is type-exact (r11 red row).
     sql["variant_json"] = """
         SELECT event_type, count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                   AS k_sum,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
                floor((avg(CAST(json_extract_string(props, '$.k')
                                AS BIGINT))) * 10000.0 + 0.5) / 10000.0
                    AS k_avg,

@@ -27,7 +27,7 @@ Scale design (the reason this is NOT a window rank):
   dormant.
 
 Reference parity: generalizes the reference's join-based upsert
-(`/root/reference/src/authlog_handler.py` get_table_updated — its
+(`/root/reference/src/log_handler.py:99-128` get_table_updated — its
 merge is the seq-free two-source special case) to N out-of-order
 sources with deletes.
 """
@@ -65,7 +65,11 @@ def cdc_apply(
         *[F.col(c).alias(c) for c in payload],
     )
     won = changelog.groupBy(*keys).agg(F.max(packed).alias("__w"))
-    alive = won.filter(~F.col("__w.__op").isin(*delete_ops))
+    # NULL-safe: ~isin is three-valued, so a winning event with NULL op
+    # would evaluate to NULL and be silently dropped (i.e. treated as a
+    # delete). A NULL op is "not a delete" — keep the key.
+    op = F.col("__w.__op")
+    alive = won.filter((~op.isin(*delete_ops)) | op.isNull())
     return alive.select(
         *keys,
         F.col("__w.__seq").alias(seq_col),

@@ -253,7 +253,14 @@ def table_profile_hll(df: DataFrame) -> DataFrame:
     strings, dates, and zero-fraction timestamps render identically
     in Spark and DuckDB. ``n_distinct`` is a double in this mode
     (HLL estimates are continuous; the float-exact fallback is
-    cast)."""
+    cast).
+
+    Plan-shape caveat (r11 advisor): "no exact-distinct expand" holds
+    only when every profiled column is HLL-covered. Each float/double
+    column's ``countDistinct`` fallback reintroduces one Expand in the
+    wide aggregate — bounded by the number of float columns, not by
+    n_cols, and still one pass; an all-HLL schema plans with zero
+    Expand (asserted in tests)."""
     from fbs_data_pipelines_spark.operators.sketches import approx_distinct
 
     cols = df.columns
@@ -321,22 +328,31 @@ def table_profile_hll(df: DataFrame) -> DataFrame:
         )
     prof = row.select(F.inline(F.array(*structs)))
     hll_cols = [c for c in cols if not is_float[c]]
-    pairs: list = []
-    for c in hll_cols:
-        pairs.extend([F.lit(c), F.col(c).cast("string")])
-    stacked = df.select(
-        F.stack(F.lit(len(hll_cols)), *pairs).alias("column", "pval")
-    )
-    est = approx_distinct(stacked, ["column"], "pval")
-    out = prof.join(F.broadcast(est), "column", "left")
+    if hll_cols:
+        # stack(0) is an analysis error — only unpivot when there is
+        # at least one HLL-covered (non-float) column.
+        pairs: list = []
+        for c in hll_cols:
+            pairs.extend([F.lit(c), F.col(c).cast("string")])
+        stacked = df.select(
+            F.stack(F.lit(len(hll_cols)), *pairs).alias("column", "pval")
+        )
+        est = approx_distinct(stacked, ["column"], "pval")
+        out = prof.join(F.broadcast(est), "column", "left")
+    else:
+        out = prof.withColumn(
+            "approx_distinct", F.lit(None).cast("double")
+        )
+    # An all-NULL non-float column has no HLL group row AND a null
+    # nd_exact — its distinct count is 0, not unknown.
     return out.select(
         "column",
         "dtype",
         "n_rows",
         "n_nulls",
-        F.coalesce(F.col("approx_distinct"), F.col("nd_exact")).alias(
-            "n_distinct"
-        ),
+        F.coalesce(
+            F.col("approx_distinct"), F.col("nd_exact"), F.lit(0.0)
+        ).alias("n_distinct"),
         "min_num",
         "max_num",
         "avg",

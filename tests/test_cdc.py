@@ -83,6 +83,23 @@ def test_cdc_apply_to_snapshot_union_path(spark):
     assert got[4].v == "fresh"
 
 
+def test_cdc_apply_null_op_is_kept(spark):
+    """r11 advisor: ~isin is three-valued — a winning event with NULL
+    op must be KEPT (NULL is not a delete), not silently dropped."""
+    log = _log(
+        spark,
+        [
+            (1, 1, "I", "a", 1.0),
+            (1, 2, None, "a2", 2.0),  # NULL op wins on seq
+            (2, 1, None, "b", 3.0),   # only event has NULL op
+            (3, 1, "D", None, None),  # real delete still drops
+        ],
+    )
+    got = {r.k: r for r in cdc_apply(log, ["k"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].v == "a2" and got[2].v == "b"
+
+
 def test_cdc_apply_multi_column_key(spark):
     log = spark.createDataFrame(
         [

@@ -364,6 +364,42 @@ def test_table_profile_hll_no_exact_distinct_expand(spark):
     assert "Expand" not in plan
 
 
+def test_table_profile_hll_all_float_schema(spark):
+    """Edge schema (r11 advisor): every column float/double leaves
+    hll_cols empty — the profile must not plan a stack(0) analysis
+    error; every n_distinct comes from the exact fallback."""
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        table_profile_hll,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 3), float(i % 5) / 2.0) for i in range(20)],
+        "a double, b double",
+    )
+    prof = {r.column: r for r in table_profile_hll(df).collect()}
+    assert prof["a"].n_distinct == 3.0
+    assert prof["b"].n_distinct == 5.0
+
+
+def test_table_profile_hll_all_null_column_is_zero(spark):
+    """Edge (r11 advisor): a non-float column with zero non-null
+    values gets no HLL group row — n_distinct must be 0.0 (matching
+    table_profile), not NULL."""
+    from fbs_data_pipelines_spark.operators.diagnostics import (
+        table_profile,
+        table_profile_hll,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(10)], "id long, s string"
+    )
+    prof = {r.column: r for r in table_profile_hll(df).collect()}
+    exact = {r.column: r for r in table_profile(df).collect()}
+    assert prof["s"].n_distinct == 0.0
+    assert float(exact["s"].n_distinct) == 0.0
+    assert prof["s"].n_nulls == 10
+
+
 def test_benford_profile_digits_and_shares(spark):
     from fbs_data_pipelines_spark.operators.diagnostics import (
         benford_profile,

@@ -16,7 +16,15 @@ query (vanilla default-config session, sf0.01),
      ``check_dtype=False`` (the driver canonicalizes integer widths —
      `sql_qualify`/`udtf_sentences` were gate-green with int32/int64
      edges) and ``check_exact=True`` for float columns (oracle
-     arithmetic is single-rounded and must be bit-equal).
+     arithmetic is single-rounded and must be bit-equal);
+  4. dtype-KIND parity per column (r11 directive #2a: the r11
+     `variant_json` red row was Spark int64 vs DuckDB HUGEINT→float64
+     — values equal under ``check_dtype=False``, hash-fatal at the
+     driver). Integer widths/signedness are interchangeable (r10
+     driver evidence); int↔float, int↔object, and float↔object are
+     REFUSED. Other kind pairs (e.g. datetime-vs-object date cells)
+     are representation details pandas canonicalizes and the driver
+     has repeatedly hash-matched — not refused.
 
 Usage:
     PYTHONPATH=/root/repo python tools/driver_dryrun.py [n_window]
@@ -44,6 +52,35 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     if len(out):
         out = out.sort_values(by=cols)  # the driver's crash point
     return out.reset_index(drop=True)
+
+
+#: unordered kind pairs the driver's type-exact hash refuses
+#: (int↔float is the r11 variant_json red row)
+_REFUSED_KIND_PAIRS = {
+    frozenset({"i", "f"}),
+    frozenset({"u", "f"}),
+    frozenset({"i", "O"}),
+    frozenset({"u", "O"}),
+    frozenset({"f", "O"}),
+}
+
+
+def kind_refusals(spdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    """Per-column dtype-KIND parity: return the refused columns.
+
+    Integer widths AND signedness are interchangeable ('i'/'u' — r10
+    driver evidence: int32 edges hash-matched). int-vs-float,
+    int-vs-object, float-vs-object are fatal (r11 red row class)."""
+    bad = []
+    for c in spdf.columns:
+        if c not in ddf.columns:
+            continue
+        sk, dk = spdf[c].dtype.kind, ddf[c].dtype.kind
+        if sk == dk or {sk, dk} <= {"i", "u"}:
+            continue
+        if frozenset({sk, dk}) in _REFUSED_KIND_PAIRS:
+            bad.append(f"{c}: spark kind '{sk}' vs oracle kind '{dk}'")
+    return bad
 
 
 def main() -> int:
@@ -86,6 +123,9 @@ def main() -> int:
                 spdf, ddf, check_dtype=False, check_exact=True,
                 check_names=True,
             )
+            refused = kind_refusals(spdf, ddf)
+            if refused:
+                raise AssertionError(f"KIND-FAIL {refused}")
         except AssertionError as exc:
             failures.append(name)
             print(f"  {name}: VALUE-FAIL {exc}"[:300])

@@ -1,0 +1,114 @@
+"""ONE final-gate command, run on the FINAL tree — r11 judge
+directive #3.
+
+r11's red row shipped because the type audit ran at registry 184 and
+two queries landed later; nothing forced a re-run. This tool makes
+"the audits ran on the tree you shipped" a single invocation whose
+stamp names the git hash it ran against — if the hash in EVIDENCE
+differs from the round's last commit, the gate did not run on the
+final tree and the stamp says so.
+
+Runs, in order (each step's full output goes to /tmp/final_gate/):
+
+  1. full-registry check_oracle           (local mimic, sf0.01)
+  2. check_oracle --vanilla <new/changed> (driver-exact session)
+  3. driver_dryrun [window]               (pandas canonicalization)
+  4. type_audit                           (registry-wide, KIND-level)
+  5. plan_audit <new/changed>             (scale plan properties)
+  6. ledger_check --check                 (README ledger drift)
+
+Usage:
+    PYTHONPATH=/root/repo python tools/final_gate.py [--window N] \
+        [new_or_changed_query ...]
+
+Exit 0 only if every step passes. Paste the printed stamp block into
+EVIDENCE_r{N}.md verbatim.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG_DIR = "/tmp/final_gate"
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+
+
+def _run(step: str, cmd: list[str]) -> tuple[str, bool, float]:
+    os.makedirs(LOG_DIR, exist_ok=True)
+    log = os.path.join(LOG_DIR, f"{step}.log")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    t0 = time.time()
+    with open(log, "w") as fh:
+        rc = subprocess.run(
+            cmd, cwd=REPO, env=env, stdout=fh, stderr=subprocess.STDOUT
+        ).returncode
+    dt = time.time() - t0
+    ok = rc == 0
+    tail = ""
+    if not ok:
+        with open(log) as fh:
+            tail = "".join(fh.readlines()[-15:])
+    print(f"  [{'PASS' if ok else 'FAIL'}] {step} ({dt:.0f}s) -> {log}")
+    if tail:
+        print(tail)
+    return step, ok, dt
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    window = 50
+    if "--window" in args:
+        i = args.index("--window")
+        window = int(args[i + 1])
+        del args[i : i + 2]
+    changed = args  # new/changed window entries this round
+
+    head = _git("rev-parse", "HEAD")
+    dirty = bool(_git("status", "--porcelain"))
+    py = sys.executable
+    print(f"final_gate @ {head[:12]}{' (DIRTY TREE)' if dirty else ''}")
+    print(f"changed entries: {changed or '(none given)'}\n")
+
+    steps: list[tuple[str, bool, float]] = []
+    steps.append(_run("check_oracle_full", [py, "tools/check_oracle.py"]))
+    if changed:
+        steps.append(
+            _run(
+                "check_oracle_vanilla_changed",
+                [py, "tools/check_oracle.py", "--vanilla", *changed],
+            )
+        )
+    steps.append(
+        _run("driver_dryrun_window", [py, "tools/driver_dryrun.py", str(window)])
+    )
+    steps.append(_run("type_audit_registry", [py, "tools/type_audit.py"]))
+    if changed:
+        steps.append(_run("plan_audit_changed", [py, "tools/plan_audit.py", *changed]))
+    steps.append(_run("ledger_check", [py, "tools/ledger_check.py", "--check"]))
+
+    all_ok = all(ok for _, ok, _ in steps)
+    total = sum(dt for _, _, dt in steps)
+    print("\n===== FINAL GATE STAMP (paste into EVIDENCE) =====")
+    print(f"git hash: {head}{' DIRTY — re-run after committing!' if dirty else ''}")
+    print(f"window size: {window}; changed entries: {changed or 'none'}")
+    for step, ok, dt in steps:
+        print(f"  {step}: {'PASS' if ok else 'FAIL'} ({dt:.0f}s)")
+    print(f"result: {'ALL PASS' if all_ok else 'FAILURES PRESENT'} "
+          f"(total {total:.0f}s; logs in {LOG_DIR}/)")
+    print("NOTE: local mimic of the driver gate — label as 'local "
+          "sweep' in commits/EVIDENCE, never as driver evidence.")
+    print("==================================================")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

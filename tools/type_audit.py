@@ -3,11 +3,25 @@
 The driver's correctness hash is type-sensitive (Arrow-level), so a
 DuckDB HUGEINT/DECIMAL result vs a Spark bigint/double result can
 hash-mismatch even with identical values (seen on `simhash` in
-round 1). This audit LIMIT-0-executes every oracle in DuckDB, fetches
-the Arrow schema, and compares against the Spark query's schema on a
-common type lattice.
+round 1, again on `variant_json` in round 11). This audit executes
+every oracle in DuckDB at sf0.001, fetches the Arrow schema, and
+compares against the Spark query's schema on a common type lattice.
 
-    PYTHONPATH=/root/repo python tools/type_audit.py
+Diffs are classified by the driver's OBSERVED contract (r10/r11
+evidence): integer WIDTH diffs (int32 vs int64) hash-matched at the
+driver (`sql_qualify.price_rank`, `udtf_sentences.idx`, gate-green
+r10) and are reported as WIDTH-ONLY, allowed; KIND diffs (int vs
+float/decimal/string, float vs decimal, …) are fatal — that is
+exactly the r11 `variant_json` red row (Spark int64 vs DuckDB
+HUGEINT→float64).
+
+    PYTHONPATH=/root/repo python tools/type_audit.py [names…]
+        exit 1 on any KIND diff; width-only diffs are informational
+    PYTHONPATH=/root/repo python tools/type_audit.py --strict
+        exit 1 on width-only diffs too
+
+``tests/test_type_audit.py`` runs the KIND audit registry-wide under
+pytest so it cannot be skipped at round end (r11 judge directive #2b).
 """
 
 from __future__ import annotations
@@ -60,6 +74,48 @@ SPARK_CANON = {
     "timestamp": "timestamp", "timestamp_ntz": "timestamp",
     "binary": "binary",
 }
+
+
+import re as _re
+
+
+def kind_canon(c: str) -> str:
+    """Collapse integer widths to one kind token, recursively through
+    list<>/struct<> — the driver's observed equivalence (integer
+    widths interchangeable, every other type exact)."""
+    return _re.sub(r"\bint(8|16|32|64)\b", "int", c)
+
+
+def classify_diffs(
+    stypes: dict[str, str], otypes: dict[str, str]
+) -> tuple[dict, dict]:
+    """Split per-column canonical-type diffs into (kind_diffs,
+    width_only_diffs). kind_diffs are driver-fatal."""
+    kind_diffs: dict = {}
+    width_only: dict = {}
+    for c in set(stypes) | set(otypes):
+        s, o = stypes.get(c), otypes.get(c)
+        if s == o:
+            continue
+        if (
+            s is not None
+            and o is not None
+            and kind_canon(s) == kind_canon(o)
+        ):
+            width_only[c] = (s, o)
+        else:
+            kind_diffs[c] = (s, o)
+    return kind_diffs, width_only
+
+
+def audit_one(spark, con, fn, oracle_sql: str, sf_dir: str = SF_DIR):
+    """Return (kind_diffs, width_only_diffs) for one query/oracle
+    pair. Raises whatever the query or oracle raises."""
+    sdf = fn(spark, sf_dir)
+    stypes = {c: canon_spark(t) for c, t in sdf.dtypes}
+    tbl = con.execute(oracle_sql).arrow()
+    otypes = {f.name: canon_arrow(f.type) for f in tbl.schema}
+    return classify_diffs(stypes, otypes)
 
 
 def canon_spark(dt: str) -> str:
@@ -119,30 +175,33 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    only = set(sys.argv[1:])
+    strict = "--strict" in sys.argv
+    only = {a for a in sys.argv[1:] if a != "--strict"}
     flagged = []
+    width_notes = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
         if name not in oracles:
             continue
         try:
-            sdf = fn(spark, SF_DIR)
-            stypes = {c: canon_spark(t) for c, t in sdf.dtypes}
-            tbl = con.execute(oracles[name]).arrow()
-            otypes = {f.name: canon_arrow(f.type) for f in tbl.schema}
+            kind_diffs, width_only = audit_one(
+                spark, con, fn, oracles[name]
+            )
         except Exception as exc:  # pragma: no cover - audit tool
             flagged.append(name)
             print(f"  {name}: ERROR {type(exc).__name__}: {exc}")
             continue
-        diffs = {
-            c: (stypes.get(c), otypes.get(c))
-            for c in set(stypes) | set(otypes)
-            if stypes.get(c) != otypes.get(c)
-        }
-        if diffs:
+        if kind_diffs:
             flagged.append(name)
-            print(f"  {name}: TYPE-DIFF {diffs}")
+            print(f"  {name}: TYPE-DIFF {kind_diffs}")
+        if width_only:
+            width_notes.append(name)
+            print(f"  {name}: WIDTH-ONLY (driver-forgiven) {width_only}")
+            if strict:
+                flagged.append(name)
+    if width_notes:
+        print(f"\n{len(width_notes)} width-only: {width_notes}")
     print(f"\n{len(flagged)} flagged: {flagged}")
     return 1 if flagged else 0
 

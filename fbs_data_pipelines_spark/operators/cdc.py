@@ -44,6 +44,50 @@ from pyspark.sql import functions as F
 SNAPSHOT_SEQ = -(1 << 62)
 
 
+def cdc_winners(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Per-key winning event, KEEPING delete tombstones and the op
+    column — the mergeable STATE form of CDC reduction: the winners
+    of (state ∪ new-events) equal the winners of the full history, so
+    a stored winners table folds incrementally batch after batch with
+    arbitrary cross-batch disorder (a straggler older than a retained
+    tombstone loses to it instead of wrongly resurrecting the key).
+    Same one-shuffle algebraic max(struct(...)) as ``cdc_apply``."""
+    keys = list(key_cols)
+    payload = [c for c in changelog.columns if c not in (*keys, seq_col, op_col)]
+    packed: Column = F.struct(
+        F.col(seq_col).alias("__seq"),
+        F.col(op_col).alias("__op"),
+        *[F.col(c).alias(c) for c in payload],
+    )
+    won = changelog.groupBy(*keys).agg(F.max(packed).alias("__w"))
+    return won.select(
+        *keys,
+        F.col("__w.__seq").alias(seq_col),
+        F.col("__w.__op").alias(op_col),
+        *[F.col(f"__w.{c}").alias(c) for c in payload],
+    )
+
+
+def cdc_snapshot(
+    state: DataFrame,
+    op_col: str = "op",
+    delete_ops: Sequence[str] = ("D",),
+) -> DataFrame:
+    """Live snapshot from a winners-state table: drop tombstones and
+    the op column. NULL-safe: ~isin is three-valued, so a winning
+    event with NULL op would evaluate to NULL and be silently dropped
+    (i.e. treated as a delete). A NULL op is "not a delete" — keep
+    the key."""
+    op = F.col(op_col)
+    alive = state.filter((~op.isin(*delete_ops)) | op.isNull())
+    return alive.drop(op_col)
+
+
 def cdc_apply(
     changelog: DataFrame,
     key_cols: Sequence[str],
@@ -57,24 +101,8 @@ def cdc_apply(
     ``delete_ops`` are dropped. Returns key columns + payload columns
     (everything except op; seq is kept as ``seq_col`` so incremental
     consumers can resume)."""
-    keys = list(key_cols)
-    payload = [c for c in changelog.columns if c not in (*keys, seq_col, op_col)]
-    packed: Column = F.struct(
-        F.col(seq_col).alias("__seq"),
-        F.col(op_col).alias("__op"),
-        *[F.col(c).alias(c) for c in payload],
-    )
-    won = changelog.groupBy(*keys).agg(F.max(packed).alias("__w"))
-    # NULL-safe: ~isin is three-valued, so a winning event with NULL op
-    # would evaluate to NULL and be silently dropped (i.e. treated as a
-    # delete). A NULL op is "not a delete" — keep the key.
-    op = F.col("__w.__op")
-    alive = won.filter((~op.isin(*delete_ops)) | op.isNull())
-    return alive.select(
-        *keys,
-        F.col("__w.__seq").alias(seq_col),
-        *[F.col(f"__w.{c}").alias(c) for c in payload],
-    )
+    won = cdc_winners(changelog, key_cols, seq_col, op_col)
+    return cdc_snapshot(won, op_col, delete_ops)
 
 
 def cdc_apply_to_snapshot(

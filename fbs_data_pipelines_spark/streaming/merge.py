@@ -448,3 +448,67 @@ def streaming_scd2_apply(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_cdc_apply(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> StreamingQuery:
+    """Streaming CDC materialization — the production shape of
+    ``operators/cdc.py``: changelog micro-batches fold onto a
+    ``VersionedTable`` via foreachBatch, crash-replay-safe, with
+    EVERY intermediate snapshot time-travelable (``read(version)``)
+    — the streaming twin that completes CDC the way
+    ``streaming_scd2_apply`` completed SCD2.
+
+    State = the per-key WINNERS table (``cdc_winners``), tombstones
+    INCLUDED: winners(state ∪ batch) ≡ winners(full history), so the
+    fold is
+
+    * order-correct under arbitrary cross-batch disorder — a
+      straggler event older than a retained delete tombstone loses
+      to it instead of wrongly resurrecting the key (the classic
+      tombstone problem a drop-deletes-per-batch fold gets wrong);
+    * one combiner-reduced shuffle per micro-batch, state-sized
+      (≤ |keys| rows), never re-scanning the changelog history;
+    * exactly-once: the winners fold is NOT idempotent-free under
+      replay in general (a replayed batch is absorbed by the max —
+      but commit itself would double-append a version), so the batch
+      id rides transactionally in ``commit_meta`` (written BEFORE the
+      data, same protocol as ``streaming_incremental_rollup``) and a
+      crash-replayed batch sees its own id on the live version and
+      skips.
+
+    Read the live snapshot with ``cdc_snapshot(vt.read())`` (drops
+    tombstones + op); long-running tables can compact tombstones out
+    once upstream guarantees no straggler older than them remains
+    (retention watermark — caller policy, like Kafka compaction).
+    """
+    from fbs_data_pipelines_spark.operators.cdc import cdc_winners
+    from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+
+    keys = list(key_cols)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        t = VersionedTable(sp, table_path)
+        live = t.latest_version()
+        events = batch_df
+        if live is not None:
+            info = t.commit_info(live) or {}
+            if info.get("batch_id", -1) >= batch_id:
+                return  # crash-replay of an already-folded batch
+            events = t.read(live).unionByName(batch_df)
+        new_state = cdc_winners(events, keys, seq_col, op_col)
+        t.commit(new_state, commit_meta={"batch_id": batch_id})
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

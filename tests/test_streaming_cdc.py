@@ -1,0 +1,169 @@
+"""Streaming CDC materialization (streaming/merge.streaming_cdc_apply)
+— fold semantics vs the batch operator, tombstone correctness under
+cross-batch disorder, checkpoint resume, crash-replay exactly-once,
+and time travel over intermediate snapshots."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from fbs_data_pipelines_spark.operators.cdc import (
+    cdc_apply,
+    cdc_snapshot,
+    cdc_winners,
+)
+from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+from fbs_data_pipelines_spark.streaming.merge import streaming_cdc_apply
+
+SCHEMA = "k long, seq long, op string, v string"
+
+
+@pytest.fixture()
+def base_dir():
+    p = tempfile.mkdtemp(prefix="scdc_")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _write_batch(src: str, name: str, rows: list[str]) -> None:
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        f.write("k,seq,op,v\n" + "".join(r + "\n" for r in rows))
+
+
+def _run(spark, src: str, table: str, ckpt: str) -> None:
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .csv(src, header=True)
+    )
+    q = streaming_cdc_apply(stream, table, ckpt, ["k"])
+    assert q.awaitTermination(120)
+
+
+def _snap(spark, table: str) -> dict:
+    t = VersionedTable(spark, table)
+    return {
+        r.k: (r.seq, r.v) for r in cdc_snapshot(t.read()).collect()
+    }
+
+
+def test_streaming_fold_equals_batch_cdc_apply(spark, base_dir):
+    """winners(state ∪ batch) ≡ winners(full history): the streamed
+    snapshot must equal cdc_apply over the concatenated changelog."""
+    src = os.path.join(base_dir, "src")
+    _write_batch(src, "b1.csv", ["1,1,I,a", "2,1,I,b", "3,1,I,c"])
+    _write_batch(src, "b2.csv", ["1,2,U,a2", "2,2,D,", "4,1,I,d"])
+    _run(spark, src, os.path.join(base_dir, "t"), os.path.join(base_dir, "c"))
+
+    got = _snap(spark, os.path.join(base_dir, "t"))
+    full = spark.read.schema(SCHEMA).csv(src, header=True)
+    want = {
+        r.k: (r.seq, r.v)
+        for r in cdc_apply(full, ["k"]).collect()
+    }
+    assert got == want == {
+        1: (2, "a2"), 3: (1, "c"), 4: (1, "d"),
+    }
+
+
+def test_tombstone_blocks_cross_batch_straggler(spark, base_dir):
+    """The reason state keeps tombstones: a straggler UPDATE arriving
+    in a LATER batch with a seq below an already-applied delete must
+    NOT resurrect the key (a drop-deletes-per-batch fold gets this
+    wrong)."""
+    src = os.path.join(base_dir, "src")
+    _write_batch(src, "b1.csv", ["9,5,D,", "8,1,I,x"])
+    _write_batch(src, "b2.csv", ["9,3,U,ghost"])
+    table = os.path.join(base_dir, "t")
+    _run(spark, src, table, os.path.join(base_dir, "c"))
+
+    assert _snap(spark, table) == {8: (1, "x")}
+    # the tombstone is still in state, guarding future stragglers
+    t = VersionedTable(spark, table)
+    state = {r.k: r.op for r in t.read().collect()}
+    assert state[9] == "D"
+
+
+def test_checkpoint_resume_folds_only_new_files(spark, base_dir):
+    """Restart with the SAME checkpoint after new files land: only
+    the new micro-batches fold (one new version per new file)."""
+    src = os.path.join(base_dir, "src")
+    table = os.path.join(base_dir, "t")
+    ckpt = os.path.join(base_dir, "c")
+    _write_batch(src, "b1.csv", ["1,1,I,a", "2,1,I,b"])
+    _run(spark, src, table, ckpt)
+    v1 = VersionedTable(spark, table).latest_version()
+
+    _write_batch(src, "b2.csv", ["1,2,U,a2", "3,1,I,c"])
+    _run(spark, src, table, ckpt)
+    t = VersionedTable(spark, table)
+    assert t.latest_version() == v1 + 1  # exactly one new fold
+    assert _snap(spark, table) == {
+        1: (2, "a2"), 2: (1, "b"), 3: (1, "c"),
+    }
+
+
+def test_crash_replay_skips_applied_batches(spark, base_dir):
+    """Full replay with a FRESH checkpoint (batch ids restart at 0):
+    every batch sees an already-applied id on the live version and
+    skips — no duplicate versions, state unchanged (the transactional
+    commit_meta batch-id protocol)."""
+    src = os.path.join(base_dir, "src")
+    table = os.path.join(base_dir, "t")
+    _write_batch(src, "b1.csv", ["1,1,I,a"])
+    _write_batch(src, "b2.csv", ["1,2,U,a2", "2,1,I,b"])
+    _run(spark, src, table, os.path.join(base_dir, "c1"))
+    t = VersionedTable(spark, table)
+    v_after = t.latest_version()
+    assert (t.commit_info(v_after) or {}).get("batch_id") == 1
+
+    _run(spark, src, table, os.path.join(base_dir, "c2"))
+    t2 = VersionedTable(spark, table)
+    assert t2.latest_version() == v_after
+    assert _snap(spark, table) == {1: (2, "a2"), 2: (1, "b")}
+
+
+def test_intermediate_snapshots_time_travel(spark, base_dir):
+    """Every micro-batch commit is a readable version: the snapshot
+    AS OF each fold is reconstructable (lakehouse CDC audit trail)."""
+    src = os.path.join(base_dir, "src")
+    table = os.path.join(base_dir, "t")
+    _write_batch(src, "b1.csv", ["1,1,I,a", "2,1,I,b"])
+    _write_batch(src, "b2.csv", ["2,2,D,"])
+    _run(spark, src, table, os.path.join(base_dir, "c"))
+
+    t = VersionedTable(spark, table)
+    versions = t.history()
+    assert len(versions) == 2
+    per_version = [
+        {r.k: r.v for r in cdc_snapshot(t.read(v)).collect()}
+        for v in versions
+    ]
+    # availableNow file ORDER is not contractual — either fold order
+    # converges on the same end state (order-correctness), and each
+    # intermediate version is the exact snapshot of its prefix:
+    # b1-then-b2 ⇒ [{1,2 live}, {1 live}]; b2-then-b1 ⇒ [{}, {1 live}]
+    # (the early tombstone blocks k=2's lower-seq insert).
+    assert per_version[-1] == {1: "a"}
+    assert per_version[0] in ({1: "a", 2: "b"}, {})
+
+
+def test_winners_and_snapshot_compose_to_apply(spark):
+    """cdc_apply ≡ cdc_snapshot ∘ cdc_winners (the refactor contract),
+    and winners keeps tombstones with their op."""
+    log = spark.createDataFrame(
+        [(1, 1, "I", "a"), (1, 2, "D", None), (2, 1, "I", "b")],
+        SCHEMA,
+    )
+    w = {r.k: (r.seq, r.op) for r in cdc_winners(log, ["k"]).collect()}
+    assert w == {1: (2, "D"), 2: (1, "I")}
+    via_compose = sorted(
+        tuple(r) for r in cdc_snapshot(cdc_winners(log, ["k"])).collect()
+    )
+    direct = sorted(tuple(r) for r in cdc_apply(log, ["k"]).collect())
+    assert via_compose == direct == [(2, 1, "b")]

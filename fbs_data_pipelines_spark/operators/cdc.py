@@ -105,6 +105,59 @@ def cdc_apply(
     return cdc_snapshot(won, op_col, delete_ops)
 
 
+def cdc_compact_tombstones(
+    state: DataFrame,
+    watermark_seq: int,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_ops: Sequence[str] = ("D",),
+) -> DataFrame:
+    """Drop delete tombstones at or below ``watermark_seq`` from a
+    winners-state table — the Kafka-log-compaction retention valve
+    for ``streaming_cdc_apply``'s state: tombstones guard against
+    cross-batch stragglers, so one may be removed only once upstream
+    GUARANTEES no event with ``seq <= watermark_seq`` can still
+    arrive (the caller's retention watermark — e.g. the CDC source's
+    low-watermark LSN). Live rows are never touched; tombstones above
+    the watermark stay. A narrow filter: zero shuffle, zero joins."""
+    op = F.col(op_col)
+    is_tombstone = op.isin(*delete_ops)  # NULL op is not a delete
+    return state.filter(
+        ~(is_tombstone & (F.col(seq_col) <= F.lit(watermark_seq)))
+        | op.isNull()
+    )
+
+
+def compact_cdc_table(
+    spark,
+    table_path: str,
+    watermark_seq: int,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_ops: Sequence[str] = ("D",),
+) -> int:
+    """Compact a ``streaming_cdc_apply`` state table in place: commit
+    a new version with tombstones ≤ ``watermark_seq`` removed.
+
+    The live version's ``batch_id`` is CARRIED FORWARD into the
+    compaction commit's ``commit_meta`` — the fold's crash-replay
+    guard reads ``commit_info(live)["batch_id"]``, so a compaction
+    commit that dropped it would let a replayed micro-batch re-fold
+    onto compacted state (double-apply). Returns the new version."""
+    from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, table_path)
+    live = t.latest_version()
+    if live is None:
+        raise FileNotFoundError(f"no versions at {table_path}")
+    meta = dict(t.commit_info(live) or {})
+    meta["compaction_watermark_seq"] = watermark_seq
+    compacted = cdc_compact_tombstones(
+        t.read(live), watermark_seq, seq_col, op_col, delete_ops
+    )
+    return t.commit(compacted, commit_meta=meta)
+
+
 def cdc_apply_to_snapshot(
     snapshot: DataFrame,
     changelog: DataFrame,

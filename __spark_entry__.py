@@ -136,6 +136,42 @@ def _ts_s(c):
 
 
 # ---------------------------------------------------------------------------
+# per-run scratch dirs for the I/O-exercising gate queries. uuid-keyed
+# so CONCURRENT runs of the same query (pytest contract test +
+# check_oracle on the same sf — the r11 advisor's race on
+# q_streaming_ohlc, closed registry-wide here) never share a
+# sink/checkpoint; cleaned at interpreter exit so the DataFrames the
+# queries return stay readable for the caller's whole session.
+# ---------------------------------------------------------------------------
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_scratch() -> None:
+    import shutil as _sh
+
+    for d in _SCRATCH_DIRS:
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    import atexit as _atexit
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    base = _os.path.join(
+        _tf.gettempdir(),
+        f"fbs_{name}_{_os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_uuid.uuid4().hex[:12]}",
+    )
+    if not _SCRATCH_DIRS:
+        _atexit.register(_cleanup_scratch)
+    _SCRATCH_DIRS.append(base)
+    return base
+
+
+# ---------------------------------------------------------------------------
 # snapshot pair used by audit/merge queries (C1/C2): the published side
 # is orders as-is; the snapshot perturbs ~10% of prices and ~1% of
 # priorities — deterministic, derived only from o_orderkey.
@@ -496,11 +532,7 @@ def q_schema_evolution(spark, sf_dir):
 
     from fbs_data_pipelines_spark.sources.versioned import VersionedTable
 
-    base = os.path.join(
-        _tf.gettempdir(),
-        f"fbs_q_schema_evolution_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    _sh.rmtree(base, ignore_errors=True)
+    base = _scratch_dir("q_schema_evolution", sf_dir)
     subset = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 30)
     t = VersionedTable(spark, base, id_col="o_orderkey", n_buckets=8)
     t.commit(subset.select("o_orderkey", "o_totalprice", "o_orderpriority"))
@@ -539,11 +571,7 @@ def q_csv_roundtrip(spark, sf_dir):
 
     from fbs_data_pipelines_spark.sources.csv import read_dialected_csv
 
-    base = os.path.join(
-        _tf.gettempdir(),
-        f"fbs_q_csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    _sh.rmtree(base, ignore_errors=True)
+    base = _scratch_dir("q_csv_roundtrip", sf_dir)
     os.makedirs(base)
     path = os.path.join(base, "20240301_orders.csv")
     rows = (
@@ -585,10 +613,7 @@ def q_rows_roundtrip(spark, sf_dir):
 
     from fbs_data_pipelines_spark.sources.rows_datasource import register
 
-    base = os.path.join(
-        _tf.gettempdir(),
-        f"fbs_q_rows_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    base = _scratch_dir("q_rows_roundtrip", sf_dir)
     os.makedirs(base, exist_ok=True)
     path = os.path.join(base, "payload.json")
     rows = (
@@ -629,11 +654,7 @@ def q_drive_extract(spark, sf_dir):
 
     from fbs_data_pipelines_spark.sources.drive_datasource import register
 
-    base = os.path.join(
-        _tf.gettempdir(),
-        f"fbs_q_drive_extract_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    _sh.rmtree(base, ignore_errors=True)
+    base = _scratch_dir("q_drive_extract", sf_dir)
     raw = os.path.join(base, "Data", "Raw")
     os.makedirs(raw)
     subset = (
@@ -1966,11 +1987,7 @@ def q_tws_first_seen(spark, sf_dir):
     import shutil as _sh
     import tempfile as _tf
 
-    base = os.path.join(
-        _tf.gettempdir(),
-        f"fbs_q_tws_first_seen_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    _sh.rmtree(base, ignore_errors=True)
+    base = _scratch_dir("q_tws_first_seen", sf_dir)
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -2053,11 +2070,7 @@ def q_streaming_merge(spark, sf_dir):
         streaming_snapshot_merge,
     )
 
-    base = os.path.join(
-        _tf.gettempdir(),
-        f"fbs_q_streaming_merge_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    _sh.rmtree(base, ignore_errors=True)
+    base = _scratch_dir("q_streaming_merge", sf_dir)
     snap_dir = os.path.join(base, "snaps")
     pub = os.path.join(base, "pub")
     ckpt = os.path.join(base, "ckpt")
@@ -2179,11 +2192,7 @@ def q_streaming_rollup(spark, sf_dir):
         streaming_incremental_rollup,
     )
 
-    base = os.path.join(
-        _tf.gettempdir(),
-        f"fbs_q_streaming_rollup_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    _sh.rmtree(base, ignore_errors=True)
+    base = _scratch_dir("q_streaming_rollup", sf_dir)
     src = os.path.join(base, "batches")
     state = os.path.join(base, "state")
     ckpt = os.path.join(base, "ckpt")
@@ -2459,11 +2468,7 @@ def q_zorder_layout(spark, sf_dir):
 
     from fbs_data_pipelines_spark.sources.layout import zorder_write
 
-    path = os.path.join(
-        _tf.gettempdir(),
-        f"fbs_q_zorder_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    _sh.rmtree(path, ignore_errors=True)
+    path = _scratch_dir("q_zorder", sf_dir)
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -3762,8 +3767,7 @@ def q_time_travel(spark, sf_dir):
     from fbs_data_pipelines_spark.sources.versioned import VersionedTable
     from fbs_data_pipelines_spark.sql_qualify import sql_time_travel
 
-    path = _os.path.join(_tf.gettempdir(), "fbs_q_time_travel")
-    _sh.rmtree(path, ignore_errors=True)
+    path = _scratch_dir("q_time_travel", sf_dir)
     vt = VersionedTable(spark, path)
     base = (
         _t(spark, sf_dir, "orders")
@@ -4218,8 +4222,7 @@ def q_streaming_scd2(spark, sf_dir):
         streaming_scd2_apply,
     )
 
-    tmp = _os.path.join(_tf.gettempdir(), "fbs_q_streaming_scd2")
-    _sh.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch_dir("q_streaming_scd2", sf_dir)
     _os.makedirs(f"{tmp}/snaps")
     base = (
         _t(spark, sf_dir, "customer")
@@ -4330,20 +4333,10 @@ def q_streaming_ohlc(spark, sf_dir):
     the query."""
     import os as _os
     import shutil as _sh
-    import tempfile as _tf
-    import uuid as _uuid
 
     from fbs_data_pipelines_spark.streaming.merge import windowed_ohlc
 
-    # uuid-keyed temp dir: concurrent runs on the same sf (pytest
-    # contract test + check_oracle) must not race on rmtree /
-    # checkpoint / sink (r11 advisor).
-    base = _os.path.join(
-        _tf.gettempdir(),
-        f"fbs_q_streaming_ohlc_{_os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{_uuid.uuid4().hex[:12]}",
-    )
-    _sh.rmtree(base, ignore_errors=True)
+    base = _scratch_dir("q_streaming_ohlc", sf_dir)
     src = _os.path.join(base, "batches")
     sink = _os.path.join(base, "out")
     ckpt = _os.path.join(base, "ckpt")
@@ -4431,8 +4424,6 @@ def q_streaming_cdc(spark, sf_dir):
     replays (rank-1 by seq DESC, delete filtered)."""
     import os as _os
     import shutil as _sh
-    import tempfile as _tf
-    import uuid as _uuid
 
     from fbs_data_pipelines_spark.operators.cdc import cdc_snapshot
     from fbs_data_pipelines_spark.sources.versioned import VersionedTable
@@ -4440,12 +4431,7 @@ def q_streaming_cdc(spark, sf_dir):
         streaming_cdc_apply,
     )
 
-    base = _os.path.join(
-        _tf.gettempdir(),
-        f"fbs_q_streaming_cdc_{_os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{_uuid.uuid4().hex[:12]}",
-    )
-    _sh.rmtree(base, ignore_errors=True)
+    base = _scratch_dir("q_streaming_cdc", sf_dir)
     src = _os.path.join(base, "batches")
     table = _os.path.join(base, "table")
     ckpt = _os.path.join(base, "ckpt")

@@ -4547,9 +4547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ENTIRE 41-key age-3 tail (directive #5: pay the tail before
     # breadth), one age-2 slot (`ann_lsh` — oldest evidence first,
     # alphabetical tie-break), and the 6 headline bench queries.
-    # Refresh slots: 48 (41 tail + slot 1 + ann_lsh + 6 headliners
-    # minus slot 1 counted once = 41+1+6 previously-evidenced keys);
-    # new-query count: 1 ≤ the ~4 cap of directive #5. The two
+    # Slot math: 50 = 2 first-evidence (`variant_json` — never
+    # driver-green — and the new `streaming_cdc`) + 48 refreshes of
+    # previously-evidenced keys (41 age-3 tail + `ann_lsh` + 6
+    # headliners); ledger_check prints window_first_evidence = 2/50.
+    # New-query count: 1 ≤ the ~4 cap of directive #5. The two
     # int32-edge queries (`sql_qualify`, `udtf_sentences`) are NOT
     # re-gated: the driver hash-matched their int32 edges in r10, and
     # they are explicitly allowed as width-only in

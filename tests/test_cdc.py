@@ -170,3 +170,73 @@ def test_cdc_apply_matches_model(spark, rows):
         r.k: (r.seq, r.v, r.amt) for r in cdc_apply(df, ["k"]).collect()
     }
     assert got == _model(rows)
+
+
+# events with NULL ops allowed — the streaming-state model
+_event_nullop = st.tuples(
+    st.integers(min_value=1, max_value=4),            # key
+    st.integers(min_value=0, max_value=5),            # seq (dups allowed)
+    st.sampled_from(["I", "U", "D", None]),           # op (NULL allowed)
+    st.sampled_from(["a", "b", "c", None]),           # v
+    st.sampled_from([0.0, 1.5, -2.0]),                # amt
+)
+
+
+def _model_nullop(rows):
+    """Reference reduction with NULL ops: nulls-first struct ordering
+    on every field; a winning NULL op is NOT a delete."""
+    def order_key(r):
+        _, seq, op, v, amt = r
+        return (seq, (op is not None, op or ""), (v is not None, v or ""), amt)
+
+    best: dict = {}
+    for r in rows:
+        k = r[0]
+        if k not in best or order_key(r) > order_key(best[k]):
+            best[k] = r
+    return {
+        k: (seq, v, amt)
+        for k, (_, seq, op, v, amt) in best.items()
+        if op != "D"
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_event_nullop, min_size=1, max_size=24),
+    st.integers(min_value=1, max_value=4),
+    st.booleans(),
+)
+def test_incremental_winners_fold_matches_model(
+    spark, rows, n_batches, compact_between
+):
+    """The streaming_cdc_apply state invariant, against an INDEPENDENT
+    Python model: fold arbitrary batch splits through
+    cdc_winners(state ∪ batch) — materializing state between folds
+    like a table commit — optionally compacting tombstones between
+    batches at the retention contract's watermark (min seq still to
+    arrive, minus 1). The final snapshot must equal the one-shot model
+    over the full history, for EVERY split and compaction schedule."""
+    from fbs_data_pipelines_spark.operators.cdc import (
+        cdc_compact_tombstones,
+        cdc_snapshot,
+        cdc_winners,
+    )
+
+    size = (len(rows) + n_batches - 1) // n_batches
+    batches = [rows[i : i + size] for i in range(0, len(rows), size)]
+    state = None
+    for i, b in enumerate(batches):
+        df = spark.createDataFrame(b, SCHEMA)
+        ev = df if state is None else state.unionByName(df)
+        won = cdc_winners(ev, ["k"])
+        if compact_between:
+            future = [r[1] for b2 in batches[i + 1 :] for r in b2]
+            if future:
+                won = cdc_compact_tombstones(won, min(future) - 1)
+        # materialize like a VersionedTable commit between micro-batches
+        state = spark.createDataFrame(won.collect(), won.schema)
+    got = {
+        r.k: (r.seq, r.v, r.amt) for r in cdc_snapshot(state).collect()
+    }
+    assert got == _model_nullop(rows)

@@ -484,9 +484,24 @@ def streaming_cdc_apply(
       skips.
 
     Read the live snapshot with ``cdc_snapshot(vt.read())`` (drops
-    tombstones + op); long-running tables can compact tombstones out
-    once upstream guarantees no straggler older than them remains
-    (retention watermark — caller policy, like Kafka compaction).
+    tombstones + op); long-running tables compact tombstones out with
+    ``operators/cdc.compact_cdc_table`` once upstream guarantees no
+    straggler older than the retention watermark remains (caller
+    policy, like Kafka log compaction).
+
+    100 TB cost note (honest): each fold reads and REWRITES the full
+    state (O(|keys|) I/O per micro-batch, like a MERGE without file
+    pruning) — the shuffle is state-sized, but so is the write. That
+    is the right trade at dimension/entity scale (the CDC snapshot
+    case) and amortizes by sizing micro-batches (maxFilesPerTrigger /
+    maxBytesPerTrigger) so batch work dominates state I/O. For
+    billion-key states the O(dirty) path is bucketing the state table
+    and rewriting only buckets a batch touches —
+    ``VersionedTable``'s bucketed mode does exactly that for its
+    SCD-1 ``merge`` but pins an all-string schema (its stable-schema
+    contract), which would break this fold's typed seq/payload
+    comparisons; a typed bucketed fold is the documented extension
+    point, not silently half-done here.
     """
     from fbs_data_pipelines_spark.operators.cdc import cdc_winners
     from fbs_data_pipelines_spark.sources.versioned import VersionedTable

@@ -3849,18 +3849,30 @@ def q_bucketed_join(spark, sf_dir):
     100 TB fact-table contract; the no-shuffle plan is asserted in
     tests/test_joins_audit.py::test_bucketed_join_has_no_shuffle).
     Layout never changes data: the oracle is the plain join+agg."""
+    import atexit as _atexit
     import os as _os
     import shutil as _sh
+    import uuid as _uuid
 
     from fbs_data_pipelines_spark.sources.catalog import save_bucketed
 
-    # a FRESH session with a stale warehouse dir (left by a prior
-    # process) makes overwrite-saveAsTable raise
-    # LOCATION_ALREADY_EXISTS — drop the catalog entry AND the
-    # orphaned location before writing
+    # uuid-suffixed table names: the same race class as the scratch
+    # dirs (two processes in the same CWD share spark-warehouse/, and
+    # fixed names raced on DROP + LOCATION_ALREADY_EXISTS). The
+    # returned plan reads the catalog tables lazily, so the LOCATIONS
+    # are removed at interpreter exit, not here.
     wh = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
+    suffix = _uuid.uuid4().hex[:12]
+    t_orders = f"bj_orders_{suffix}"
+    t_lineitem = f"bj_lineitem_{suffix}"
+    for t in (t_orders, t_lineitem):
+        loc = _os.path.join(wh, t)
+        if not _SCRATCH_DIRS:
+            _atexit.register(_cleanup_scratch)
+        _SCRATCH_DIRS.append(loc)
+    # sweep legacy fixed-name leftovers from pre-uuid runs
     for t in ("bj_orders", "bj_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         _sh.rmtree(_os.path.join(wh, t), ignore_errors=True)
@@ -3874,13 +3886,13 @@ def q_bucketed_join(spark, sf_dir):
         "l_quantity",
         "l_extendedprice",
     )
-    save_bucketed(o, "bj_orders", ["o_orderkey"], 8,
+    save_bucketed(o, t_orders, ["o_orderkey"], 8,
                   sort_cols=["o_orderkey"])
-    save_bucketed(li, "bj_lineitem", ["o_orderkey"], 8,
+    save_bucketed(li, t_lineitem, ["o_orderkey"], 8,
                   sort_cols=["o_orderkey"])
     return (
-        spark.table("bj_orders")
-        .join(spark.table("bj_lineitem"), "o_orderkey")
+        spark.table(t_orders)
+        .join(spark.table(t_lineitem), "o_orderkey")
         .groupBy("o_orderpriority")
         .agg(
             round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),

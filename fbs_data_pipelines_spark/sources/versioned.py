@@ -89,6 +89,7 @@ class VersionedTable:
         path: str,
         id_col: str | None = None,
         n_buckets: int = 16,
+        typed: bool = False,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -100,6 +101,16 @@ class VersionedTable:
         )
         self.id_col = id_col
         self.n_buckets = n_buckets
+        # typed bucketed mode: keep each column's Spark SQL type
+        # instead of the all-string normalization. The types are
+        # recorded per PHYSICAL column at first commit (physical names
+        # are rename-stable, so dtype lookup survives column renames).
+        # This is what makes O(dirty-bucket) folds usable for state
+        # whose semantics need typed comparisons (CDC winners: seq is
+        # a long, payloads keep their types). All-string mode remains
+        # the default — it is the reference C2 merge contract.
+        self.typed = typed
+        self._dtypes: dict[str, str] = {}
         self._columns: list[str] | None = None
         # column mapping (bucketed mode): logical name -> PHYSICAL
         # parquet name. Physical names never change once assigned, so
@@ -117,6 +128,8 @@ class VersionedTable:
             self._columns = meta.get("columns")
             self._physical = meta.get("physical") or {}
             self._retired = meta.get("retired_physical") or []
+            self.typed = bool(meta.get("typed", False))
+            self._dtypes = meta.get("dtypes") or {}
 
     # -- paths ----------------------------------------------------------
     def _p(self, rel: str):
@@ -319,7 +332,10 @@ class VersionedTable:
             schema = self._schema_pairs()
         if not bucket_to_dir:  # e.g. every row deleted: empty table
             return self.spark.createDataFrame(
-                [], ", ".join(f"`{c}` string" for c, _ in schema)
+                [],
+                ", ".join(
+                    f"`{c}` {self._dtype_of(p)}" for c, p in schema
+                ),
             )
         by_dir: dict[str, list[str]] = {}
         for b, d in bucket_to_dir.items():
@@ -333,7 +349,7 @@ class VersionedTable:
                 sel = [
                     F.col(p).alias(c)
                     if p in part.columns
-                    else F.lit(None).cast("string").alias(c)
+                    else F.lit(None).cast(self._dtype_of(p)).alias(c)
                     for c, p in schema
                 ]
                 part = part.select(*sel)
@@ -430,11 +446,23 @@ class VersionedTable:
             i += 1
         return f"{logical}__p{i}"
 
+    def _dtype_of(self, physical: str) -> str:
+        """Stored Spark SQL type of a physical column (typed mode);
+        string otherwise — the all-string contract."""
+        if self.typed:
+            return self._dtypes.get(physical, "string")
+        return "string"
+
     def _write_table_meta(self, df: DataFrame) -> None:
         meta = self._read_json("_table.json")
+        dtypes = dict(df.dtypes)
         if meta is None:
             self._columns = list(df.columns)
             self._physical = {c: self._assign_physical(c) for c in df.columns}
+            if self.typed:
+                self._dtypes = {
+                    self._physical[c]: dtypes[c] for c in df.columns
+                }
         else:
             # schema evolution (bucketed mode): new columns APPEND to
             # the table schema; historical files simply lack them and
@@ -449,6 +477,8 @@ class VersionedTable:
             self._columns = known + extra
             for c in extra:
                 self._physical[c] = self._assign_physical(c)
+                if self.typed:
+                    self._dtypes[self._physical[c]] = dtypes[c]
         self._persist_table_meta()
 
     def _persist_table_meta(self) -> None:
@@ -460,6 +490,10 @@ class VersionedTable:
                 "columns": self._columns if self.id_col else None,
                 "physical": self._physical if self.id_col else None,
                 "retired_physical": self._retired if self.id_col else None,
+                "typed": self.typed if self.id_col else False,
+                "dtypes": (
+                    self._dtypes if (self.id_col and self.typed) else None
+                ),
             },
         )
 
@@ -502,11 +536,22 @@ class VersionedTable:
         if commit_meta is not None:
             self._write_json(f"commits/v{v}.json", commit_meta)
         if self.id_col is not None:
-            # stable all-string schema — see module docstring
-            df = df.select(
-                [F.col(c).cast("string").alias(c) for c in df.columns]
-            )
             self._write_table_meta(df)
+            if self.typed:
+                # stable TYPED schema: normalize every commit to the
+                # recorded types so width drift (int vs bigint) can't
+                # fork bucket schemas across versions
+                df = df.select(
+                    [
+                        F.col(c).cast(self._dtype_of(self._phys(c))).alias(c)
+                        for c in df.columns
+                    ]
+                )
+            else:
+                # stable all-string schema — see module docstring
+                df = df.select(
+                    [F.col(c).cast("string").alias(c) for c in df.columns]
+                )
             self._write_buckets(df, v)
             buckets = {str(b): f"data/v{v}" for b in self._buckets_in_dir(v)}
             self._write_json(f"manifests/v{v}.json", self._manifest_dict(buckets))
@@ -636,7 +681,10 @@ class VersionedTable:
                 "(silently dropping delta columns would lose data)"
             )
         snap = snapshot.select(
-            [F.col(c).cast("string").alias(c) for c in snapshot.columns]
+            [
+                F.col(c).cast(self._dtype_of(self._phys(c))).alias(c)
+                for c in snapshot.columns
+            ]
         )
         # a delta may be NARROWER than the table (it mentions only the
         # columns it changes): matched rows keep their current values
@@ -679,15 +727,126 @@ class VersionedTable:
                 merged = bucketed.drop(_BUCKET)
                 for c in missing:
                     merged = merged.withColumn(
-                        c, F.lit(None).cast("string")
+                        c, F.lit(None).cast(self._dtype_of(self._phys(c)))
                     )
             v = current + 1
             self._claim_version(v)
+            if self.typed:
+                # merge_snapshot stringifies by C2 contract — restore
+                # the stored types before the bucket write so typed
+                # tables stay typed through merges
+                merged = merged.select(
+                    [
+                        F.col(c).cast(self._dtype_of(self._phys(c))).alias(c)
+                        for c in self._columns
+                    ]
+                )
             self._write_buckets(merged.select(*self._columns), v)
             new_manifest = dict(manifest)
             for b in self._buckets_in_dir(v):
                 new_manifest[str(b)] = f"data/v{v}"
             self._write_json(f"manifests/v{v}.json", self._manifest_dict(new_manifest))
+            self._commit_pointer(v)
+            return v
+        finally:
+            bucketed.unpersist()
+
+    def transform_buckets(
+        self, delta: DataFrame, fold_fn, commit_meta: dict | None = None
+    ) -> int:
+        """O(dirty-bucket) generalized fold — the primitive ``merge``
+        and ``delete`` are special cases of: rewrite ONLY the PK
+        buckets ``delta`` touches, with their new content computed by
+        ``fold_fn(current_dirty_rows, delta_rows)``; clean buckets are
+        re-referenced in the new manifest at zero I/O. This is what
+        makes incremental STATE folds (e.g. CDC winners —
+        ``streaming/merge.streaming_cdc_apply`` bucketed mode) cost
+        O(batch + dirty-bucket data) instead of O(table) per
+        micro-batch.
+
+        Caller contract: ``fold_fn``'s output keys must stay within
+        the dirty buckets (true whenever output keys ⊆ current ∪ delta
+        keys, as for any per-key reduction) — rows that hash elsewhere
+        would be written under the wrong bucket and missed by
+        ``lookup``. A dirty bucket whose folded content is EMPTY is
+        dropped from the manifest (reads see it as absent), never left
+        pointing at stale data.
+
+        ``commit_meta`` follows the same transactional protocol as
+        ``commit`` (claimed version, meta written before data) — pass
+        the streaming batch id for exactly-once replay detection. On
+        an empty table, commits ``fold_fn(delta.limit(0), delta)``.
+        """
+        if self.id_col is None:
+            raise ValueError(
+                "transform_buckets() needs a bucketed table (id_col set)"
+            )
+        current = self.latest_version()
+        if current is None:
+            return self.commit(
+                fold_fn(delta.limit(0), delta), commit_meta=commit_meta
+            )
+        if self._columns and list(delta.columns) != list(self._columns):
+            raise ValueError(
+                f"transform_buckets() delta columns {list(delta.columns)} "
+                f"must equal the table schema {self._columns} — a state "
+                "fold rewrites whole buckets, so partial columns would "
+                "null out data"
+            )
+        bucketed = delta.withColumn(_BUCKET, self._bucket_expr()).persist()
+        try:
+            dirty = sorted(
+                r[_BUCKET]
+                for r in bucketed.select(_BUCKET).distinct().collect()
+            )
+            if not dirty:  # empty delta: nothing to fold
+                return current
+            manifest = self._read_manifest(current)["buckets"]
+            existing_dirty = {
+                b: d for b, d in manifest.items() if int(b) in set(dirty)
+            }
+            current_rows = (
+                self._read_bucket_dirs(existing_dirty)
+                if existing_dirty
+                else self._read_bucket_dirs({})
+            )
+            folded = fold_fn(current_rows, bucketed.drop(_BUCKET))
+            v = current + 1
+            self._claim_version(v)
+            if commit_meta is not None:
+                self._write_json(f"commits/v{v}.json", commit_meta)
+            if self.typed:
+                folded = folded.select(
+                    [
+                        F.col(c).cast(self._dtype_of(self._phys(c))).alias(c)
+                        for c in self._columns
+                    ]
+                )
+            else:
+                folded = folded.select(
+                    [
+                        F.col(c).cast("string").alias(c)
+                        for c in self._columns
+                    ]
+                )
+            self._write_buckets(folded, v)
+            written = set(self._buckets_in_dir(v))
+            stray = written - set(dirty)
+            if stray:
+                raise ValueError(
+                    f"transform_buckets() fold produced rows in clean "
+                    f"buckets {sorted(stray)} — output keys must stay "
+                    "within the dirty buckets (see docstring contract)"
+                )
+            new_manifest = dict(manifest)
+            for b in dirty:
+                if b in written:
+                    new_manifest[str(b)] = f"data/v{v}"
+                else:
+                    new_manifest.pop(str(b), None)
+            self._write_json(
+                f"manifests/v{v}.json", self._manifest_dict(new_manifest)
+            )
             self._commit_pointer(v)
             return v
         finally:

@@ -457,6 +457,7 @@ def streaming_cdc_apply(
     key_cols: Sequence[str],
     seq_col: str = "seq",
     op_col: str = "op",
+    n_buckets: int | None = None,
 ) -> StreamingQuery:
     """Streaming CDC materialization — the production shape of
     ``operators/cdc.py``: changelog micro-batches fold onto a
@@ -489,34 +490,57 @@ def streaming_cdc_apply(
     straggler older than the retention watermark remains (caller
     policy, like Kafka log compaction).
 
-    100 TB cost note (honest): each fold reads and REWRITES the full
-    state (O(|keys|) I/O per micro-batch, like a MERGE without file
-    pruning) — the shuffle is state-sized, but so is the write. That
-    is the right trade at dimension/entity scale (the CDC snapshot
-    case) and amortizes by sizing micro-batches (maxFilesPerTrigger /
-    maxBytesPerTrigger) so batch work dominates state I/O. For
-    billion-key states the O(dirty) path is bucketing the state table
-    and rewriting only buckets a batch touches —
-    ``VersionedTable``'s bucketed mode does exactly that for its
-    SCD-1 ``merge`` but pins an all-string schema (its stable-schema
-    contract), which would break this fold's typed seq/payload
-    comparisons; a typed bucketed fold is the documented extension
-    point, not silently half-done here.
+    100 TB cost note: in the default plain mode each fold reads and
+    REWRITES the full state (O(|keys|) I/O per micro-batch, like a
+    MERGE without file pruning) — the shuffle is state-sized, but so
+    is the write. That is the right trade at dimension/entity scale
+    (the CDC snapshot case) and amortizes by sizing micro-batches
+    (maxFilesPerTrigger / maxBytesPerTrigger) so batch work dominates
+    state I/O. For billion-key states pass ``n_buckets``: the state
+    lives in a TYPED bucketed ``VersionedTable`` (single key column
+    only — the PK bucket hash is one column; pre-concat composite
+    keys) and each fold goes through ``transform_buckets`` — only the
+    PK buckets the batch touches are read and rewritten, clean
+    buckets are re-referenced in the manifest at zero I/O, so a fold
+    costs O(batch + dirty-bucket data) instead of O(table). The fold
+    keeps its semantics because winners(dirty-state ∪ batch) over a
+    per-key reduction never moves a key across buckets.
     """
     from fbs_data_pipelines_spark.operators.cdc import cdc_winners
     from fbs_data_pipelines_spark.sources.versioned import VersionedTable
 
     keys = list(key_cols)
+    if n_buckets is not None and len(keys) != 1:
+        raise ValueError(
+            "bucketed streaming CDC needs exactly one key column "
+            "(the PK bucket hash) — pre-concat composite keys"
+        )
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        t = VersionedTable(sp, table_path)
+        if n_buckets is not None:
+            t = VersionedTable(
+                sp, table_path, id_col=keys[0], n_buckets=n_buckets,
+                typed=True,
+            )
+        else:
+            t = VersionedTable(sp, table_path)
         live = t.latest_version()
-        events = batch_df
         if live is not None:
             info = t.commit_info(live) or {}
             if info.get("batch_id", -1) >= batch_id:
                 return  # crash-replay of an already-folded batch
+        if n_buckets is not None:
+            t.transform_buckets(
+                batch_df,
+                lambda cur, d: cdc_winners(
+                    cur.unionByName(d), keys, seq_col, op_col
+                ),
+                commit_meta={"batch_id": batch_id},
+            )
+            return
+        events = batch_df
+        if live is not None:
             events = t.read(live).unionByName(batch_df)
         new_state = cdc_winners(events, keys, seq_col, op_col)
         t.commit(new_state, commit_meta={"batch_id": batch_id})

@@ -1,0 +1,231 @@
+"""Typed bucketed VersionedTable mode + the transform_buckets
+O(dirty-bucket) fold primitive, and the bucketed streaming CDC path
+built on them (the r12 extension point delivered: typed state folds
+at O(batch + dirty-bucket data) instead of O(table))."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fbs_data_pipelines_spark.sources.versioned import VersionedTable
+
+SCHEMA = "k long, seq long, op string, amt double"
+
+
+@pytest.fixture()
+def base_dir():
+    p = tempfile.mkdtemp(prefix="vtyped_")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+@pytest.fixture()
+def table_path(base_dir):
+    return os.path.join(base_dir, "t")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_typed_commit_read_preserves_dtypes(spark, table_path):
+    t = VersionedTable(spark, table_path, id_col="k", n_buckets=4,
+                       typed=True)
+    t.commit(_df(spark, [(1, 10, "I", 1.5), (2, 20, "U", -2.0)]))
+    got = t.read()
+    assert dict(got.dtypes) == {
+        "k": "bigint", "seq": "bigint", "op": "string", "amt": "double"
+    }
+    rows = {r.k: (r.seq, r.op, r.amt) for r in got.collect()}
+    assert rows == {1: (10, "I", 1.5), 2: (20, "U", -2.0)}
+    # a re-opened handle reads the typed flag + dtypes from _table.json
+    t2 = VersionedTable(spark, table_path)
+    assert t2.typed and dict(t2.read().dtypes)["seq"] == "bigint"
+
+
+def test_typed_merge_upsert_keeps_types(spark, table_path):
+    t = VersionedTable(spark, table_path, id_col="k", n_buckets=4,
+                       typed=True)
+    t.commit(_df(spark, [(1, 1, "I", 1.0), (2, 1, "I", 2.0)]))
+    t.merge(_df(spark, [(2, 2, "U", 2.5), (3, 1, "I", 3.0)]))
+    got = {r.k: (r.seq, r.amt) for r in t.read().collect()}
+    assert got == {1: (1, 1.0), 2: (2, 2.5), 3: (1, 3.0)}
+    assert dict(t.read().dtypes)["amt"] == "double"
+
+
+def test_transform_buckets_rewrites_only_dirty(spark, table_path):
+    """The O(dirty) contract, verified at the MANIFEST level: a delta
+    touching a single key leaves every clean bucket referencing the
+    OLD version directory (zero I/O), and only the dirty bucket moves
+    to the new directory."""
+    t = VersionedTable(spark, table_path, id_col="k", n_buckets=8,
+                       typed=True)
+    v1 = t.commit(_df(spark, [(i, 1, "I", float(i)) for i in range(64)]))
+    delta = _df(spark, [(7, 2, "U", 7.5)])
+    v2 = t.transform_buckets(
+        delta,
+        lambda cur, d: cur.join(d.select("k"), "k", "left_anti")
+        .unionByName(d),
+    )
+    m1 = t._read_manifest(v1)["buckets"]
+    m2 = t._read_manifest(v2)["buckets"]
+    moved = [b for b in m2 if m2[b] != m1.get(b)]
+    assert len(moved) == 1  # exactly the dirty bucket
+    assert m2[moved[0]] == f"data/v{v2}"
+    clean = [b for b in m2 if b != moved[0]]
+    assert all(m2[b] == m1[b] == f"data/v{v1}" for b in clean)
+    got = {r.k: r.amt for r in t.read().collect()}
+    assert got[7] == 7.5 and got[6] == 6.0 and len(got) == 64
+
+
+def test_transform_buckets_drops_emptied_bucket(spark, table_path):
+    """A fold that empties a dirty bucket must remove it from the
+    manifest (reads see it absent), never leave it pointing at stale
+    data."""
+    t = VersionedTable(spark, table_path, id_col="k", n_buckets=4,
+                       typed=True)
+    t.commit(_df(spark, [(1, 1, "I", 1.0), (2, 1, "I", 2.0)]))
+    # the fold removes key 1 entirely from its bucket
+    t.transform_buckets(
+        _df(spark, [(1, 2, "D", 0.0)]),
+        lambda cur, d: cur.join(d.select("k"), "k", "left_anti"),
+    )
+    got = {r.k for r in t.read().collect()}
+    assert 1 not in got
+    # key 2 may share key 1's bucket (4 buckets); if not, it survives
+    assert got <= {2}
+    lk = t.lookup(1)
+    assert lk.count() == 0
+
+
+def test_transform_buckets_stray_output_guard(spark, table_path):
+    """A fold whose output lands in a CLEAN bucket is a contract bug
+    — it must raise, not silently drop the rows from the manifest."""
+    t = VersionedTable(spark, table_path, id_col="k", n_buckets=64,
+                       typed=True)
+    t.commit(_df(spark, [(i, 1, "I", float(i)) for i in range(20)]))
+    with pytest.raises(ValueError, match="clean buckets"):
+        t.transform_buckets(
+            _df(spark, [(1, 2, "U", 1.5)]),
+            # returns rows for MANY keys — almost surely some hash to
+            # buckets the single-key delta never touched
+            lambda cur, d: _df(
+                spark, [(i, 9, "U", 0.0) for i in range(20)]
+            ),
+        )
+
+
+def test_typed_schema_evolution_adds_typed_null(spark, table_path):
+    """Add-column evolution (full-snapshot wider commit, the
+    documented contract): the new column carries its RECORDED type;
+    after dropping and re-adding (fresh physical name), pre-evolution
+    FILES referenced by clean buckets read the column back as NULL of
+    that type, not as a string."""
+    t = VersionedTable(spark, table_path, id_col="k", n_buckets=4,
+                       typed=True)
+    t.commit(_df(spark, [(1, 1, "I", 1.0), (2, 1, "I", 2.0)]))
+    evolved = t.read().withColumn(
+        "extra", (F.col("k") * 10).cast("long")
+    )
+    t.commit(evolved)
+    got = t.read()
+    assert dict(got.dtypes)["extra"] == "bigint"
+    assert {r.k: r.extra for r in got.collect()} == {1: 10, 2: 20}
+    # a delta merge NOT mentioning extra keeps typed values for
+    # matched rows and typed NULL for inserts
+    t.merge(
+        spark.createDataFrame(
+            [(1, 2, "U", 1.5), (9, 1, "I", 9.0)],
+            "k long, seq long, op string, amt double",
+        )
+    )
+    rows = {r.k: r.extra for r in t.read().collect()}
+    assert rows[1] == 10 and rows[9] is None and rows[2] == 20
+    assert dict(t.read().dtypes)["extra"] == "bigint"
+    # time travel: the pre-evolution version lacks the column
+    assert "extra" not in t.read(1).columns
+
+
+def test_typed_lookup_point_read(spark, table_path):
+    t = VersionedTable(spark, table_path, id_col="k", n_buckets=8,
+                       typed=True)
+    t.commit(_df(spark, [(i, 1, "I", float(i)) for i in range(32)]))
+    row = t.lookup(17).collect()
+    assert len(row) == 1 and row[0].amt == 17.0 and row[0].seq == 1
+
+
+def test_plain_mode_unaffected_by_typed_plumbing(spark, table_path):
+    """Regression guard: the default all-string bucketed mode still
+    normalizes to string (the reference C2 merge contract)."""
+    t = VersionedTable(spark, table_path, id_col="k", n_buckets=4)
+    t.commit(_df(spark, [(1, 1, "I", 1.5)]))
+    assert dict(t.read().dtypes) == {
+        "k": "string", "seq": "string", "op": "string", "amt": "string"
+    }
+
+
+def test_streaming_cdc_bucketed_equals_plain(spark, base_dir):
+    """The bucketed streaming fold yields EXACTLY the plain fold's
+    snapshot (same winners, typed), while rewriting only dirty
+    buckets per micro-batch."""
+    from fbs_data_pipelines_spark.operators.cdc import cdc_snapshot
+    from fbs_data_pipelines_spark.streaming.merge import (
+        streaming_cdc_apply,
+    )
+
+    src = os.path.join(base_dir, "src")
+    os.makedirs(src)
+
+    def run(table, ckpt, n_buckets):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .csv(src, header=True)
+        )
+        q = streaming_cdc_apply(
+            stream, table, ckpt, ["k"], n_buckets=n_buckets
+        )
+        assert q.awaitTermination(120)
+
+    plain_t = os.path.join(base_dir, "plain")
+    buck_t = os.path.join(base_dir, "buck")
+    # sequential runs on the SAME checkpoints pin the fold order
+    # (availableNow file listing order is not contractual)
+    with open(os.path.join(src, "b1.csv"), "w") as f:
+        f.write("k,seq,op,amt\n" + "".join(
+            f"{i},1,I,{float(i)}\n" for i in range(40)))
+    run(plain_t, os.path.join(base_dir, "c1"), None)
+    run(buck_t, os.path.join(base_dir, "c2"), 8)
+    with open(os.path.join(src, "b2.csv"), "w") as f:
+        f.write("k,seq,op,amt\n3,2,U,3.5\n7,2,D,\n")
+    run(plain_t, os.path.join(base_dir, "c1"), None)
+    run(buck_t, os.path.join(base_dir, "c2"), 8)
+
+    plain = {
+        r.k: (r.seq, r.amt)
+        for r in cdc_snapshot(
+            VersionedTable(spark, plain_t).read()
+        ).collect()
+    }
+    bt = VersionedTable(spark, buck_t)
+    buck = {
+        r.k: (r.seq, r.amt) for r in cdc_snapshot(bt.read()).collect()
+    }
+    assert buck == plain
+    assert dict(bt.read().dtypes)["seq"] == "bigint"  # typed state
+    # O(dirty): the second fold moved at most 2 buckets (k=3, k=7)
+    vs = bt.history()
+    assert len(vs) == 2
+    m1 = bt._read_manifest(vs[0])["buckets"]
+    m2 = bt._read_manifest(vs[1])["buckets"]
+    moved = [b for b in m2 if m2[b] != m1.get(b)]
+    assert 1 <= len(moved) <= 2
+    # crash-replay with a fresh checkpoint: batch ids restart at 0,
+    # every batch sees an applied id and skips — no new versions
+    run(buck_t, os.path.join(base_dir, "c3"), 8)
+    assert VersionedTable(spark, buck_t).history() == vs

@@ -119,13 +119,19 @@ def cdc_compact_tombstones(
     GUARANTEES no event with ``seq <= watermark_seq`` can still
     arrive (the caller's retention watermark — e.g. the CDC source's
     low-watermark LSN). Live rows are never touched; tombstones above
-    the watermark stay. A narrow filter: zero shuffle, zero joins."""
+    the watermark stay, as does a tombstone with NULL seq (its
+    position relative to the watermark is unprovable — three-valued
+    `seq <= wm` must not silently discard it). A narrow filter: zero
+    shuffle, zero joins."""
     op = F.col(op_col)
-    is_tombstone = op.isin(*delete_ops)  # NULL op is not a delete
-    return state.filter(
-        ~(is_tombstone & (F.col(seq_col) <= F.lit(watermark_seq)))
-        | op.isNull()
+    seq = F.col(seq_col)
+    keep = (
+        op.isNull()                      # NULL op is not a delete
+        | ~op.isin(*delete_ops)          # live row
+        | seq.isNull()                   # unprovable vs watermark: keep
+        | (seq > F.lit(watermark_seq))   # still guarding stragglers
     )
+    return state.filter(keep)
 
 
 def compact_cdc_table(

@@ -271,9 +271,22 @@ class VersionedTable:
         """Deterministic PK bucket: first 8 hex digits of
         md5(pk-as-string) mod n_buckets. Content-derived (no engine
         hash()), so the assignment is stable across Spark versions,
-        sessions, and partition layouts."""
+        sessions, and partition layouts.
+
+        A NULL PK buckets like the empty string (md5(NULL) is NULL,
+        which would otherwise write a __HIVE_DEFAULT_PARTITION__ dir
+        that crashes the int bucket parse) — NULL and '' share a
+        bucket; exact filters still distinguish them."""
         h = F.conv(
-            F.substring(F.md5(F.col(self.id_col).cast("string")), 1, 8), 16, 10
+            F.substring(
+                F.md5(
+                    F.coalesce(F.col(self.id_col).cast("string"), F.lit(""))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
         ).cast("long")
         return F.pmod(h, F.lit(self.n_buckets)).cast("int")
 

@@ -181,6 +181,53 @@ def test_compact_tombstones_respects_watermark(spark):
     assert "Join" not in plan and "Exchange" not in plan
 
 
+def test_compact_keeps_null_seq_tombstone(spark):
+    """A tombstone with NULL seq cannot be proven below the retention
+    watermark — three-valued `seq <= wm` must KEEP it, not silently
+    drop it."""
+    from fbs_data_pipelines_spark.operators.cdc import (
+        cdc_compact_tombstones,
+    )
+
+    state = spark.createDataFrame(
+        [(1, None, "D", None), (2, 2, "D", None), (3, 9, "I", "c")],
+        SCHEMA,
+    )
+    out = {r.k for r in cdc_compact_tombstones(state, 5).collect()}
+    assert out == {1, 3}  # NULL-seq tombstone kept, provable one gone
+
+
+def test_bucketed_null_key_does_not_crash(spark, base_dir):
+    """A NULL PK buckets like the empty string instead of writing a
+    __HIVE_DEFAULT_PARTITION__ dir that crashes the int bucket parse;
+    exact filters still distinguish NULL from ''."""
+    from fbs_data_pipelines_spark.operators.cdc import cdc_winners
+
+    t = VersionedTable(
+        spark, os.path.join(base_dir, "t"), id_col="k", n_buckets=4,
+        typed=True,
+    )
+    df = spark.createDataFrame(
+        [(None, 1, "I", "nullkey"), ("", 1, "I", "emptykey"),
+         ("a", 1, "I", "x")],
+        "k string, seq long, op string, v string",
+    )
+    t.commit(df)
+    assert {r.v for r in t.read().collect()} == {
+        "nullkey", "emptykey", "x"
+    }
+    v2 = t.transform_buckets(
+        spark.createDataFrame(
+            [(None, 2, "U", "nullkey2")],
+            "k string, seq long, op string, v string",
+        ),
+        lambda cur, d: cdc_winners(cur.unionByName(d), ["k"]),
+    )
+    got = {r.v for r in t.read(v2).collect()}
+    assert "nullkey2" in got and "nullkey" not in got
+    assert "emptykey" in got  # shares the bucket, survives the fold
+
+
 def test_compact_cdc_table_carries_batch_id(spark, base_dir):
     """Compaction commits a NEW version with the live batch_id carried
     forward — a fresh-checkpoint full replay after compaction must

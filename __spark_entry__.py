@@ -527,8 +527,6 @@ def q_schema_evolution(spark, sf_dir):
     pre-rename schema still readable after the boundary. All-string
     output (bucketed VersionedTable contract)."""
     import os
-    import shutil as _sh
-    import tempfile as _tf
 
     from fbs_data_pipelines_spark.sources.versioned import VersionedTable
 
@@ -566,8 +564,6 @@ def q_csv_roundtrip(spark, sf_dir):
     relational subset — the whole CSV dialect pipeline must be
     lossless for the hash to match."""
     import os
-    import shutil as _sh
-    import tempfile as _tf
 
     from fbs_data_pipelines_spark.sources.csv import read_dialected_csv
 
@@ -609,7 +605,6 @@ def q_rows_roundtrip(spark, sf_dir):
     VARCHAR-cast relational oracle."""
     import json as _json
     import os
-    import tempfile as _tf
 
     from fbs_data_pipelines_spark.sources.rows_datasource import register
 
@@ -649,8 +644,6 @@ def q_drive_extract(spark, sf_dir):
     recomputes that snapshot's content relationally — selecting the
     stale file or mis-parsing the dialect both hash-mismatch."""
     import os
-    import shutil as _sh
-    import tempfile as _tf
 
     from fbs_data_pipelines_spark.sources.drive_datasource import register
 
@@ -1984,8 +1977,6 @@ def q_tws_first_seen(spark, sf_dir):
     set must equal first-event-per-user over the WHOLE log. Scale:
     keyed state shuffle per batch, state linear in distinct keys."""
     import os
-    import shutil as _sh
-    import tempfile as _tf
 
     base = _scratch_dir("q_tws_first_seen", sf_dir)
     in_dir = os.path.join(base, "in")
@@ -2062,8 +2053,6 @@ def q_streaming_merge(spark, sf_dir):
     merge plan itself is distributed end to end — the driver only
     orchestrates paths."""
     import os
-    import shutil as _sh
-    import tempfile as _tf
 
     from fbs_data_pipelines_spark.sources.versioned import VersionedTable
     from fbs_data_pipelines_spark.streaming.merge import (
@@ -2184,8 +2173,6 @@ def q_streaming_rollup(spark, sf_dir):
     so crash replays can't double-count). The final state must equal
     the full aggregate, which is the oracle."""
     import os
-    import shutil as _sh
-    import tempfile as _tf
 
     from fbs_data_pipelines_spark.sources.versioned import VersionedTable
     from fbs_data_pipelines_spark.streaming.merge import (
@@ -2463,8 +2450,6 @@ def q_zorder_layout(spark, sf_dir):
     data-skipping win is asserted in tests/test_layout.py). Layout
     never changes data — the oracle is the plain filter+agg."""
     import os
-    import shutil as _sh
-    import tempfile as _tf
 
     from fbs_data_pipelines_spark.sources.layout import zorder_write
 
@@ -3760,9 +3745,6 @@ def q_time_travel(spark, sf_dir):
     orders. Plain name = latest; snapshots are immutable dirs, so
     concurrent commits cannot shear the query. Oracle replays the
     three commit states relationally."""
-    import os as _os
-    import shutil as _sh
-    import tempfile as _tf
 
     from fbs_data_pipelines_spark.sources.versioned import VersionedTable
     from fbs_data_pipelines_spark.sql_qualify import sql_time_travel
@@ -4226,8 +4208,6 @@ def q_streaming_scd2(spark, sf_dir):
     commit/checkpoint crash is semantically idempotent (documented
     in the operator)."""
     import os as _os
-    import shutil as _sh
-    import tempfile as _tf
 
     from fbs_data_pipelines_spark.sources.versioned import VersionedTable
     from fbs_data_pipelines_spark.streaming.merge import (

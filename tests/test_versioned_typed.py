@@ -170,6 +170,66 @@ def test_plain_mode_unaffected_by_typed_plumbing(spark, table_path):
     }
 
 
+def test_bucketed_fold_matches_model_property(spark, base_dir):
+    """Model-based: arbitrary batch splits folded through the REAL
+    typed bucketed table (transform_buckets + cdc_winners, state
+    persisted on disk between folds) must equal the independent
+    Python one-shot reduction — the same oracle the plain-mode
+    property test uses, now exercising the O(dirty) storage path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fbs_data_pipelines_spark.operators.cdc import (
+        cdc_snapshot, cdc_winners,
+    )
+
+    ev = st.tuples(
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=0, max_value=5),
+        st.sampled_from(["I", "U", "D"]),
+        st.sampled_from(["a", "b", None]),
+    )
+
+    def model(rows):
+        def key(r):
+            _, seq, op, v = r
+            return (seq, op, (v is not None, v or ""))
+
+        best = {}
+        for r in rows:
+            if r[0] not in best or key(r) > key(best[r[0]]):
+                best[r[0]] = r
+        return {
+            k: (seq, v) for k, (_, seq, op, v) in best.items()
+            if op != "D"
+        }
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=16),
+           st.integers(min_value=1, max_value=3))
+    def check(rows, n_batches):
+        import uuid
+
+        path = os.path.join(base_dir, f"pt_{uuid.uuid4().hex[:10]}")
+        t = VersionedTable(spark, path, id_col="k", n_buckets=4,
+                           typed=True)
+        size = (len(rows) + n_batches - 1) // n_batches
+        for i in range(0, len(rows), size):
+            b = spark.createDataFrame(
+                rows[i : i + size], "k long, seq long, op string, v string"
+            )
+            t.transform_buckets(
+                b, lambda cur, d: cdc_winners(cur.unionByName(d), ["k"])
+            )
+        got = {
+            r.k: (r.seq, r.v) for r in cdc_snapshot(t.read()).collect()
+        }
+        assert got == model(rows)
+        shutil.rmtree(path, ignore_errors=True)
+
+    check()
+
+
 def test_compact_cdc_table_on_bucketed_state(spark, base_dir):
     """Tombstone compaction composes with the bucketed state table:
     compact_cdc_table reads the typed bucketed state, drops provable

@@ -89,7 +89,7 @@ class VersionedTable:
         path: str,
         id_col: str | None = None,
         n_buckets: int = 16,
-        typed: bool = False,
+        typed: bool | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -109,7 +109,13 @@ class VersionedTable:
         # whose semantics need typed comparisons (CDC winners: seq is
         # a long, payloads keep their types). All-string mode remains
         # the default — it is the reference C2 merge contract.
-        self.typed = typed
+        # ``typed=None`` means "adopt the table's recorded mode (or
+        # all-string for a new table)"; an EXPLICIT True/False that
+        # conflicts with an existing table's recorded mode raises
+        # below — typed-ness is semantics-bearing (an all-string table
+        # compares seq values lexicographically, '10' < '9'), so a
+        # silent mode adoption would corrupt, not inconvenience.
+        self.typed = bool(typed)
         self._dtypes: dict[str, str] = {}
         self._columns: list[str] | None = None
         # column mapping (bucketed mode): logical name -> PHYSICAL
@@ -128,7 +134,19 @@ class VersionedTable:
             self._columns = meta.get("columns")
             self._physical = meta.get("physical") or {}
             self._retired = meta.get("retired_physical") or []
-            self.typed = bool(meta.get("typed", False))
+            disk_typed = bool(meta.get("typed", False))
+            if typed is not None and bool(typed) != disk_typed:
+                raise ValueError(
+                    f"versioned table {self.path} was created with "
+                    f"typed={disk_typed} but the caller requested "
+                    f"typed={bool(typed)} — the on-disk mode is "
+                    "authoritative and semantics-bearing (an "
+                    "all-string table orders numeric keys "
+                    "lexicographically), so refusing to silently adopt "
+                    "it; point the caller at a fresh path or pass "
+                    "typed=None to accept the recorded mode"
+                )
+            self.typed = disk_typed
             self._dtypes = meta.get("dtypes") or {}
 
     # -- paths ----------------------------------------------------------
@@ -175,7 +193,10 @@ class VersionedTable:
             raise CommitConflictError(
                 f"version {version} of {self.path} was already claimed "
                 "by a concurrent writer; re-read the table and retry "
-                "on top of the new live version"
+                "on top of the new live version. If no concurrent "
+                "writer exists, a crashed/aborted writer left an "
+                "orphaned claim — the table is write-locked until "
+                "recover() sweeps it"
             ) from exc
 
     # -- pointer protocol ----------------------------------------------
@@ -800,12 +821,20 @@ class VersionedTable:
                 fold_fn(delta.limit(0), delta), commit_meta=commit_meta
             )
         if self._columns and list(delta.columns) != list(self._columns):
-            raise ValueError(
-                f"transform_buckets() delta columns {list(delta.columns)} "
-                f"must equal the table schema {self._columns} — a state "
-                "fold rewrites whole buckets, so partial columns would "
-                "null out data"
-            )
+            if set(delta.columns) == set(self._columns):
+                # same columns, different ORDER (a changelog stream's
+                # projection order is not part of its contract) —
+                # reorder instead of killing a streaming query on
+                # every post-creation micro-batch
+                delta = delta.select(*self._columns)
+            else:
+                raise ValueError(
+                    f"transform_buckets() delta columns "
+                    f"{list(delta.columns)} must equal the table "
+                    f"schema {self._columns} — a state fold rewrites "
+                    "whole buckets, so partial columns would null out "
+                    "data"
+                )
         bucketed = delta.withColumn(_BUCKET, self._bucket_expr()).persist()
         try:
             dirty = sorted(
@@ -846,10 +875,32 @@ class VersionedTable:
             written = set(self._buckets_in_dir(v))
             stray = written - set(dirty)
             if stray:
+                # contract violation detected AFTER the claim/meta/data
+                # were laid down for v. Nothing was published (no
+                # manifest, no pointer move) and THIS writer still owns
+                # the claim, so unwinding our own artifacts is safe —
+                # without it the orphaned claim file would make every
+                # later commit raise CommitConflictError (misleadingly
+                # blaming a concurrent writer) until recover() ran.
+                try:
+                    self._fs.delete(self._p(f"data/v{v}"), True)
+                    self._fs.delete(self._p(f"commits/v{v}.json"), False)
+                    self._fs.delete(self._p(f"commits/_claim.v{v}"), False)
+                except Exception:
+                    raise ValueError(
+                        f"transform_buckets() fold produced rows in "
+                        f"clean buckets {sorted(stray)} — output keys "
+                        "must stay within the dirty buckets (see "
+                        "docstring contract). Cleanup of the aborted "
+                        f"version {v} FAILED: the table is write-locked "
+                        "until recover() sweeps the orphaned claim"
+                    )
                 raise ValueError(
                     f"transform_buckets() fold produced rows in clean "
                     f"buckets {sorted(stray)} — output keys must stay "
-                    "within the dirty buckets (see docstring contract)"
+                    "within the dirty buckets (see docstring contract). "
+                    f"The aborted version {v} was cleaned up; the table "
+                    "remains writable"
                 )
             new_manifest = dict(manifest)
             for b in dirty:

@@ -145,13 +145,61 @@ def _ts_s(c):
 # ---------------------------------------------------------------------------
 
 _SCRATCH_DIRS: list[str] = []
+_SCRATCH_TABLES: list[str] = []
+
+#: stale-sweep threshold for fbs_* scratch dirs left by KILLED runs
+#: (atexit never fired). Must comfortably exceed the longest-lived
+#: legitimate holder — a full pytest session keeps its dirs ~30 min —
+#: so a concurrent run's live scratch is never swept.
+_SCRATCH_STALE_SECONDS = 2 * 3600
 
 
 def _cleanup_scratch() -> None:
     import shutil as _sh
 
+    # DROP the uuid-suffixed catalog tables (not just their
+    # locations): a location-only rmtree leaves dangling metastore
+    # entries that accumulate within a session and break a later
+    # CREATE with the same name
+    if _SCRATCH_TABLES:
+        try:
+            from pyspark.sql import SparkSession as _SS
+
+            sp = _SS.getActiveSession()
+            if sp is not None:
+                for t in _SCRATCH_TABLES:
+                    sp.sql(f"DROP TABLE IF EXISTS {t}")
+        except Exception:
+            pass  # JVM already gone at exit: locations removed below
     for d in _SCRATCH_DIRS:
         _sh.rmtree(d, ignore_errors=True)
+
+
+def _sweep_stale_scratch() -> None:
+    """Remove fbs_* temp dirs older than the stale threshold — the
+    leftovers of runs that were killed before their atexit cleanup
+    (uuid-keyed names are never reclaimed by a later run, so without
+    this they leak permanently)."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    root = _tf.gettempdir()
+    cutoff = _time.time() - _SCRATCH_STALE_SECONDS
+    try:
+        entries = _os.listdir(root)
+    except OSError:
+        return
+    for e in entries:
+        if not e.startswith("fbs_"):
+            continue
+        p = _os.path.join(root, e)
+        try:
+            if _os.path.isdir(p) and _os.path.getmtime(p) < cutoff:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def _scratch_dir(name: str, sf_dir: str) -> str:
@@ -167,6 +215,7 @@ def _scratch_dir(name: str, sf_dir: str) -> str:
     )
     if not _SCRATCH_DIRS:
         _atexit.register(_cleanup_scratch)
+        _sweep_stale_scratch()
     _SCRATCH_DIRS.append(base)
     return base
 
@@ -3854,10 +3903,30 @@ def q_bucketed_join(spark, sf_dir):
         if not _SCRATCH_DIRS:
             _atexit.register(_cleanup_scratch)
         _SCRATCH_DIRS.append(loc)
+        # registered for a real DROP at cleanup — rmtree of the
+        # location alone leaves a dangling metastore entry per run
+        _SCRATCH_TABLES.append(t)
     # sweep legacy fixed-name leftovers from pre-uuid runs
     for t in ("bj_orders", "bj_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         _sh.rmtree(_os.path.join(wh, t), ignore_errors=True)
+    # and stale uuid-named locations from KILLED runs (their atexit
+    # never fired; uuid names are never reclaimed, so age is the only
+    # safe signal — same threshold as the temp-dir sweep)
+    import time as _time
+
+    cutoff = _time.time() - _SCRATCH_STALE_SECONDS
+    try:
+        for e in _os.listdir(wh):
+            if e.startswith("bj_") and e not in (t_orders, t_lineitem):
+                p = _os.path.join(wh, e)
+                try:
+                    if _os.path.getmtime(p) < cutoff:
+                        _sh.rmtree(p, ignore_errors=True)
+                except OSError:
+                    continue
+    except OSError:
+        pass
     o = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") <= 100)

@@ -4483,6 +4483,26 @@ def q_streaming_cdc(spark, sf_dir):
     so ANY micro-batch fold order yields exactly the batch
     `cdc_apply` snapshot — which is what the relational oracle
     replays (rank-1 by seq DESC, delete filtered)."""
+    return _streaming_cdc_run(spark, sf_dir, n_buckets=None)
+
+
+def q_streaming_cdc_bucketed(spark, sf_dir):
+    """The billion-key PRODUCTION path of streaming CDC under the
+    driver oracle (r12 judge directive #1): the identical three-wave
+    changelog folded with ``n_buckets=16`` — state lives in a TYPED
+    bucketed VersionedTable and each micro-batch goes through
+    ``transform_buckets``, so only the PK buckets the batch touches
+    are read and rewritten (O(batch + dirty-bucket data) per fold,
+    measured 21-25x less write I/O than the plain full-state rewrite
+    at 512 buckets / 20-key batches); clean buckets are re-referenced
+    in the manifest at zero I/O. The fold is semantics-identical to
+    the plain mode (winners never move a key across buckets —
+    equivalence pinned in test_streaming_cdc_bucketed_equals_plain),
+    so the SAME rank-1-by-seq relational oracle applies verbatim."""
+    return _streaming_cdc_run(spark, sf_dir, n_buckets=16)
+
+
+def _streaming_cdc_run(spark, sf_dir, n_buckets):
     import os as _os
     import shutil as _sh
 
@@ -4492,7 +4512,10 @@ def q_streaming_cdc(spark, sf_dir):
         streaming_cdc_apply,
     )
 
-    base = _scratch_dir("q_streaming_cdc", sf_dir)
+    name = "q_streaming_cdc" if n_buckets is None else (
+        "q_streaming_cdc_bucketed"
+    )
+    base = _scratch_dir(name, sf_dir)
     src = _os.path.join(base, "batches")
     table = _os.path.join(base, "table")
     ckpt = _os.path.join(base, "ckpt")
@@ -4539,7 +4562,9 @@ def q_streaming_cdc(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = streaming_cdc_apply(stream, table, ckpt, ["o_orderkey"])
+    q = streaming_cdc_apply(
+        stream, table, ckpt, ["o_orderkey"], n_buckets=n_buckets
+    )
     try:
         finished = q.awaitTermination(180)
     finally:
@@ -4547,7 +4572,7 @@ def q_streaming_cdc(spark, sf_dir):
             q.stop()
     if not finished:
         raise TimeoutError(
-            "q_streaming_cdc: streaming query did not terminate "
+            f"{name}: streaming query did not terminate "
             "within 180s — refusing to read a partial table"
         )
     vt = VersionedTable(spark, table)
@@ -4599,92 +4624,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rendered into README.md; every entry, in or out of the window,
     # is oracle-checked locally by tools/check_oracle.py).
     #
-    # Round-12 rotation ("oldest evidence refresh", r11 judge
-    # directives #1/#5/#6). Composition: slot 1 = `variant_json`, the
-    # r11 red row (oracle k_sum was DuckDB HUGEINT→float64 vs Spark
-    # int64; fixed with the outer CAST AS BIGINT every other
-    # integer-sum oracle follows). ONE new query (`streaming_cdc`,
-    # directive #6 — the streaming twin of cdc_apply). Then the
-    # ENTIRE 41-key age-3 tail (directive #5: pay the tail before
-    # breadth), one age-2 slot (`ann_lsh` — oldest evidence first,
-    # alphabetical tie-break), and the 6 headline bench queries.
-    # Slot math: 50 = 2 first-evidence (`variant_json` — never
-    # driver-green — and the new `streaming_cdc`) + 48 refreshes of
-    # previously-evidenced keys (41 age-3 tail + `ann_lsh` + 6
-    # headliners); ledger_check prints window_first_evidence = 2/50.
-    # New-query count: 1 ≤ the ~4 cap of directive #5. The two
-    # int32-edge queries (`sql_qualify`, `udtf_sentences`) are NOT
-    # re-gated: the driver hash-matched their int32 edges in r10, and
-    # they are explicitly allowed as width-only in
-    # tests/test_type_audit.py::WIDTH_ONLY_ALLOWED (directive #2).
+    # Round-13 rotation (r12 judge directives #1/#2, SURVEY §8).
+    # Composition: no red-row re-gates (r12 was 50/50 green). Slot 1
+    # = the ONE new query (`streaming_cdc_bucketed` — the billion-key
+    # O(dirty-bucket) typed fold, directive #1). Then the ENTIRE
+    # 45-key age-3 tail (directive #2), closing with 4 of the 6
+    # headline bench queries. Slot math: 50 = 1 first-evidence + 49
+    # refreshes (45 tail + 4 headliners).
+    #
+    # §8 rule 4 applied for the first time (directive #2): the tail
+    # (45) + new (1) + headliners (6) = 52 > 50, so two subsumed keys
+    # are CONSOLIDATED out of the registry — `session_window` into
+    # `sessionize` (same gap-merged sessionization surface; native
+    # F.session_window vs the lag/cumsum plan — equivalence pinned in
+    # tests/test_consolidated_keys.py) and `tws_first_seen` into
+    # `first_seen` (same exactly-once-per-key admission semantics,
+    # streaming vs batch twin — equivalence pinned likewise; the real
+    # transformWithStateInPandas runtime keeps its own pytest suite,
+    # tests/test_stateful_tws.py). Registry 187 − 2 + 1 = 186. Even
+    # so 51 keys would be due, so `windowed_rollup` and `sessionize`
+    # sit out ONE round (age 0 → 1; both re-enter in r14) — SURVEY §8
+    # rule 2 as amended r13: headliners re-gate as capacity permits
+    # after the oldest bucket, max headliner evidence age 2. The two
+    # int32-edge queries (`sql_qualify`, `udtf_sentences`) remain
+    # width-only-allowed in tests/test_type_audit.py.
     return {
-        # ==== driver gate window: r12 rotation (50 entries) ============
-        # --- slot 1: the r11 red row, oracle fixed this round --------
-        "variant_json": q_variant_json,
-        # --- NEW this round (first driver evidence, 1 ≤ the ~4 cap):
-        #     streaming CDC apply — changelog micro-batches folded
-        #     onto a VersionedTable via foreachBatch, tombstones
-        #     retained (cross-batch disorder safe), transactional
-        #     batch-id (crash-replay exactly-once), every intermediate
-        #     snapshot time-travelable -------------------------------
-        "streaming_cdc": q_streaming_cdc,
-        # --- the ENTIRE age-3 evidence tail (41 r8-era keys — r11
-        #     judge directive #5: the tail is structural at 186 keys /
-        #     50 slots; pay it fully every round) ---------------------
-        "array_agg": q_array_agg,
-        "asof_join": q_asof_join,
-        "audit_log": q_audit_log,
-        "canonical_docs": q_canonical_docs,
-        "cube": q_cube,
-        "curation_v2": q_curation_v2,
-        "datediff": q_datediff,
-        "dedup_clusters": q_dedup_clusters,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "except": q_except,
-        "first_seen": q_first_seen,
-        "funnel": q_funnel,
-        "gopher_quality": q_gopher_quality,
-        "groupby_having": q_groupby_having,
-        "grouped_ols": q_grouped_ols,
-        "grouping_sets": q_grouping_sets,
-        "incremental_dedup": q_incremental_dedup,
-        "intersect": q_intersect,
-        "json_extract": q_json_extract,
-        "latest_snapshot_agg": q_latest_snapshot_agg,
-        "lookup_join": q_lookup_join,
-        "minhash_signatures": q_minhash_signatures,
-        "multi_join_topn": q_multi_join_topn,
-        "multimodal_features": q_multimodal_features,
-        "pii_scrub": q_pii_scrub,
-        "retention": q_retention,
-        "scalar_subquery": q_scalar_subquery,
-        "session_window": q_session_window,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "source_overlap": q_source_overlap,
-        "sparse_cosine": q_sparse_cosine,
-        "stratified_sample": q_stratified_sample,
-        "streaming_merge": q_streaming_merge,
-        "streaming_rollup": q_streaming_rollup,
-        "text_stats": q_text_stats,
-        "tws_first_seen": q_tws_first_seen,
-        "vector_norms": q_vector_norms,
-        "window_rank": q_window_rank,
-        "window_running": q_window_running,
-        # --- one age-2 slot (oldest evidence first, alphabetical
-        #     tie-break) -------------------------------------------
-        "ann_lsh": q_ann_lsh,
-        # --- headline bench suite: timed every round, re-gated for
-        #     correctness every round ---------------------------------
-        "pricing_summary": q_pricing_summary,
-        "merge_upsert": q_merge_upsert,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ann_topk": q_ann_topk,
-        "windowed_rollup": q_windowed_rollup,
-        "sessionize": q_sessionize,
-        # ==== driver gate window ends here (50 entries) ===============
-        # --- age-2 remainder — heads the r13 window --------------------
+        # ==== driver gate window: r13 rotation (50 entries) ============
+        # --- slot 1, NEW this round (first driver evidence, 1 ≤ the
+        #     ≤2 cap): streaming CDC with n_buckets=16 — typed
+        #     bucketed state, transform_buckets O(dirty) folds, same
+        #     oracle as streaming_cdc by pinned equivalence ----------
+        "streaming_cdc_bucketed": q_streaming_cdc_bucketed,
+        # --- the ENTIRE age-3 evidence tail (45 r9-era keys — SURVEY
+        #     §8 rule 2: pay the oldest bucket fully every round) -----
         "anti_join": q_anti_join,
         "bloom_join": q_bloom_join,
         "bpe_encode": q_bpe_encode,
@@ -4730,7 +4702,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all": q_union_all,
         "weighted_sample": q_weighted_sample,
         "zorder_layout": q_zorder_layout,
-        # --- age-1 (r10 evidence) --------------------------------------
+        # --- headline bench suite, 4 of 6 (capacity: §8 rule 2 as
+        #     amended r13 — `windowed_rollup`/`sessionize` sit out one
+        #     round and re-enter in r14; `ann_topk` kept in-window for
+        #     the r12 judge's floor re-profile watch item) ------------
+        "pricing_summary": q_pricing_summary,
+        "merge_upsert": q_merge_upsert,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_topk": q_ann_topk,
+        # ==== driver gate window ends here (50 entries) ===============
+        # --- age-2 (r10 evidence) — heads the r14 window ---------------
         "alpha_sample": q_alpha_sample,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
@@ -4780,7 +4761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_navigation": q_window_navigation,
         "window_range_30d": q_window_range_30d,
         "winsorize": q_winsorize,
-        # --- age-0 (r11 evidence, freshest) ----------------------------
+        # --- age-1 (r11 evidence) --------------------------------------
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "array_ops": q_array_ops,
         "bm25_search": q_bm25_search,
@@ -4824,6 +4805,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "typo_pairs": q_typo_pairs,
         "value_share_having": q_value_share_having,
+        # --- age-0 (r12 evidence, freshest — the r12 window minus the
+        #     4 headliners re-gated above and the 2 consolidated keys;
+        #     `windowed_rollup`/`sessionize` are the headliners
+        #     sitting out one round, due back in r14) ------------------
+        "variant_json": q_variant_json,
+        "streaming_cdc": q_streaming_cdc,
+        "array_agg": q_array_agg,
+        "asof_join": q_asof_join,
+        "audit_log": q_audit_log,
+        "canonical_docs": q_canonical_docs,
+        "cube": q_cube,
+        "curation_v2": q_curation_v2,
+        "datediff": q_datediff,
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "except": q_except,
+        "first_seen": q_first_seen,
+        "funnel": q_funnel,
+        "gopher_quality": q_gopher_quality,
+        "groupby_having": q_groupby_having,
+        "grouped_ols": q_grouped_ols,
+        "grouping_sets": q_grouping_sets,
+        "incremental_dedup": q_incremental_dedup,
+        "intersect": q_intersect,
+        "json_extract": q_json_extract,
+        "latest_snapshot_agg": q_latest_snapshot_agg,
+        "lookup_join": q_lookup_join,
+        "minhash_signatures": q_minhash_signatures,
+        "multi_join_topn": q_multi_join_topn,
+        "multimodal_features": q_multimodal_features,
+        "pii_scrub": q_pii_scrub,
+        "retention": q_retention,
+        "scalar_subquery": q_scalar_subquery,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "source_overlap": q_source_overlap,
+        "sparse_cosine": q_sparse_cosine,
+        "stratified_sample": q_stratified_sample,
+        "streaming_merge": q_streaming_merge,
+        "streaming_rollup": q_streaming_rollup,
+        "text_stats": q_text_stats,
+        "vector_norms": q_vector_norms,
+        "window_rank": q_window_rank,
+        "window_running": q_window_running,
+        "ann_lsh": q_ann_lsh,
+        "windowed_rollup": q_windowed_rollup,
+        "sessionize": q_sessionize,
     }
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6185,24 +6214,10 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY n_regionkey
     """
 
-    sql["session_window"] = """
-        WITH marked AS (
-            SELECT user_id, ts,
-                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
-                        THEN 1 ELSE 0 END AS new_sess
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ), grouped AS (
-            SELECT user_id, ts,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS UNBOUNDED PRECEDING) AS sess
-            FROM marked
-        )
-        SELECT user_id,
-               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-               count(*) AS n_events
-        FROM grouped GROUP BY user_id, sess
-    """
+    # session_window: CONSOLIDATED into `sessionize` r13 (SURVEY §8
+    # rule 4) — same gap-merged sessionization surface; the native
+    # F.session_window ≡ lag/cumsum equivalence is pinned in
+    # tests/test_consolidated_keys.py.
 
     sql["fuzzy_match"] = """
         SELECT a.n_name AS name_a, b.n_name AS name_b,
@@ -6726,14 +6741,12 @@ def oracle_sql() -> dict[str, str]:
     # the real transformWithStateInPandas admission: final admitted
     # set == first event per user over the whole log (state carries
     # across a cold query restart; the oracle checks the union)
-    sql["tws_first_seen"] = """
-        SELECT user_id, event_id, event_type FROM (
-            SELECT user_id, event_id, event_type,
-                   row_number() OVER (
-                       PARTITION BY user_id ORDER BY event_id) AS rn
-            FROM events
-        ) WHERE rn = 1
-    """
+    # tws_first_seen: CONSOLIDATED into `first_seen` r13 (SURVEY §8
+    # rule 4) — same exactly-once-per-key admission semantics; the
+    # streaming-vs-batch equivalence is pinned in
+    # tests/test_consolidated_keys.py and the
+    # transformWithStateInPandas runtime keeps its own suite
+    # (tests/test_stateful_tws.py).
 
     # weighted bottom-k quantile sketch mirrored sample-for-sample:
     # identical md5 hash ranks over DISTINCT values -> identical
@@ -8975,6 +8988,13 @@ def oracle_sql() -> dict[str, str]:
     # streaming == batch and the oracle is the SAME last-writer-wins
     # relational replay as cdc_apply's.
     sql["streaming_cdc"] = sql["cdc_apply"]
+
+    # streaming_cdc_bucketed: the O(dirty-bucket) typed fold is
+    # semantics-identical to the plain fold (a per-key reduction
+    # never moves a key across PK-hash buckets; equivalence pinned in
+    # tests/test_versioned_typed.py::test_streaming_cdc_bucketed_equals_plain),
+    # so the oracle transfers verbatim.
+    sql["streaming_cdc_bucketed"] = sql["cdc_apply"]
 
     # streaming_ohlc: the same rank-1 candlestick replay as sql["ohlc"]
     # (streaming == batch because min_by/max_by are order-insensitive);

@@ -12,13 +12,17 @@ Runs, in order (each step's full output goes to /tmp/final_gate/):
 
   1. full-registry check_oracle           (local mimic, sf0.01)
   2. check_oracle --vanilla <new/changed> (driver-exact session)
-  3. driver_dryrun [window]               (pandas canonicalization)
+  3. driver_dryrun FULL REGISTRY          (pandas canonicalization —
+     standing since r13, judge directive #3: the full rehearsal is
+     the single best predictor of driver-red rows and protects the
+     NEXT round's rotation, not just this window's. ~7 min.
+     --window-only rehearses just the 50-key window when iterating.)
   4. type_audit                           (registry-wide, KIND-level)
   5. plan_audit <new/changed>             (scale plan properties)
   6. ledger_check --check                 (README ledger drift)
 
 Usage:
-    PYTHONPATH=/root/repo python tools/final_gate.py [--window N] \
+    PYTHONPATH=/root/repo python tools/final_gate.py [--window-only] \
         [new_or_changed_query ...]
 
 Exit 0 only if every step passes. Paste the printed stamp block into
@@ -65,8 +69,11 @@ def _run(step: str, cmd: list[str]) -> tuple[str, bool, float]:
 
 def main() -> int:
     args = sys.argv[1:]
-    window = 50
-    if "--window" in args:
+    window = 0  # 0 = full registry (standing since r13, directive #3)
+    if "--window-only" in args:
+        window = 50
+        args.remove("--window-only")
+    if "--window" in args:  # explicit size still accepted
         i = args.index("--window")
         window = int(args[i + 1])
         del args[i : i + 2]
@@ -87,8 +94,12 @@ def main() -> int:
                 [py, "tools/check_oracle.py", "--vanilla", *changed],
             )
         )
+    dryrun_step = (
+        "driver_dryrun_full_registry" if window <= 0
+        else f"driver_dryrun_window_{window}"
+    )
     steps.append(
-        _run("driver_dryrun_window", [py, "tools/driver_dryrun.py", str(window)])
+        _run(dryrun_step, [py, "tools/driver_dryrun.py", str(window)])
     )
     steps.append(_run("type_audit_registry", [py, "tools/type_audit.py"]))
     if changed:
@@ -99,7 +110,8 @@ def main() -> int:
     total = sum(dt for _, _, dt in steps)
     print("\n===== FINAL GATE STAMP (paste into EVIDENCE) =====")
     print(f"git hash: {head}{' DIRTY — re-run after committing!' if dirty else ''}")
-    print(f"window size: {window}; changed entries: {changed or 'none'}")
+    print(f"dryrun scope: {'FULL REGISTRY' if window <= 0 else window}; "
+          f"changed entries: {changed or 'none'}")
     for step, ok, dt in steps:
         print(f"  {step}: {'PASS' if ok else 'FAIL'} ({dt:.0f}s)")
     print(f"result: {'ALL PASS' if all_ok else 'FAILURES PRESENT'} "

@@ -28,6 +28,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BEGIN = "<!-- ledger:auto:begin (tools/ledger_check.py) -->"
 END = "<!-- ledger:auto:end -->"
 
+#: gate keys deliberately CONSOLIDATED out of the registry (SURVEY §8
+#: rule 4): key -> the surviving key whose oracle now covers the
+#: surface. Their historical CORRECTNESS rows are legitimate, not
+#: orphan drift; each consolidation is pinned by an equivalence test
+#: in tests/test_consolidated_keys.py.
+CONSOLIDATED = {
+    "session_window": "sessionize",  # r13
+    "tws_first_seen": "first_seen",  # r13
+}
+
 
 def _is_green(v: dict) -> bool:
     return bool(v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
@@ -85,7 +95,7 @@ def ledger(repo: str = REPO, through_round: int | None = None) -> dict:
     multi = [n for n in names if len(evidence.get(n, [])) >= 2]
     window = names[:50]
     first_evidence = [n for n in window if n not in evidence]
-    orphans = sorted(set(evidence) - set(names))
+    orphans = sorted(set(evidence) - set(names) - set(CONSOLIDATED))
     return {
         "registry": names,
         "evidence": evidence,

@@ -274,3 +274,37 @@ def test_winners_and_snapshot_compose_to_apply(spark):
     )
     direct = sorted(tuple(r) for r in cdc_apply(log, ["k"]).collect())
     assert via_compose == direct == [(2, 1, "b")]
+
+
+def test_bucketed_cdc_onto_all_string_table_fails_loudly(spark, base_dir):
+    """The r12 advisor's silent-corruption scenario: bucketed
+    streaming CDC (typed=True) pointed at a PRE-EXISTING all-string
+    bucketed table must fail loudly — an adopted all-string mode
+    would compare seq lexicographically ('10' < '9') and silently
+    pick wrong winners. The typed-flag conflict raises inside
+    foreachBatch and surfaces as a failed streaming query."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    table = os.path.join(base_dir, "t")
+    pre = VersionedTable(spark, table, id_col="k", n_buckets=4)
+    pre.commit(
+        spark.createDataFrame([(1, 9, "I", "old")], SCHEMA)
+    )
+    src = os.path.join(base_dir, "src")
+    _write_batch(src, "b1.csv", ["1,10,U,new"])
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .csv(src, header=True)
+    )
+    q = streaming_cdc_apply(
+        stream, table, os.path.join(base_dir, "ckpt"), ["k"],
+        n_buckets=4,
+    )
+    with pytest.raises(StreamingQueryException, match="typed=False"):
+        q.awaitTermination(120)
+        raise AssertionError("query should have failed")
+    # the table is untouched: still all-string, still the old state
+    t = VersionedTable(spark, table)
+    assert t.typed is False
+    assert [r.v for r in t.read().collect()] == ["old"]

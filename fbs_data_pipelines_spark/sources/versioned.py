@@ -135,7 +135,15 @@ class VersionedTable:
             self._physical = meta.get("physical") or {}
             self._retired = meta.get("retired_physical") or []
             disk_typed = bool(meta.get("typed", False))
-            if typed is not None and bool(typed) != disk_typed:
+            # the conflict check only applies to bucketed tables:
+            # plain mode writes parquet as-is (types are whatever the
+            # DataFrame carried), so `typed` is meaningless there and
+            # an explicit flag must not spuriously raise
+            if (
+                typed is not None
+                and self.id_col is not None
+                and bool(typed) != disk_typed
+            ):
                 raise ValueError(
                     f"versioned table {self.path} was created with "
                     f"typed={disk_typed} but the caller requested "

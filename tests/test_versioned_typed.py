@@ -182,6 +182,14 @@ def test_typed_flag_conflict_raises(spark, table_path):
     # None (the default) adopts the recorded mode either way
     assert VersionedTable(spark, table_path).typed is False
     assert VersionedTable(spark, typed_path).typed is True
+    # PLAIN (non-bucketed) tables: typed is meaningless (parquet
+    # keeps the DataFrame's own types), so an explicit flag must not
+    # spuriously raise against the recorded typed=False
+    plain_path = table_path + "_plain"
+    p = VersionedTable(spark, plain_path)
+    p.commit(_df(spark, [(1, 1, "I", 1.0)]))
+    p2 = VersionedTable(spark, plain_path, typed=True)
+    assert p2.latest_version() == 1 and p2.typed is False
 
 
 def test_typed_rename_drop_evolution_preserves_dtypes(spark, table_path):

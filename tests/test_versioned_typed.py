@@ -333,12 +333,16 @@ def test_bucketed_fold_matches_model_property(spark, base_dir):
         t = VersionedTable(spark, path, id_col="k", n_buckets=4,
                            typed=True)
         size = (len(rows) + n_batches - 1) // n_batches
-        for i in range(0, len(rows), size):
+        for n, i in enumerate(range(0, len(rows), size)):
             b = spark.createDataFrame(
                 rows[i : i + size], "k long, seq long, op string, v string"
             )
+            # post-creation batches arrive with ROTATED column order —
+            # the reorder path (r12 advisor) must not change the fold
+            cols = b.columns[n % 4:] + b.columns[: n % 4]
             t.transform_buckets(
-                b, lambda cur, d: cdc_winners(cur.unionByName(d), ["k"])
+                b.select(*cols),
+                lambda cur, d: cdc_winners(cur.unionByName(d), ["k"]),
             )
         got = {
             r.k: (r.seq, r.v) for r in cdc_snapshot(t.read()).collect()

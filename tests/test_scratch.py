@@ -232,3 +232,59 @@ def test_cleanup_drops_registered_tables(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         entry._SCRATCH_DIRS.extend(saved_dirs)
         entry._SCRATCH_TABLES.extend(saved_tables)
+
+
+def test_pid_alive_rejects_sentinel_pids(tmp_path):
+    """r14 advisor item 1: kill(0,0) signals our own process group,
+    kill(-1,0) signals everything (always succeeds as root), and
+    pid 1 is init — a truncated heartbeat ('12345' cut to '1') must
+    read as DEAD, or its dir is unsweepable forever."""
+    for pid in (0, -1, 1):
+        p = str(tmp_path / f"hb_{pid}")
+        with open(p + ".hb", "w") as fh:
+            fh.write(str(pid))
+        assert entry._pid_alive(p + ".hb") is False, pid
+    # sanity: our own real pid still reads alive
+    p = str(tmp_path / "hb_self")
+    with open(p + ".hb", "w") as fh:
+        fh.write(str(os.getpid()))
+    assert entry._pid_alive(p + ".hb") is True
+
+
+def test_sweep_removes_truncated_heartbeat_dir(tmp_path):
+    """A stale dir whose heartbeat holds a truncated pid ('1') must be
+    swept — before the pid<=1 guard it was pinned forever."""
+    tmp = tempfile.gettempdir()
+    d = os.path.join(tmp, f"fbs_hbtrunc_pin_{uuid.uuid4().hex[:8]}")
+    _make(d, mtime=_old())
+    _hb(d, 1, mtime=_old())
+    try:
+        entry._sweep_stale_scratch()
+        assert not os.path.exists(d), "truncated-heartbeat dir not swept"
+        assert not os.path.exists(d + ".hb"), "sentinel left behind"
+    finally:
+        if os.path.exists(d):
+            os.rmdir(d)
+        if os.path.exists(d + ".hb"):
+            os.remove(d + ".hb")
+
+
+def test_sweep_hard_cap_overrides_live_pid(tmp_path):
+    """Past the 24h hard cap, age alone decides (r14 advisor item 1:
+    bounds pid-reuse pinning): even a heartbeat whose recorded pid IS
+    alive is swept — a live owner would have refreshed it at every
+    allocation, so a day-old heartbeat cannot be a live local session."""
+    tmp = tempfile.gettempdir()
+    ancient = time.time() - entry._SCRATCH_HARD_CAP_SECONDS - 60
+    d = os.path.join(tmp, f"fbs_hbcap_pin_{uuid.uuid4().hex[:8]}")
+    _make(d, mtime=ancient)
+    _hb(d, os.getpid(), mtime=ancient)  # live pid, ancient heartbeat
+    try:
+        entry._sweep_stale_scratch()
+        assert not os.path.exists(d), "hard-capped dir not swept"
+        assert not os.path.exists(d + ".hb"), "sentinel left behind"
+    finally:
+        if os.path.exists(d):
+            os.rmdir(d)
+        if os.path.exists(d + ".hb"):
+            os.remove(d + ".hb")

@@ -559,3 +559,33 @@ def test_streaming_cdc_bucketed_equals_plain(spark, base_dir):
     # every batch sees an applied id and skips — no new versions
     run(buck_t, os.path.join(base_dir, "c3"), 8)
     assert VersionedTable(spark, buck_t).history() == vs
+
+
+def test_stray_abort_total_failure_not_worded_partial(
+    spark, table_path
+):
+    """When EVERY unwind delete fails, the message must say the
+    cleanup 'failed', not 'PARTIALLY failed' (r14 advisor item 2:
+    a total failure is not a partial one), still account for every
+    artifact left behind, and report the write-lock (the claim
+    survived)."""
+    t = VersionedTable(spark, table_path, id_col="k", n_buckets=64,
+                       typed=True)
+    t.commit(_df(spark, [(i, 1, "I", float(i)) for i in range(20)]))
+    real = t._fs
+    t._fs = _FlakyFS(real, "v2")  # matches data/v2, v2.json, _claim.v2
+    try:
+        with pytest.raises(ValueError, match="write-locks") as ei:
+            t.transform_buckets(_df(spark, [(1, 2, "U", 1.5)]),
+                                _stray(spark))
+    finally:
+        t._fs = real
+    msg = str(ei.value)
+    assert "PARTIALLY" not in msg
+    assert "failed: removed nothing" in msg
+    for rel in ("data/v2", "commits/v2.json", "commits/_claim.v2"):
+        assert rel in msg
+    assert isinstance(ei.value.__cause__, RuntimeError)
+    t.recover()
+    v = t.transform_buckets(_df(spark, [(1, 2, "U", 1.5)]), _good)
+    assert v == 2

@@ -36,6 +36,7 @@ END = "<!-- ledger:auto:end -->"
 CONSOLIDATED = {
     "session_window": "sessionize",  # r13
     "tws_first_seen": "first_seen",  # r13
+    "sql_nested_semi": "semi_join",  # r15
 }
 
 #: the SURVEY §8 rule-2 headline bench queries — re-gated as window

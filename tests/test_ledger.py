@@ -52,3 +52,39 @@ def test_driver_evidence_is_green_definition():
     assert 1 in evidence.get("pricing_summary", [])
     assert r1["simhash"]["hash_match"] is False or r1["simhash"]["rows_match"] is False
     assert 1 not in evidence.get("simhash", [])
+
+
+def test_plan_next_window_invariants():
+    """--plan-next (r15) composes a valid §8 window mechanically:
+    exactly ≤50 unique registry keys, containing every red row, the
+    ENTIRE oldest-age bucket, and every headliner at the age-2 bound
+    (excluding one would breach ≤2 post-gate)."""
+    plan = ledger_check.plan_next(str(REPO))
+    led = ledger_check.ledger(str(REPO))
+    window = plan["window"]
+    assert len(window) <= 50
+    assert len(window) == len(set(window))
+    assert set(window) <= set(led["registry"])
+    assert set(plan["reds"]) <= set(window)
+    assert set(plan["oldest_bucket"]) <= set(window), (
+        "oldest bucket not fully paid — §8 rule 3 would break"
+    )
+    for h in plan["headliners_required"]:
+        assert h in window, f"bound headliner {h} missing — ≤2 breach"
+
+
+def test_plan_next_projected_ages_hold_invariant():
+    """If the planned window gates green, no registry key's age may
+    exceed 3 and no headliner's may exceed 2 (the §8 rule-3 invariant,
+    projected one round ahead)."""
+    plan = ledger_check.plan_next(str(REPO))
+    led = ledger_check.ledger(str(REPO))
+    now = ledger_check.latest_round(str(REPO))
+    in_window = set(plan["window"])
+    for n, rounds in led["evidence"].items():
+        if n not in set(led["registry"]):
+            continue
+        projected = 0 if n in in_window else (now - max(rounds)) + 1
+        assert projected <= 3, f"{n} would age to {projected}"
+        if n in ledger_check.HEADLINERS:
+            assert projected <= 2, f"headliner {n} would age to {projected}"

@@ -11,6 +11,7 @@ Usage:
     PYTHONPATH=/root/repo python tools/ledger_check.py            # summary
     PYTHONPATH=/root/repo python tools/ledger_check.py --readme   # emit README block
     PYTHONPATH=/root/repo python tools/ledger_check.py --check    # exit 1 on README drift
+    PYTHONPATH=/root/repo python tools/ledger_check.py --plan-next  # next window per SURVEY §8
 
 ``tests/test_ledger.py`` runs the ``--check`` logic under pytest so any
 future drift between README.md and the CORRECTNESS record fails CI.
@@ -123,6 +124,104 @@ def ledger(repo: str = REPO, through_round: int | None = None) -> dict:
     }
 
 
+def red_rows(repo: str = REPO) -> list[str]:
+    """Registry keys whose row in the LATEST CORRECTNESS file is not
+    green — rule 2 slot-1 re-gates."""
+    now = latest_round(repo)
+    if not now:
+        return []
+    path = os.path.join(repo, f"CORRECTNESS_r{now:02d}.json")
+    if not os.path.exists(path):
+        path = os.path.join(repo, f"CORRECTNESS_r{now}.json")
+    with open(path) as fh:
+        data = json.load(fh)
+    names = set(registry_names(repo))
+    return sorted(n for n, v in data.items() if n in names and not _is_green(v))
+
+
+def plan_next(repo: str = REPO) -> dict:
+    """Compose the NEXT round's 50-key gate window mechanically, per
+    SURVEY §8 rule 2 (r15: makes the rotation arithmetic a tool
+    output instead of per-round hand derivation — the same motivation
+    as the r14 headliner report).
+
+    Order: (1) red-row re-gates from the latest CORRECTNESS file;
+    (2) the ENTIRE oldest-age bucket; (3) headliners, any at the
+    age-2 bound first (excluding one would breach the ≤2 post-gate
+    bound), then the rest oldest-first as capacity permits; (4) fill
+    from the next-oldest buckets, alphabetical within a bucket.
+    Fill slots are DISCRETIONARY — the builder may spend them on ≤2
+    new keys (rule 1) or a rule-4 consolidation survivor instead.
+    Overflow (reds + oldest bucket + bound-breaching headliners > 50)
+    is reported, not resolved: it needs a rule-4 consolidation or an
+    explicit rule-2 deferral, both builder decisions."""
+    led = ledger(repo)
+    now = latest_round(repo)
+    names = led["registry"]
+    ages = {
+        n: now - max(v) for n, v in led["evidence"].items() if n in set(names)
+    }
+    reds = red_rows(repo)
+    window: list[str] = list(reds)
+    notes: list[str] = []
+    if reds:
+        notes.append(f"slot-1 red re-gates: {len(reds)}")
+    oldest = max(ages.values()) if ages else 0
+    bucket = sorted(n for n, a in ages.items() if a == oldest)
+    window += [n for n in bucket if n not in set(window)]
+    required = [
+        h for h in HEADLINERS
+        if h in ages and ages[h] >= 2 and h not in set(window)
+    ]
+    optional = sorted(
+        (h for h in HEADLINERS
+         if h in ages and 0 < ages[h] < 2 and h not in set(window)),
+        key=lambda h: (-ages[h], h),
+    )
+    overflow = len(window) + len(required) - 50
+    if overflow > 0:
+        notes.append(
+            f"OVERFLOW by {overflow}: reds + oldest bucket + bound "
+            "headliners exceed 50 — a rule-4 consolidation or an "
+            "explicit deferral is needed"
+        )
+    window += [h for h in required if len(window) < 50]
+    for h in optional:
+        if len(window) < 50:
+            window.append(h)
+    deferred = [
+        h for h in required + optional if h not in set(window)
+    ]
+    if deferred:
+        notes.append("headliners deferred for capacity: " + ", ".join(deferred))
+    fill_start = len(window)
+    for age in sorted(set(ages.values()), reverse=True):
+        if age == oldest:
+            continue
+        for n in sorted(n for n, a in ages.items() if a == age):
+            if len(window) >= 50:
+                break
+            if n not in set(window):
+                window.append(n)
+    n_fill = len(window) - fill_start
+    if n_fill:
+        notes.append(
+            f"fill slots (discretionary — ≤2 new keys or a rule-4 "
+            f"consolidation survivor may take them): {n_fill}"
+        )
+    return {
+        "round": now + 1,
+        "window": window[:50],
+        "reds": reds,
+        "oldest_age": oldest,
+        "oldest_bucket": bucket,
+        "headliners_required": required,
+        "headliners_optional": [h for h in optional if h in set(window)],
+        "n_fill": n_fill,
+        "notes": notes,
+    }
+
+
 def readme_block(repo: str = REPO, through_round: int | None = None) -> str:
     """The auto-generated README ledger section, deterministic.
 
@@ -204,6 +303,26 @@ def main() -> int:
     if "--write" in args:
         write_readme()
         print("README.md ledger block regenerated")
+        return 0
+    if "--plan-next" in args:
+        plan = plan_next()
+        print(f"planned r{plan['round']} window (SURVEY §8 rule 2, "
+              f"mechanical; evidence through r{plan['round'] - 1}):")
+        print(f"  red re-gates ({len(plan['reds'])}):",
+              ", ".join(plan["reds"]) or "none")
+        print(f"  oldest bucket (age {plan['oldest_age']}, "
+              f"{len(plan['oldest_bucket'])} keys):",
+              ", ".join(plan["oldest_bucket"]))
+        print(f"  headliners at the age-2 bound (must gate):",
+              ", ".join(plan["headliners_required"]) or "none")
+        print(f"  headliners as capacity permits:",
+              ", ".join(plan["headliners_optional"]) or "none")
+        print(f"  fill (discretionary): {plan['n_fill']}")
+        for note in plan["notes"]:
+            print("  NOTE:", note)
+        print(f"  composed window ({len(plan['window'])}):")
+        for i in range(0, len(plan["window"]), 5):
+            print("   ", ", ".join(plan["window"][i : i + 5]))
         return 0
     if "--check" in args:
         problems = check_readme()

@@ -66,6 +66,10 @@ def test_plan_next_window_invariants():
     assert len(window) == len(set(window))
     assert set(window) <= set(led["registry"])
     assert set(plan["reds"]) <= set(window)
+    assert set(plan["never_gated"]) <= set(window), (
+        "a never-gated key outside the window gains no driver "
+        "evidence at all — §8 rule 1 would break"
+    )
     assert set(plan["oldest_bucket"]) <= set(window), (
         "oldest bucket not fully paid — §8 rule 3 would break"
     )
@@ -88,3 +92,37 @@ def test_plan_next_projected_ages_hold_invariant():
         assert projected <= 3, f"{n} would age to {projected}"
         if n in ledger_check.HEADLINERS:
             assert projected <= 2, f"headliner {n} would age to {projected}"
+
+
+def test_plan_next_fires_on_synthetic_rotation_state(tmp_path):
+    """Non-vacuous exercise of the plan's mandatory tiers (the real
+    repo currently has no reds and no never-gated keys): a fixture
+    repo with a red row, a never-gated key, and an aged bucket must
+    compose reds → never-gated → oldest bucket → fill, in order."""
+    import json
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / "__spark_entry__.py").write_text(
+        "def queries():\n"
+        "    return {k: None for k in"
+        " ['a', 'b', 'c', 'd', 'e', 'brand_new']}\n"
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": green, "b": green, "c": red, "d": green, "e": green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"a": green, "c": red})
+    )
+    plan = ledger_check.plan_next(str(tmp_path))
+    assert plan["round"] == 3
+    assert plan["reds"] == ["c"]
+    # c is red AND never-green: it must appear once, up front
+    assert plan["never_gated"] == ["brand_new", "c"]
+    assert plan["window"][:2] == ["c", "brand_new"]
+    assert plan["window"].count("c") == 1
+    # oldest bucket = age-1 keys (last green r1, now r2)
+    assert plan["oldest_bucket"] == ["b", "d", "e"]
+    # everything fits: 2 mandatory + 3 bucket + 1 fill (a, age 0)
+    assert set(plan["window"]) == {"a", "b", "c", "d", "e", "brand_new"}
+    assert plan["n_fill"] == 1

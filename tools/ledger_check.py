@@ -166,6 +166,17 @@ def plan_next(repo: str = REPO) -> dict:
     notes: list[str] = []
     if reds:
         notes.append(f"slot-1 red re-gates: {len(reds)}")
+    # never-gated keys have NO age entry (they never greened) and
+    # would otherwise be invisible to the bucket/fill passes — but a
+    # key outside the window gains no driver evidence at all (§8
+    # rule 1: new keys MUST land inside the window), so they gate
+    # with slot-1 priority, right after reds
+    never = sorted(n for n in names if n not in led["evidence"])
+    window += [n for n in never if n not in set(window)]
+    if never:
+        notes.append(
+            f"never-gated keys (must gate, rule 1): {len(never)}"
+        )
     oldest = max(ages.values()) if ages else 0
     bucket = sorted(n for n, a in ages.items() if a == oldest)
     window += [n for n in bucket if n not in set(window)]
@@ -181,9 +192,9 @@ def plan_next(repo: str = REPO) -> dict:
     overflow = len(window) + len(required) - 50
     if overflow > 0:
         notes.append(
-            f"OVERFLOW by {overflow}: reds + oldest bucket + bound "
-            "headliners exceed 50 — a rule-4 consolidation or an "
-            "explicit deferral is needed"
+            f"OVERFLOW by {overflow}: reds + never-gated + oldest "
+            "bucket + bound headliners exceed 50 — a rule-4 "
+            "consolidation or an explicit deferral is needed"
         )
     window += [h for h in required if len(window) < 50]
     for h in optional:
@@ -213,6 +224,7 @@ def plan_next(repo: str = REPO) -> dict:
         "round": now + 1,
         "window": window[:50],
         "reds": reds,
+        "never_gated": never,
         "oldest_age": oldest,
         "oldest_bucket": bucket,
         "headliners_required": required,
@@ -310,6 +322,8 @@ def main() -> int:
               f"mechanical; evidence through r{plan['round'] - 1}):")
         print(f"  red re-gates ({len(plan['reds'])}):",
               ", ".join(plan["reds"]) or "none")
+        print(f"  never-gated, must gate ({len(plan['never_gated'])}):",
+              ", ".join(plan["never_gated"]) or "none")
         print(f"  oldest bucket (age {plan['oldest_age']}, "
               f"{len(plan['oldest_bucket'])} keys):",
               ", ".join(plan["oldest_bucket"]))

@@ -878,7 +878,10 @@ def q_gapfill(spark, sf_dir):
     generate_series + IGNORE NULLS windows with identical arithmetic
     order. The bucket is STRINGIFIED at the edge (the repo-wide
     temporal rule) — DuckDB's to_timestamp(bigint) is TIMESTAMPTZ vs
-    Spark's plain TIMESTAMP, the diagnosed r9 schema+hash red row."""
+    Spark's plain TIMESTAMP, the diagnosed r9 schema+hash red row;
+    since r15 the oracles build buckets with make_timestamp(µs)
+    (naive TIMESTAMP) so the comparison is also host-TZ-independent
+    (a TZ=America/Bogota sweep caught the TIMESTAMPTZ render shift)."""
     from fbs_data_pipelines_spark.operators.timeseries import gapfill
 
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
@@ -5337,8 +5340,8 @@ def oracle_sql() -> dict[str, str]:
     sql["gapfill"] = """
         WITH base AS (
             SELECT event_type,
-                   to_timestamp((CAST(epoch(ts) AS BIGINT) // 3600)
-                                * 3600) AS bucket,
+                   make_timestamp((CAST(epoch(ts) AS BIGINT) // 3600)
+                                  * 3600 * 1000000) AS bucket,
                    value
             FROM events WHERE user_id % 97 = 0
         ), agg AS (
@@ -8210,9 +8213,9 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY n DESC, event_type) AS rn
             FROM agg
         )
-        SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S')
+        SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
                    AS window_start,
-               strftime(to_timestamp(ws + 21600), '%Y-%m-%d %H:%M:%S')
+               strftime(make_timestamp((ws + 21600) * 1000000), '%Y-%m-%d %H:%M:%S')
                    AS window_end,
                event_type, n, CAST(rn AS BIGINT) AS rank
         FROM ranked WHERE rn <= 3
@@ -8576,8 +8579,8 @@ def oracle_sql() -> dict[str, str]:
     sql["ohlc"] = """
         WITH base AS (
             SELECT event_type,
-                   to_timestamp((CAST(epoch(ts) AS BIGINT) // 3600)
-                                * 3600) AS bucket,
+                   make_timestamp((CAST(epoch(ts) AS BIGINT) // 3600)
+                                  * 3600 * 1000000) AS bucket,
                    ts, value
             FROM events WHERE user_id % 97 = 0
         ), ranked AS (
@@ -9106,8 +9109,8 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_ohlc"] = """
         WITH base AS (
             SELECT event_type,
-                   to_timestamp((CAST(epoch(ts) AS BIGINT) // 3600)
-                                * 3600) AS bucket,
+                   make_timestamp((CAST(epoch(ts) AS BIGINT) // 3600)
+                                  * 3600 * 1000000) AS bucket,
                    ts, value
             FROM events WHERE user_id % 97 = 0
         ), ranked AS (

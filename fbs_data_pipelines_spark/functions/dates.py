@@ -8,12 +8,39 @@ spaces; failures → null (D1/D2,
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def ts_lit(value: _dt.datetime) -> Column:
+    """Timestamp literal with HOST-timezone-independent semantics.
+
+    ``F.lit(naive_datetime)`` converts through ``time.mktime`` — the
+    PYTHON PROCESS local timezone — so identical code yields different
+    instants on differently-zoned hosts even when
+    ``spark.sql.session.timeZone`` is pinned (the engine pins UTC,
+    session.py). Here instead:
+
+    - naive ``datetime`` → parsed from its ISO string in the SESSION
+      timezone (the wall clock the caller wrote is the wall clock the
+      session renders, on every host);
+    - tz-aware ``datetime`` → the exact instant via
+      ``timestamp_micros`` (integer epoch arithmetic, no float).
+    """
+    if value.tzinfo is not None:
+        us = (value - _EPOCH_UTC) // _dt.timedelta(microseconds=1)
+        return F.timestamp_micros(F.lit(us))
+    return F.to_timestamp(
+        F.lit(value.isoformat(sep=" ", timespec="microseconds"))
+    )
 
 
 def parse_flexible_date(c: Column | str) -> Column:

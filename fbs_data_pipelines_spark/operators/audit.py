@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fbs_data_pipelines_spark.functions.cleaning import cast_all_to_string
+from fbs_data_pipelines_spark.functions.dates import ts_lit
 from fbs_data_pipelines_spark.operators.joins import join_with_suffix
 
 
@@ -87,7 +88,10 @@ def authlog_table(
         cols.append(F.col(c).alias(f"{c}_nuevo"))
     cols += [
         F.lit(run_id).alias("id_log"),
-        F.lit(run_ts).cast("timestamp").alias("fecha_modificacion"),
+        # ts_lit, NOT F.lit(datetime): the plain literal converts via
+        # the Python process's LOCAL timezone and shifts on non-UTC
+        # hosts (found by a TZ=America/Bogota oracle sweep, r15).
+        ts_lit(run_ts).alias("fecha_modificacion"),
         F.lit(log_root).alias("fuente_log"),
         F.lit("Modificado").alias("tipo_cambio"),
     ]

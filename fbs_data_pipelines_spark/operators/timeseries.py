@@ -29,12 +29,14 @@ no single task sees more than one group's grid.
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fbs_data_pipelines_spark.functions.cleaning import round_half_up
+from fbs_data_pipelines_spark.functions.dates import ts_lit
 
 
 def time_bucket(ts_col: str, step_seconds: int):
@@ -54,7 +56,12 @@ def _bound_bucket(bound, step_seconds: int):
         return F.timestamp_seconds(
             F.lit(int(bound // step_seconds) * step_seconds)
         )
-    lit = F.lit(bound).cast("timestamp")
+    if isinstance(bound, _dt.datetime):
+        # ts_lit, NOT F.lit(datetime): the plain literal converts via
+        # the Python process's LOCAL timezone (host-TZ-dependent).
+        lit = ts_lit(bound)
+    else:
+        lit = F.lit(bound).cast("timestamp")
     return F.timestamp_seconds(
         (F.unix_timestamp(lit) / step_seconds).cast("long") * step_seconds
     )

@@ -4749,36 +4749,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # AGE CONVENTION (fixed r15, r14 advisor item 3): every age in
     # these comments is a ledger_check "now" age — rounds since the
-    # key's last driver-green, measured AT ROTATION TIME (post-r14,
-    # pre-r15 gate). SURVEY §8 and EVIDENCE use the same convention.
+    # key's last driver-green, measured AT ROTATION TIME (post-r15,
+    # pre-r16 gate). SURVEY §8 and EVIDENCE use the same convention.
     #
-    # Round-15 rotation — exactly the r14 judge's handoff (VERDICT
-    # item 1 / EVIDENCE_r14 §6): the 43-key age-3 tail (the
-    # r11-evidence bucket) + all 6 rule-2 headliners (`windowed_rollup`
-    # returning at its age-2 headliner bound; the other five at age ≤1)
-    # + 1 spare = exactly 50. The spare executes the judge's directive
-    # 2: SURVEY §8 rule-4 consolidation `sql_nested_semi` → `semi_join`
-    # (the Q20 SQL-door IN-subquery plan ≡ the semi_join operator over
-    # the gated `groupby_having`-shaped aggregate; pinned in
-    # tests/test_consolidated_keys.py), registry 186 → 185, and the
-    # SURVIVING key re-gates in the spare slot so the merged surface
-    # carries fresh driver evidence. Projected post-r15 evidence ages:
-    # {0: 50, 1: 49, 2: 44, 3: 42} — max age 3, the §8 invariant; all
-    # six headliners reset to 0. The two int32-edge queries
-    # (`sql_qualify`, `udtf_sentences`) remain width-only-allowed in
-    # tests/test_type_audit.py.
+    # Round-16 rotation — exactly the r15 judge's handoff (VERDICT
+    # item 1 / EVIDENCE_r15 §6): the ENTIRE 42-key age-3 tail (the
+    # r12-evidence bucket, including `audit_log` whose engine path and
+    # oracle string moved in the r15 TZ fix) + all 6 rule-2 headliners
+    # (each at age 1; capacity permits, so all six re-gate) + the two
+    # spare slots spent on the CHANGED-ORACLE keys `ohlc` and `gapfill`
+    # (their oracle_sql() strings were rewritten by the r15 TZ fix
+    # AFTER their last r14 gate — changed-oracle keys re-gate with
+    # red-tier priority, now machine-derived via ORACLE_HASHES.json +
+    # ledger_check --plan-next) = exactly 50. Registry stays FROZEN at
+    # 185 (zero new keys); the next rule-4 consolidation
+    # (`cascading_rollup` → `rollup`) is queued for r17, where the
+    # 44-key tail + 6 headliners would otherwise leave zero spare.
+    # Projected post-r16 evidence ages: {0: 50, 1: 44, 2: 47, 3: 44}
+    # — max age 3, the §8 invariant; all six headliners reset to 0.
+    # The two int32-edge queries (`sql_qualify`, `udtf_sentences`)
+    # remain width-only-allowed in tests/test_type_audit.py.
     return {
-        # ==== driver gate window: r15 rotation (50 entries) ============
-        # --- all 6 rule-2 headliners (`windowed_rollup` back at its
-        #     age-2 bound; ledger_check's breach warning clears) -------
+        # ==== driver gate window: r16 rotation (50 entries) ============
+        # --- all 6 rule-2 headliners (each at age 1 — capacity
+        #     permits, so all six re-gate; no age-2 bound in play) ----
         "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,
         "merge_upsert": q_merge_upsert,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_topk": q_ann_topk,
         "windowed_rollup": q_windowed_rollup,
-        # --- the ENTIRE age-3 evidence tail (43 r11-evidence keys —
-        #     SURVEY §8 rule 2: pay the oldest bucket fully) -----------
+        # --- the ENTIRE age-3 evidence tail (42 r12-evidence keys —
+        #     SURVEY §8 rule 2: pay the oldest bucket fully; includes
+        #     `audit_log`, whose engine path + oracle string changed
+        #     in the r15 TZ fix) ---------------------------------------
+        "ann_lsh": q_ann_lsh,
+        "array_agg": q_array_agg,
+        "asof_join": q_asof_join,
+        "audit_log": q_audit_log,
+        "canonical_docs": q_canonical_docs,
+        "cube": q_cube,
+        "curation_v2": q_curation_v2,
+        "datediff": q_datediff,
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "except": q_except,
+        "first_seen": q_first_seen,
+        "funnel": q_funnel,
+        "gopher_quality": q_gopher_quality,
+        "groupby_having": q_groupby_having,
+        "grouped_ols": q_grouped_ols,
+        "grouping_sets": q_grouping_sets,
+        "incremental_dedup": q_incremental_dedup,
+        "intersect": q_intersect,
+        "json_extract": q_json_extract,
+        "latest_snapshot_agg": q_latest_snapshot_agg,
+        "lookup_join": q_lookup_join,
+        "minhash_signatures": q_minhash_signatures,
+        "multi_join_topn": q_multi_join_topn,
+        "multimodal_features": q_multimodal_features,
+        "pii_scrub": q_pii_scrub,
+        "retention": q_retention,
+        "scalar_subquery": q_scalar_subquery,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "source_overlap": q_source_overlap,
+        "sparse_cosine": q_sparse_cosine,
+        "stratified_sample": q_stratified_sample,
+        "streaming_cdc": q_streaming_cdc,
+        "streaming_merge": q_streaming_merge,
+        "streaming_rollup": q_streaming_rollup,
+        "text_stats": q_text_stats,
+        "variant_json": q_variant_json,
+        "vector_norms": q_vector_norms,
+        "window_rank": q_window_rank,
+        "window_running": q_window_running,
+        # --- 2 spare slots (r15 judge directive #1): the two
+        #     changed-oracle keys — the r15 TZ fix (974f7d4) rewrote
+        #     their oracle_sql() strings AFTER their last r14 gate, so
+        #     they re-gate with slot-1-like priority rather than
+        #     waiting for plain rotation (ledger_check --plan-next now
+        #     ranks changed-oracle keys in the red tier mechanically,
+        #     via the ORACLE_HASHES.json sidecar) ----------------------
+        "ohlc": q_ohlc,
+        "gapfill": q_gapfill,
+        # ==== driver gate window ends here (50 entries) ===============
+        # --- age-1 after r16 (r15 evidence minus the headliners:
+        #     44 keys) -------------------------------------------------
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "array_ops": q_array_ops,
         "bm25_search": q_bm25_search,
@@ -4822,11 +4880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "typo_pairs": q_typo_pairs,
         "value_share_having": q_value_share_having,
-        # --- spare slot: rule-4 consolidation survivor re-gate --------
         "semi_join": q_semi_join,
-        # ==== driver gate window ends here (50 entries) ===============
-        # --- age-1 after r15 (r14 evidence minus `sessionize`) — the
-        #     r16 window starts from the age-3 tail below + headliners -
+        # --- age-2 after r16 (r14 evidence minus the headliners and
+        #     the two spare-slot keys: 47 keys) ------------------------
         "alpha_sample": q_alpha_sample,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
@@ -4842,7 +4898,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "ewma": q_ewma,
         "expectations": q_expectations,
-        "gapfill": q_gapfill,
         "grouped_topk": q_grouped_topk,
         "histogram": q_histogram,
         "hll_distinct": q_hll_distinct,
@@ -4852,7 +4907,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "mad_outliers": q_mad_outliers,
         "monthly_rollup": q_monthly_rollup,
-        "ohlc": q_ohlc,
         "pagerank": q_pagerank,
         "percentile_exact": q_percentile_exact,
         "quality_classifier": q_quality_classifier,
@@ -4876,9 +4930,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_navigation": q_window_navigation,
         "window_range_30d": q_window_range_30d,
         "winsorize": q_winsorize,
-        # --- age-2 after r15 (r13 evidence minus the four age-1
-        #     headliners and `semi_join`; `sql_nested_semi` left the
-        #     registry via the r15 rule-4 consolidation) ---------------
+        # --- age-3 after r16 (r13 evidence minus the four then-age-1
+        #     headliners and `semi_join`: 44 keys) — heads the r17
+        #     window: 44 + 6 headliners = exactly 50, zero spare; the
+        #     queued rule-4 consolidation (`cascading_rollup` →
+        #     `rollup`, SURVEY §8 r17 note) frees the survivor slot ----
         "streaming_cdc_bucketed": q_streaming_cdc_bucketed,
         "anti_join": q_anti_join,
         "bloom_join": q_bloom_join,
@@ -4923,50 +4979,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all": q_union_all,
         "weighted_sample": q_weighted_sample,
         "zorder_layout": q_zorder_layout,
-        # --- age-3 after r15 (r12 evidence minus `windowed_rollup`) —
-        #     heads the r16 window: 42 keys + 6 headliners + 2 spare ---
-        "variant_json": q_variant_json,
-        "streaming_cdc": q_streaming_cdc,
-        "array_agg": q_array_agg,
-        "asof_join": q_asof_join,
-        "audit_log": q_audit_log,
-        "canonical_docs": q_canonical_docs,
-        "cube": q_cube,
-        "curation_v2": q_curation_v2,
-        "datediff": q_datediff,
-        "dedup_clusters": q_dedup_clusters,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "except": q_except,
-        "first_seen": q_first_seen,
-        "funnel": q_funnel,
-        "gopher_quality": q_gopher_quality,
-        "groupby_having": q_groupby_having,
-        "grouped_ols": q_grouped_ols,
-        "grouping_sets": q_grouping_sets,
-        "incremental_dedup": q_incremental_dedup,
-        "intersect": q_intersect,
-        "json_extract": q_json_extract,
-        "latest_snapshot_agg": q_latest_snapshot_agg,
-        "lookup_join": q_lookup_join,
-        "minhash_signatures": q_minhash_signatures,
-        "multi_join_topn": q_multi_join_topn,
-        "multimodal_features": q_multimodal_features,
-        "pii_scrub": q_pii_scrub,
-        "retention": q_retention,
-        "scalar_subquery": q_scalar_subquery,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "source_overlap": q_source_overlap,
-        "sparse_cosine": q_sparse_cosine,
-        "stratified_sample": q_stratified_sample,
-        "streaming_merge": q_streaming_merge,
-        "streaming_rollup": q_streaming_rollup,
-        "text_stats": q_text_stats,
-        "vector_norms": q_vector_norms,
-        "window_rank": q_window_rank,
-        "window_running": q_window_running,
-        "ann_lsh": q_ann_lsh,
     }
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

@@ -94,6 +94,96 @@ def test_plan_next_projected_ages_hold_invariant():
             assert projected <= 2, f"headliner {n} would age to {projected}"
 
 
+def test_shipped_window_holds_projected_age_invariant():
+    """The §8 invariant on the window we actually SHIP (first 50 of
+    queries()), not just the advisory plan: if the shipped window
+    gates green, no registry key ages past 3 and no headliner past 2.
+    This is the test that catches a hand-rotation mistake before the
+    driver does."""
+    led = ledger_check.ledger(str(REPO))
+    now = ledger_check.latest_round(str(REPO))
+    in_window = set(led["window"])
+    for n, rounds in led["evidence"].items():
+        if n not in set(led["registry"]):
+            continue
+        projected = 0 if n in in_window else (now - max(rounds)) + 1
+        assert projected <= 3, f"{n} would age to {projected} post-gate"
+        if n in ledger_check.HEADLINERS:
+            assert projected <= 2, f"headliner {n} would age to {projected}"
+
+
+def test_changed_oracle_keys_are_in_the_shipped_window():
+    """r15 judge directive #2: a key whose oracle_sql() text changed
+    since its last driver gate carries evidence for a comparison that
+    no longer exists. Such keys MUST sit inside the shipped 50-key
+    window (first 50 of queries()) so the next driver run re-verifies
+    the new text — exactly how `ohlc`/`gapfill` re-gate in r16 after
+    the r15 TZ fix rewrote their oracles one round post-gate."""
+    changed = ledger_check.changed_oracle_keys(str(REPO))
+    led = ledger_check.ledger(str(REPO))
+    out = [c for c in changed if c not in set(led["window"])]
+    assert out == [], (
+        f"changed-oracle keys outside the gate window: {out} — "
+        "rotate them in or re-stamp after a deliberate no-op edit"
+    )
+
+
+def test_plan_next_ranks_changed_oracle_keys_in_red_tier(tmp_path):
+    """Synthetic: a sidecar hash mismatch must surface the key at the
+    front of the planned window, like a red row."""
+    import json
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    (tmp_path / "__spark_entry__.py").write_text(
+        "def queries():\n"
+        "    return {k: None for k in ['a', 'b', 'c']}\n"
+        "def oracle_sql():\n"
+        "    return {'a': 'SELECT 1', 'b': 'SELECT 2', 'c': 'SELECT 3'}\n"
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": green, "b": green, "c": green})
+    )
+    side = {
+        "a": {"hash": ledger_check._sha("SELECT 1"), "round": 1},
+        # b's oracle text changed after its r1 gate
+        "b": {"hash": ledger_check._sha("SELECT 2 -- as gated"), "round": 1},
+        "c": {"hash": ledger_check._sha("SELECT 3"), "round": 1},
+    }
+    (tmp_path / "ORACLE_HASHES.json").write_text(json.dumps(side))
+    assert ledger_check.changed_oracle_keys(str(tmp_path)) == ["b"]
+    plan = ledger_check.plan_next(str(tmp_path))
+    assert plan["changed_oracle"] == ["b"]
+    assert plan["window"][0] == "b"
+    assert plan["window"].count("b") == 1
+
+
+def test_stamp_oracles_clears_changed_state(tmp_path):
+    """--stamp-oracles records the current text for every green key in
+    the latest CORRECTNESS file, clearing the changed tier."""
+    import json
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"rows_match": False, "schema_match": True, "hash_match": False}
+    (tmp_path / "__spark_entry__.py").write_text(
+        "def queries():\n"
+        "    return {k: None for k in ['a', 'b']}\n"
+        "def oracle_sql():\n"
+        "    return {'a': 'SELECT 1', 'b': 'SELECT 2'}\n"
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": green, "b": red})
+    )
+    side = {"a": {"hash": ledger_check._sha("old text"), "round": 0}}
+    (tmp_path / "ORACLE_HASHES.json").write_text(json.dumps(side))
+    assert ledger_check.changed_oracle_keys(str(tmp_path)) == ["a"]
+    stamped = ledger_check.stamp_oracles(str(tmp_path))
+    assert stamped == ["a"]  # b was red — its stale evidence stays unstamped
+    assert ledger_check.changed_oracle_keys(str(tmp_path)) == []
+    refreshed = json.loads((tmp_path / "ORACLE_HASHES.json").read_text())
+    assert refreshed["a"]["round"] == 1
+    assert "b" not in refreshed
+
+
 def test_plan_next_fires_on_synthetic_rotation_state(tmp_path):
     """Non-vacuous exercise of the plan's mandatory tiers (the real
     repo currently has no reds and no never-gated keys): a fixture

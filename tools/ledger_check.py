@@ -12,6 +12,8 @@ Usage:
     PYTHONPATH=/root/repo python tools/ledger_check.py --readme   # emit README block
     PYTHONPATH=/root/repo python tools/ledger_check.py --check    # exit 1 on README drift
     PYTHONPATH=/root/repo python tools/ledger_check.py --plan-next  # next window per SURVEY §8
+    PYTHONPATH=/root/repo python tools/ledger_check.py --stamp-oracles  # refresh ORACLE_HASHES.json
+                                                          # (run at ROUND START, pre-edit)
 
 ``tests/test_ledger.py`` runs the ``--check`` logic under pytest so any
 future drift between README.md and the CORRECTNESS record fails CI.
@@ -94,7 +96,7 @@ def latest_round(repo: str = REPO) -> int:
     return max(rounds) if rounds else 0
 
 
-def registry_names(repo: str = REPO) -> list[str]:
+def _entry_module(repo: str = REPO):
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -102,7 +104,93 @@ def registry_names(repo: str = REPO) -> list[str]:
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return list(mod.queries())
+    return mod
+
+
+def registry_names(repo: str = REPO) -> list[str]:
+    return list(_entry_module(repo).queries())
+
+
+# --- changed-oracle detection (r16, r15 judge directive #2) ----------
+#
+# A key whose oracle_sql() TEXT changed after its last driver gate
+# carries driver evidence for a comparison that no longer exists —
+# exactly what happened to `ohlc`/`gapfill` when the r15 TZ fix
+# rewrote their oracle strings one round after their r14 gate, leaving
+# them green-on-paper but unverified-by-the-driver until r18 under
+# plain rotation. ORACLE_HASHES.json records, per key, the sha256 of
+# the oracle text AS GATED (seeded r16 from the parent tree of each
+# driver `round N:` commit; refreshed by --stamp-oracles at the start
+# of each round, when the tree is still exactly the one the driver
+# gated). plan_next ranks changed keys in the red tier.
+
+SIDECAR = "ORACLE_HASHES.json"
+
+
+def _sha(text: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(text.encode()).hexdigest()
+
+
+def oracle_sidecar(repo: str = REPO) -> dict[str, dict]:
+    path = os.path.join(repo, SIDECAR)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def current_oracle_hashes(repo: str = REPO) -> dict[str, str]:
+    mod = _entry_module(repo)
+    if not hasattr(mod, "oracle_sql"):
+        return {}
+    return {k: _sha(v) for k, v in mod.oracle_sql().items()}
+
+
+def changed_oracle_keys(repo: str = REPO) -> list[str]:
+    """Registry keys whose CURRENT oracle text differs from the text
+    at their last driver gate (per the sidecar). Keys absent from the
+    sidecar (brand-new, never stamped) are NOT listed here — they are
+    already caught by the never-gated tier."""
+    side = oracle_sidecar(repo)
+    if not side:
+        return []
+    cur = current_oracle_hashes(repo)
+    names = set(registry_names(repo))
+    return sorted(
+        k for k, rec in side.items()
+        if k in names and k in cur and cur[k] != rec.get("hash")
+    )
+
+
+def stamp_oracles(repo: str = REPO) -> list[str]:
+    """Refresh the sidecar for every key GREEN in the latest
+    CORRECTNESS file, recording the current oracle hash and that
+    round. Run at the START of a round, before any oracle edit — the
+    tree is then byte-identical to the one the driver gated, so the
+    hash faithfully records the as-gated text. Returns the stamped
+    keys."""
+    now = latest_round(repo)
+    if not now:
+        return []
+    path = os.path.join(repo, f"CORRECTNESS_r{now:02d}.json")
+    with open(path) as fh:
+        data = json.load(fh)
+    side = oracle_sidecar(repo)
+    cur = current_oracle_hashes(repo)
+    stamped = []
+    for name, verdict in data.items():
+        if _is_green(verdict) and name in cur:
+            side[name] = {"hash": cur[name], "round": now}
+            stamped.append(name)
+    # drop keys consolidated out of the registry
+    names = set(registry_names(repo))
+    side = {k: v for k, v in side.items() if k in names}
+    with open(os.path.join(repo, SIDECAR), "w") as fh:
+        json.dump(side, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return sorted(stamped)
 
 
 def ledger(repo: str = REPO, through_round: int | None = None) -> dict:
@@ -145,7 +233,10 @@ def plan_next(repo: str = REPO) -> dict:
     output instead of per-round hand derivation — the same motivation
     as the r14 headliner report).
 
-    Order: (1) red-row re-gates from the latest CORRECTNESS file;
+    Order: (1) red-row re-gates from the latest CORRECTNESS file,
+    then changed-oracle keys (r16: a key whose oracle_sql() text
+    moved after its last gate is treated like a red — its green
+    evidence verified a comparison that no longer exists);
     (2) the ENTIRE oldest-age bucket; (3) headliners, any at the
     age-2 bound first (excluding one would breach the ≤2 post-gate
     bound), then the rest oldest-first as capacity permits; (4) fill
@@ -166,6 +257,18 @@ def plan_next(repo: str = REPO) -> dict:
     notes: list[str] = []
     if reds:
         notes.append(f"slot-1 red re-gates: {len(reds)}")
+    # changed-oracle keys rank in the red tier (r16, r15 judge
+    # directive #2): their driver evidence predates their current
+    # oracle text, so it verifies nothing until re-gated
+    changed = [
+        c for c in changed_oracle_keys(repo) if c not in set(window)
+    ]
+    window += changed
+    if changed:
+        notes.append(
+            "changed-oracle keys (oracle_sql text moved since last "
+            "gate — red-tier): " + ", ".join(changed)
+        )
     # never-gated keys have NO age entry (they never greened) and
     # would otherwise be invisible to the bucket/fill passes — but a
     # key outside the window gains no driver evidence at all (§8
@@ -224,6 +327,7 @@ def plan_next(repo: str = REPO) -> dict:
         "round": now + 1,
         "window": window[:50],
         "reds": reds,
+        "changed_oracle": changed,
         "never_gated": never,
         "oldest_age": oldest,
         "oldest_bucket": bucket,
@@ -316,12 +420,23 @@ def main() -> int:
         write_readme()
         print("README.md ledger block regenerated")
         return 0
+    if "--stamp-oracles" in args:
+        stamped = stamp_oracles()
+        print(f"stamped {len(stamped)} keys from "
+              f"CORRECTNESS_r{latest_round():02d} into {SIDECAR}")
+        leftover = changed_oracle_keys()
+        print("still changed-since-last-gate:",
+              ", ".join(leftover) or "none")
+        return 0
     if "--plan-next" in args:
         plan = plan_next()
         print(f"planned r{plan['round']} window (SURVEY §8 rule 2, "
               f"mechanical; evidence through r{plan['round'] - 1}):")
         print(f"  red re-gates ({len(plan['reds'])}):",
               ", ".join(plan["reds"]) or "none")
+        print(f"  changed-oracle re-gates, red tier "
+              f"({len(plan['changed_oracle'])}):",
+              ", ".join(plan["changed_oracle"]) or "none")
         print(f"  never-gated, must gate ({len(plan['never_gated'])}):",
               ", ".join(plan["never_gated"]) or "none")
         print(f"  oldest bucket (age {plan['oldest_age']}, "
@@ -351,6 +466,15 @@ def main() -> int:
     print(f"gated 2+ rounds: {len(led['gated_2plus'])}")
     print(f"window first-evidence count: {len(led['window_first_evidence'])}/50")
     print("never gated:", ", ".join(led["never_gated"]) or "none")
+    changed = changed_oracle_keys()
+    print("changed-oracle keys (text moved since last gate):",
+          ", ".join(changed) or "none")
+    if changed:
+        out = [c for c in changed if c not in set(led["window"])]
+        if out:
+            print("WARNING: changed-oracle keys OUTSIDE the gate "
+                  "window (their driver evidence verifies a stale "
+                  "comparison):", ", ".join(out))
     # evidence-age report (r8 judge directive #8: the rotation policy
     # is "oldest evidence refresh" — age = rounds since last green)
     now = latest_round(repo=REPO)

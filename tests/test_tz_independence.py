@@ -24,9 +24,12 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import re
 import subprocess
 import sys
 import time
+
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -61,10 +64,20 @@ def test_ts_lit_is_python_tz_independent(spark):
             os.environ["TZ"] = old_tz
         time.tzset()
     assert rendered["good"] == "2024-01-01 00:00:00"
-    # the replaced path converts via time.mktime (Bogota = UTC−5) and
-    # lands 5 h later under the UTC session render — the exact shift
-    # the TZ sweep observed on audit_log
-    assert rendered["bad"] == "2024-01-01 05:00:00"
+    # The replaced F.lit path converts via time.mktime (Bogota =
+    # UTC−5) and historically landed 5 h later under the UTC session
+    # render — the exact shift the r15 sweep observed on audit_log.
+    # That conversion is PySpark-internal behavior, not ours: if a
+    # future PySpark (or Spark Connect) fixes the literal path, the
+    # contrast disappears while ts_lit stays correct — note it
+    # rather than fail (r15 advisor item 1).
+    if rendered["bad"] == rendered["good"]:
+        pytest.skip(
+            "this PySpark's F.lit(naive datetime) no longer converts "
+            "through the process TZ — the motivating contrast is "
+            "gone; ts_lit's own property above already passed"
+        )
+    assert rendered["bad"] != rendered["good"]
 
 
 def test_ts_lit_aware_is_exact_instant(spark):
@@ -83,20 +96,35 @@ def test_ts_lit_aware_is_exact_instant(spark):
     assert rendered == "2024-01-01 05:30:00.250"
 
 
-def test_oracle_sql_has_no_timestamptz_producers():
+def test_oracle_sql_has_no_timestamptz_producers(monkeypatch):
     """DuckDB's ``to_timestamp`` always yields TIMESTAMPTZ, whose
     render is host-TZ-dependent — banned in oracle strings (use
-    ``make_timestamp(µs)``, which is naive)."""
-    sys.path.insert(0, REPO)
+    ``make_timestamp(µs)``, which is naive). Lints the CALL, not the
+    substring: SQL comments are stripped first and the match is
+    word-bounded, so a comment mentioning to_timestamp (or an
+    identifier merely containing it) cannot false-positive (r15
+    advisor item 2)."""
+    monkeypatch.syspath_prepend(REPO)
     import __spark_entry__ as entry
 
+    comment = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
+    call = re.compile(r"(?<![a-zA-Z0-9_])to_timestamp\s*\(")
     offenders = [
         name for name, sql in entry.oracle_sql().items()
-        if "to_timestamp(" in sql
+        if call.search(comment.sub(" ", sql))
     ]
     assert offenders == [], offenders
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RUN_TZ_SWEEP"),
+    reason="integration: spawns a second Spark JVM + DuckDB (minutes, "
+    "load-sensitive). The shifted-TZ oracle property is a STANDING "
+    "final_gate leg (tools/final_gate.py step 6 runs the changed "
+    "entries — or the canary set when the date engine moved — under "
+    "TZ=America/Bogota every round); set RUN_TZ_SWEEP=1 to also run "
+    "it inside the unit suite (r15 advisor item 3).",
+)
 def test_oracle_gate_holds_under_bogota_host_tz():
     """The direct property: the four queries the Bogota sweep flagged
     (plus their shared mechanisms) compare green with the WHOLE stack

@@ -19,11 +19,23 @@ Runs, in order (each step's full output goes to /tmp/final_gate/):
      --window-only rehearses just the 50-key window when iterating.)
   4. type_audit                           (registry-wide, KIND-level)
   5. plan_audit <new/changed>             (scale plan properties)
-  6. ledger_check --check                 (README ledger drift)
+  6. check_oracle <new/changed> under TZ=America/Bogota
+     (r16 standing leg, r15 judge directive #5: the r15 host-TZ
+     sweep caught a 5-query defect class — F.lit(naive datetime)
+     converting through the Python local zone, DuckDB to_timestamp
+     rendering TIMESTAMPTZ in host TZ — that a UTC-only gate never
+     sees. Any round that changes queries()/oracle_sql() entries or
+     the date/timeseries engine paths re-runs its changed entries
+     with the WHOLE stack (Python, JVM, DuckDB) in a shifted zone.
+     ~30-60 s for a handful of entries. Skipped, with the reason
+     printed, only when no changed entries are named AND the
+     date-sensitive engine files are untouched vs HEAD~1.
+     --tz-full forces the full-registry Bogota sweep (~7 min).)
+  7. ledger_check --check                 (README ledger drift)
 
 Usage:
     PYTHONPATH=/root/repo python tools/final_gate.py [--window-only] \
-        [new_or_changed_query ...]
+        [--tz-full] [new_or_changed_query ...]
 
 Exit 0 only if every step passes. Paste the printed stamp block into
 EVIDENCE_r{N}.md verbatim.
@@ -46,10 +58,12 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
-def _run(step: str, cmd: list[str]) -> tuple[str, bool, float]:
+def _run(
+    step: str, cmd: list[str], extra_env: dict[str, str] | None = None
+) -> tuple[str, bool, float]:
     os.makedirs(LOG_DIR, exist_ok=True)
     log = os.path.join(LOG_DIR, f"{step}.log")
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ, PYTHONPATH=REPO, **(extra_env or {}))
     t0 = time.time()
     with open(log, "w") as fh:
         rc = subprocess.run(
@@ -73,6 +87,9 @@ def main() -> int:
     if "--window-only" in args:
         window = 50
         args.remove("--window-only")
+    tz_full = "--tz-full" in args
+    if tz_full:
+        args.remove("--tz-full")
     if "--window" in args:  # explicit size still accepted
         i = args.index("--window")
         window = int(args[i + 1])
@@ -104,6 +121,42 @@ def main() -> int:
     steps.append(_run("type_audit_registry", [py, "tools/type_audit.py"]))
     if changed:
         steps.append(_run("plan_audit_changed", [py, "tools/plan_audit.py", *changed]))
+    # --- shifted-TZ leg (standing since r16, r15 judge directive #5) ---
+    TZ = "America/Bogota"
+    DATE_PATHS = (
+        "fbs_data_pipelines_spark/functions/dates.py",
+        "fbs_data_pipelines_spark/operators/timeseries.py",
+    )
+    # the four queries the r15 Bogota sweep flagged — the fallback set
+    # when the date engine moved but no entry names were passed
+    TZ_CANARIES = ["ohlc", "gapfill", "trending", "audit_log"]
+    touched = set(
+        _git("diff", "--name-only", "HEAD~1", "HEAD").splitlines()
+    ) | set(_git("diff", "--name-only", "HEAD").splitlines())
+    date_engine_moved = any(p in touched for p in DATE_PATHS)
+    if tz_full:
+        steps.append(
+            _run("check_oracle_tz_bogota_full",
+                 [py, "tools/check_oracle.py"], {"TZ": TZ})
+        )
+    elif changed:
+        steps.append(
+            _run("check_oracle_tz_bogota_changed",
+                 [py, "tools/check_oracle.py", *changed], {"TZ": TZ})
+        )
+    elif date_engine_moved:
+        print(f"  [....] TZ leg: no changed entries named but "
+              f"{[p for p in DATE_PATHS if p in touched]} moved vs "
+              f"HEAD~1 — running the r15 canary set {TZ_CANARIES}")
+        steps.append(
+            _run("check_oracle_tz_bogota_canaries",
+                 [py, "tools/check_oracle.py", *TZ_CANARIES], {"TZ": TZ})
+        )
+    else:
+        print("  [skip] check_oracle_tz_bogota: no changed entries "
+              "named and the date/timeseries engine paths are "
+              "untouched vs HEAD~1 (pass entry names or --tz-full "
+              "to force)")
     steps.append(_run("ledger_check", [py, "tools/ledger_check.py", "--check"]))
 
     all_ok = all(ok for _, ok, _ in steps)

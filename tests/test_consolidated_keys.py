@@ -113,3 +113,90 @@ def test_sql_nested_semi_subsumed_by_semi_join(spark, threshold):
         # the exclusion case must actually exclude (else it proves
         # nothing beyond the keep-all case)
         assert len(got_sql) < sup.count()
+
+
+# ---------------------------------------------------------------------------
+# r17 QUEUED consolidation — pins DRAFTED r16, execution deferred
+# (SURVEY §8 r17 queue, r15 judge directive #6). `cascading_rollup`
+# and `rollup` remain INDEPENDENT gate keys until r17; these tests
+# prove the subsumption both directions ahead of the registry
+# arithmetic so the r17 builder only has to flip the registry.
+# ---------------------------------------------------------------------------
+
+
+def test_cascading_rollup_draft_pin_reaggregation_exact(spark):
+    """`cascading_rollup`'s mechanism — derive coarser grains by
+    re-aggregating the finer aggregate (counts sum, sums sum) — must
+    equal direct one-shot aggregation of the raw events at EVERY
+    grain, including the HOUR intermediate the gated literal never
+    returns. This is the property that makes the r17 consolidation
+    into `rollup` (lattice derivation) sound."""
+    e = entry._t(spark, SF, "events")
+    minute = (
+        e.groupBy(F.date_trunc("minute", "ts").alias("m"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    # hour grain via the cascade vs direct from raw
+    hour_cascade = (
+        minute.groupBy(F.date_trunc("hour", "m").alias("h"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        .select(
+            entry._ts_s("h").alias("h"), "event_type", "n",
+            entry.round_half_up("sv", 4).alias("sv"),
+        )
+    )
+    hour_direct = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .select(
+            entry._ts_s("h").alias("h"), "event_type", "n",
+            entry.round_half_up("sv", 4).alias("sv"),
+        )
+    )
+    cols = ["h", "event_type", "n", "sv"]
+    assert _rows(hour_cascade, cols) == _rows(hour_direct, cols)
+    # day grain: the gated key's own function vs direct from raw
+    day_direct = (
+        e.groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .select(
+            entry._date_s("d").alias("day"), "event_type",
+            F.col("n"), entry.round_half_up("sv", 4).alias("sum_value"),
+        )
+    )
+    cols = ["day", "event_type", "n", "sum_value"]
+    got = _rows(entry.q_cascading_rollup(spark, SF), cols)
+    assert got == _rows(day_direct, cols)
+    assert len(got) > 0
+
+
+def test_cascading_rollup_draft_pin_rollup_lattice_derivable(spark):
+    """The other direction: `rollup`'s subtotal rows are themselves
+    re-aggregations of its finest (region, nation) level — i.e. the
+    ROLLUP lattice is derivable by exactly the cascading mechanism,
+    so the surviving key's gated surface covers it."""
+    out = entry.q_rollup(spark, SF)
+    finest = out.filter(
+        F.col("r_name").isNotNull() & F.col("n_name").isNotNull()
+    )
+    region_subtotals = out.filter(
+        F.col("r_name").isNotNull() & F.col("n_name").isNull()
+    ).select("r_name", "n_customers", "sum_acctbal")
+    recomputed = finest.groupBy("r_name").agg(
+        F.sum("n_customers").alias("n_customers"),
+        entry.round_half_up(F.sum("sum_acctbal"), 2).alias("sum_acctbal"),
+    )
+    cols = ["r_name", "n_customers", "sum_acctbal"]
+    got_sub = _rows(region_subtotals, cols)
+    got_re = _rows(recomputed, cols)
+    assert got_sub == got_re
+    assert len(got_sub) > 0
+    # grand-total row likewise derivable from the region subtotals
+    grand = out.filter(F.col("r_name").isNull() & F.col("n_name").isNull())
+    g = grand.select("n_customers", "sum_acctbal").first()
+    tot = recomputed.agg(
+        F.sum("n_customers").alias("n"),
+        entry.round_half_up(F.sum("sum_acctbal"), 2).alias("s"),
+    ).first()
+    assert g["n_customers"] == tot["n"]
+    assert abs(g["sum_acctbal"] - tot["s"]) < 0.02

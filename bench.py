@@ -307,8 +307,30 @@ def main() -> None:
             # r10 0.301 headline; tools/duck_sf1_anomaly.py holds the
             # measurements). The sf1 probe is bench.py's final pass,
             # so stopping the session here costs nothing.
+            #
+            # r16: spark.stop() alone does NOT exit the py4j child
+            # JVM — it survives with its full end-of-run heap, and
+            # the r16 readings still showed the co-residency
+            # signature on the heaviest baseline (dedup 44-56 s wall
+            # at 4x the standalone 62 CPU-s, vs ~5 s standalone).
+            # Terminate the gateway process so the stated protocol
+            # is actually true.
             spark.stop()
-            time.sleep(2.0)  # let the JVM actually exit + OS reclaim
+            try:
+                from pyspark import SparkContext
+
+                _gw = SparkContext._gateway
+                if _gw is not None and getattr(_gw, "proc", None) is not None:
+                    _gw.proc.terminate()
+                    try:
+                        _gw.proc.wait(timeout=15)
+                    except Exception:
+                        _gw.proc.kill()
+                SparkContext._gateway = None
+                SparkContext._jvm = None
+            except Exception:
+                pass
+            time.sleep(2.0)  # let the OS reclaim
             import duckdb
 
             con1 = duckdb.connect()
@@ -320,19 +342,45 @@ def main() -> None:
                     f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf1_dir}/{t}.parquet')"
                 )
+            # r16: record effective parallelism (CPU-seconds / wall)
+            # alongside each baseline time. The r16 probes caught an
+            # INTERMITTENT environment artifact where a CPU-bound
+            # DuckDB query (62 CPU-s of work) ran effectively
+            # single-threaded (55 s wall vs the normal ~5 s at
+            # ~12 effective threads), silently inflating the
+            # baseline and flattering sequential_ratio_sf1. With
+            # this field the artifact is machine-visible in the
+            # JSON: parallelism < 2 on a 32-thread box marks the
+            # reading suspect.
+            sf1_duck_par: dict[str, float] = {}
             for name in HEADLINE:
                 if name not in sf1_spark:
                     continue
                 dbest = float("inf")
+                best_par = None
                 for _ in range(2):
                     t0 = time.time()
+                    c0 = time.process_time()
                     con1.execute(oracles[name]).fetchall()
-                    dbest = min(dbest, time.time() - t0)
+                    dt = time.time() - t0
+                    if dt < dbest:
+                        dbest = dt
+                        best_par = (time.process_time() - c0) / dt if dt > 0 else None
                 sf1_duck[name] = round(dbest, 4)
+                if best_par is not None:
+                    sf1_duck_par[name] = round(best_par, 1)
             paired = [n for n in sf1_spark if n in sf1_duck]
             if paired and sum(sf1_duck[n] for n in paired) > 0:
                 out["queries_sf1"] = sf1_spark
                 out["baseline_queries_sf1"] = sf1_duck
+                if sf1_duck_par:
+                    out["baseline_sf1_effective_parallelism"] = sf1_duck_par
+                    suspect = sorted(
+                        n for n, p in sf1_duck_par.items()
+                        if p < 2.0 and sf1_duck[n] >= 1.0
+                    )
+                    if suspect:
+                        out["baseline_sf1_suspect_single_threaded"] = suspect
                 out["sf1_baseline_protocol"] = (
                     "spark JVM stopped before baseline timing "
                     "(r11: removes the co-residency memory-pressure "

@@ -216,3 +216,50 @@ def test_plan_next_fires_on_synthetic_rotation_state(tmp_path):
     # everything fits: 2 mandatory + 3 bucket + 1 fill (a, age 0)
     assert set(plan["window"]) == {"a", "b", "c", "d", "e", "brand_new"}
     assert plan["n_fill"] == 1
+
+
+def test_check_flags_changed_oracle_key_outside_window(tmp_path):
+    """The gate-facing variant of the invariant: ledger_check --check
+    (which final_gate runs) must report a changed-oracle key that
+    sits OUTSIDE the shipped 50-key window."""
+    import json
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    names = [f"q{i:02d}" for i in range(55)]
+    (tmp_path / "__spark_entry__.py").write_text(
+        f"NAMES = {names!r}\n"
+        "def queries():\n"
+        "    return {k: None for k in NAMES}\n"
+        "def oracle_sql():\n"
+        "    return {k: 'SELECT ' + k for k in NAMES}\n"
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: green for n in names[:50]})
+    )
+    side = {
+        n: {"hash": ledger_check._sha("SELECT " + n), "round": 1}
+        for n in names
+    }
+    # q52 (outside the first-50 window) gated on different text
+    side["q52"] = {"hash": ledger_check._sha("old text"), "round": 1}
+    (tmp_path / "ORACLE_HASHES.json").write_text(json.dumps(side))
+    (tmp_path / "README.md").write_text(
+        ledger_check.readme_block(str(tmp_path), through_round=1) + "\n"
+    )
+    problems = ledger_check.check_readme(str(tmp_path))
+    assert any("q52" in p and "outside" in p for p in problems), problems
+    # moving the changed key inside the window clears the problem
+    names2 = ["q52"] + [n for n in names if n != "q52"]
+    (tmp_path / "__spark_entry__.py").write_text(
+        f"NAMES = {names2!r}\n"
+        "def queries():\n"
+        "    return {k: None for k in NAMES}\n"
+        "def oracle_sql():\n"
+        "    return {k: 'SELECT ' + k for k in NAMES}\n"
+    )
+    (tmp_path / "README.md").write_text(
+        ledger_check.readme_block(str(tmp_path), through_round=1) + "\n"
+    )
+    assert not any(
+        "outside" in p for p in ledger_check.check_readme(str(tmp_path))
+    )

@@ -375,6 +375,22 @@ def check_readme(repo: str = REPO) -> list[str]:
             "CORRECTNESS records queries absent from the registry: "
             + ", ".join(led["orphans"])
         )
+    # changed-oracle keys outside the shipped window (r16): their
+    # driver evidence verified a comparison that no longer exists and
+    # plain rotation may not reach them for rounds — the exact class
+    # that slipped through in r15 (ohlc/gapfill). Also pinned by
+    # tests/test_ledger.py, but --check runs inside final_gate, so
+    # the gate itself goes red on it.
+    outside = [
+        c for c in changed_oracle_keys(repo)
+        if c not in set(led["window"])
+    ]
+    if outside:
+        problems.append(
+            "changed-oracle keys outside the 50-key gate window "
+            "(rotate them in, or --stamp-oracles after a deliberate "
+            "no-op edit): " + ", ".join(outside)
+        )
     readme_path = os.path.join(repo, "README.md")
     with open(readme_path) as fh:
         text = fh.read()

@@ -122,6 +122,25 @@ def main() -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
 
+    # --conf k=v (repeatable): runtime-axis sweeps (Arrow batch size,
+    # shuffle partition count, AQE off, broadcast off, tiny file
+    # splits, ...). Applied at builder time so static confs take too.
+    sweep_conf: dict[str, str] = {}
+    argv = sys.argv[1:]
+    cleaned = [sys.argv[0]]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--conf" and i + 1 < len(argv) and "=" in argv[i + 1]:
+            k, _, v = argv[i + 1].partition("=")
+            sweep_conf[k] = v
+            i += 2
+        else:
+            cleaned.append(argv[i])
+            i += 1
+    sys.argv = cleaned
+    if sweep_conf:
+        print(f"sweep confs: {sweep_conf}")
+
     if "--vanilla" in sys.argv:
         # mimic the driver exactly: a default-config SparkSession
         # (ANSI on, no legacy confs, host TZ) — the contract functions
@@ -129,15 +148,16 @@ def main() -> int:
         sys.argv.remove("--vanilla")
         from pyspark.sql import SparkSession
 
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .appName("oracle-check-vanilla")
-            .getOrCreate()
+        builder = SparkSession.builder.master("local[8]").appName(
+            "oracle-check-vanilla"
         )
+        for k, v in sweep_conf.items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
     else:
         from fbs_data_pipelines_spark.session import get_spark
 
-        spark = get_spark(app_name="oracle-check")
+        spark = get_spark(app_name="oracle-check", extra_conf=sweep_conf)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

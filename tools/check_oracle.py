@@ -118,26 +118,36 @@ def _duck_family(dtype: str) -> str:
     }.get(t, t)
 
 
-def main() -> int:
-    sys.path.insert(0, "/root/repo")
-    import __spark_entry__ as entry_mod
+def parse_sweep_confs(argv: list) -> tuple:
+    """Split repeatable ``--conf k=v`` pairs out of ``argv``.
 
-    # --conf k=v (repeatable): runtime-axis sweeps (Arrow batch size,
-    # shuffle partition count, AQE off, broadcast off, tiny file
-    # splits, ...). Applied at builder time so static confs take too.
-    sweep_conf: dict[str, str] = {}
-    argv = sys.argv[1:]
-    cleaned = [sys.argv[0]]
+    Returns ``(remaining_argv, confs)``. Runtime-axis sweeps (Arrow
+    batch size, shuffle partition count, AQE off, broadcast off, tiny
+    file splits, ...) pass confs here; they are applied at builder
+    time so static confs take too. A ``--conf`` with no ``k=v``
+    operand is left in ``remaining_argv`` (it will fail loudly as an
+    unknown query name rather than be silently dropped).
+    """
+    confs: dict = {}
+    remaining: list = []
     i = 0
     while i < len(argv):
         if argv[i] == "--conf" and i + 1 < len(argv) and "=" in argv[i + 1]:
             k, _, v = argv[i + 1].partition("=")
-            sweep_conf[k] = v
+            confs[k] = v
             i += 2
         else:
-            cleaned.append(argv[i])
+            remaining.append(argv[i])
             i += 1
-    sys.argv = cleaned
+    return remaining, confs
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    rest, sweep_conf = parse_sweep_confs(sys.argv[1:])
+    sys.argv = [sys.argv[0], *rest]
     if sweep_conf:
         print(f"sweep confs: {sweep_conf}")
 

@@ -66,9 +66,25 @@ TABLES = [
 PAIRED_ROUNDS = int(os.environ.get("SPARK_GRAFT_PAIRED_ROUNDS", "3"))
 
 
+def _loadavg() -> list:
+    """1/5/15-min load average, or [] where unsupported. Recorded in
+    the output JSON so a reading taken on a machine still draining
+    earlier JVMs is machine-visible: this round, two >1.8 official
+    ratios (runs 5 and 7) were both residual-load readings whose
+    attribution needed load numbers that existed only in shell
+    history. The 1-min value says "cooled at start"; the 5/15-min
+    values expose the just-cooled case (1-min 0.06 four minutes after
+    a 21-min suite — run 7's exact signature)."""
+    try:
+        return [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    loadavg_start = _loadavg()
     # FAIR scheduling: the concurrent pass runs 10 independent queries in
     # one app; FIFO would serialize their stages in submission order,
     # leaving cores idle at stage tails. FAIR interleaves them — the same
@@ -229,6 +245,8 @@ def main() -> None:
             f"then {PAIRED_ROUNDS} back-to-back (spark-concurrent, "
             f"duckdb-suite) pairs; ratio = median of paired ratios"
         ),
+        "loadavg_1_5_15_start": loadavg_start,
+        "loadavg_1_5_15_end": _loadavg(),
     }
     paired_ratios = [
         round(s / d, 3) for s, d in pairs if d
@@ -331,6 +349,7 @@ def main() -> None:
             except Exception:
                 pass
             time.sleep(2.0)  # let the OS reclaim
+            out["loadavg_1_5_15_sf1_baseline"] = _loadavg()
             import duckdb
 
             con1 = duckdb.connect()

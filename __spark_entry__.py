@@ -1031,6 +1031,20 @@ def q_window_running(spark, sf_dir):
 
 
 def q_rollup(spark, sf_dir):
+    """ROLLUP over the region→nation hierarchy: subtotals per region
+    and a grand total from one pass (Spark expands the grouping-set
+    lattice map-side; no re-scan per level).
+
+    Since r17 this key also carries the consolidated
+    `cascading_rollup` surface (SURVEY §8 rule 4): hypertable-style
+    time-cascade rollups (minute → hour → day, coarser grains derived
+    FROM finer partials — counts sum, sums sum — never re-scanning
+    raw; at 100 TB the raw scan happens once and each coarser level
+    reads ~60× less). The two are the same aggregation-lattice
+    derivation idea over different lattices (grouping sets vs time
+    grains); the equivalence pins live in
+    tests/test_consolidated_keys.py::test_cascading_rollup_draft_pin_*
+    (which still drive q_cascading_rollup directly)."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
@@ -4822,25 +4836,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # key's last driver-green, measured AT ROTATION TIME (post-r15,
     # pre-r16 gate). SURVEY §8 and EVIDENCE use the same convention.
     #
-    # Round-16 rotation — exactly the r15 judge's handoff (VERDICT
-    # item 1 / EVIDENCE_r15 §6): the ENTIRE 42-key age-3 tail (the
-    # r12-evidence bucket, including `audit_log` whose engine path and
-    # oracle string moved in the r15 TZ fix) + all 6 rule-2 headliners
-    # (each at age 1; capacity permits, so all six re-gate) + the two
-    # spare slots spent on the CHANGED-ORACLE keys `ohlc` and `gapfill`
-    # (their oracle_sql() strings were rewritten by the r15 TZ fix
-    # AFTER their last r14 gate — changed-oracle keys re-gate with
-    # red-tier priority, now machine-derived via ORACLE_HASHES.json +
-    # ledger_check --plan-next) = exactly 50. Registry stays FROZEN at
-    # 185 (zero new keys); the next rule-4 consolidation
-    # (`cascading_rollup` → `rollup`) is queued for r17, where the
-    # 44-key tail + 6 headliners would otherwise leave zero spare.
-    # Projected post-r16 evidence ages: {0: 50, 1: 44, 2: 47, 3: 44}
+    # Round-17 rotation — exactly the r16 judge's handoff (VERDICT
+    # item 1 / EVIDENCE_r16 §6), executed in the directed order:
+    # (1) `ledger_check --stamp-oracles` ran at round start (clears
+    # `ohlc`/`gapfill` from the changed-oracle red tier — both gated
+    # green r16 on their current text); (2) the queued rule-4
+    # consolidation `cascading_rollup` → `rollup` executed (registry
+    # 185 → 184; equivalence pins were drafted AND green in r16:
+    # tests/test_consolidated_keys.py::test_cascading_rollup_draft_pin_*);
+    # (3) window = the ENTIRE 43-key age-3 tail (the r13-evidence
+    # bucket, minus the consolidated key; includes survivor `rollup`,
+    # which now also carries the time-cascade surface) + all 6 rule-2
+    # headliners (each at age 1; capacity permits, so all six re-gate)
+    # + the one freed spare slot spent on `alpha_sample` (the first of
+    # the 47-key age-2 bucket — trimming r18's bucket to 46 so its
+    # window arithmetic closes: 46 + 4 fills). Registry stays FROZEN
+    # at 184 (zero new keys).
+    # Projected post-r17 evidence ages: {0: 50, 1: 44, 2: 44, 3: 46}
     # — max age 3, the §8 invariant; all six headliners reset to 0.
     # The two int32-edge queries (`sql_qualify`, `udtf_sentences`)
     # remain width-only-allowed in tests/test_type_audit.py.
     return {
-        # ==== driver gate window: r16 rotation (50 entries) ============
+        # ==== driver gate window: r17 rotation (50 entries) ============
         # --- all 6 rule-2 headliners (each at age 1 — capacity
         #     permits, so all six re-gate; no age-2 bound in play) ----
         "sessionize": q_sessionize,
@@ -4849,10 +4866,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_topk": q_ann_topk,
         "windowed_rollup": q_windowed_rollup,
-        # --- the ENTIRE age-3 evidence tail (42 r12-evidence keys —
-        #     SURVEY §8 rule 2: pay the oldest bucket fully; includes
-        #     `audit_log`, whose engine path + oracle string changed
-        #     in the r15 TZ fix) ---------------------------------------
+        # --- the ENTIRE age-3 evidence tail (43 r13-evidence keys —
+        #     SURVEY §8 rule 2: pay the oldest bucket fully; the 44th,
+        #     `cascading_rollup`, was consolidated into survivor
+        #     `rollup` this round) --------------------------------------
+        "streaming_cdc_bucketed": q_streaming_cdc_bucketed,
+        "anti_join": q_anti_join,
+        "bloom_join": q_bloom_join,
+        "bpe_encode": q_bpe_encode,
+        "budget_sample": q_budget_sample,
+        "cast_all_string": q_cast_all_string,
+        "compound_filter": q_compound_filter,
+        "conditional": q_conditional,
+        "csv_roundtrip": q_csv_roundtrip,
+        "date_parse": q_date_parse,
+        "decimal_comma": q_decimal_comma,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "distinct": q_distinct,
+        "drive_extract": q_drive_extract,
+        "empty_to_null": q_empty_to_null,
+        "filter_project": q_filter_project,
+        "join_5way": q_join_5way,
+        "join_suffix": q_join_suffix,
+        "lateral_topn": q_lateral_topn,
+        "latest_snapshot": q_latest_snapshot,
+        "map_join": q_map_join,
+        "merge_into": q_merge_into,
+        "pivot": q_pivot,
+        "ppl_buckets": q_ppl_buckets,
+        "quality_pipeline": q_quality_pipeline,
+        "quantile_sketch": q_quantile_sketch,
+        "range_join": q_range_join,
+        "recursive_cte": q_recursive_cte,
+        "rollup": q_rollup,
+        "rows_roundtrip": q_rows_roundtrip,
+        "salted_join": q_salted_join,
+        "schema_evolution": q_schema_evolution,
+        "sort_limit": q_sort_limit,
+        "split_unnest": q_split_unnest,
+        "sql_update_delete": q_sql_update_delete,
+        "string_funcs": q_string_funcs,
+        "tfidf": q_tfidf,
+        "theta_sets": q_theta_sets,
+        "try_cast": q_try_cast,
+        "union_all": q_union_all,
+        "weighted_sample": q_weighted_sample,
+        "zorder_layout": q_zorder_layout,
+        # --- 1 spare slot (freed by the consolidation): spent on
+        #     `alpha_sample`, the first key of the 47-strong age-2
+        #     bucket (r14 evidence) — trims r18's age-3 bucket to 46
+        #     so its window arithmetic closes (46 + 6 headliners won't
+        #     fit; 46 + 4 fills will) -----------------------------------
+        "alpha_sample": q_alpha_sample,
+        # ==== driver gate window ends here (50 entries) ===============
+        # --- age-1 after r17 (r16 evidence minus the headliners:
+        #     44 keys — the r12-era block plus the two changed-oracle
+        #     re-gates `ohlc`/`gapfill`) --------------------------------
         "ann_lsh": q_ann_lsh,
         "array_agg": q_array_agg,
         "asof_join": q_asof_join,
@@ -4895,17 +4965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norms": q_vector_norms,
         "window_rank": q_window_rank,
         "window_running": q_window_running,
-        # --- 2 spare slots (r15 judge directive #1): the two
-        #     changed-oracle keys — the r15 TZ fix (974f7d4) rewrote
-        #     their oracle_sql() strings AFTER their last r14 gate, so
-        #     they re-gate with slot-1-like priority rather than
-        #     waiting for plain rotation (ledger_check --plan-next now
-        #     ranks changed-oracle keys in the red tier mechanically,
-        #     via the ORACLE_HASHES.json sidecar) ----------------------
         "ohlc": q_ohlc,
         "gapfill": q_gapfill,
-        # ==== driver gate window ends here (50 entries) ===============
-        # --- age-1 after r16 (r15 evidence minus the headliners:
+        # --- age-2 after r17 (r15 evidence minus the headliners:
         #     44 keys) -------------------------------------------------
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "array_ops": q_array_ops,
@@ -4951,9 +5013,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_pairs": q_typo_pairs,
         "value_share_having": q_value_share_having,
         "semi_join": q_semi_join,
-        # --- age-2 after r16 (r14 evidence minus the headliners and
-        #     the two spare-slot keys: 47 keys) ------------------------
-        "alpha_sample": q_alpha_sample,
+        # --- age-3 after r17 (r14 evidence minus the headliners, the
+        #     r16 spare-slot keys, and `alpha_sample` — spent into the
+        #     r17 spare slot above: 46 keys) — heads the r18 window;
+        #     with the 6 headliners at age 1 there, the arithmetic is
+        #     46 + 4 discretionary fills = 50 ---------------------------
         "ann_ivf": q_ann_ivf,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "ann_ivfpq": q_ann_ivfpq,
@@ -5000,55 +5064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_navigation": q_window_navigation,
         "window_range_30d": q_window_range_30d,
         "winsorize": q_winsorize,
-        # --- age-3 after r16 (r13 evidence minus the four then-age-1
-        #     headliners and `semi_join`: 44 keys) — heads the r17
-        #     window: 44 + 6 headliners = exactly 50, zero spare; the
-        #     queued rule-4 consolidation (`cascading_rollup` →
-        #     `rollup`, SURVEY §8 r17 note) frees the survivor slot ----
-        "streaming_cdc_bucketed": q_streaming_cdc_bucketed,
-        "anti_join": q_anti_join,
-        "bloom_join": q_bloom_join,
-        "bpe_encode": q_bpe_encode,
-        "budget_sample": q_budget_sample,
-        "cascading_rollup": q_cascading_rollup,
-        "cast_all_string": q_cast_all_string,
-        "compound_filter": q_compound_filter,
-        "conditional": q_conditional,
-        "csv_roundtrip": q_csv_roundtrip,
-        "date_parse": q_date_parse,
-        "decimal_comma": q_decimal_comma,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "distinct": q_distinct,
-        "drive_extract": q_drive_extract,
-        "empty_to_null": q_empty_to_null,
-        "filter_project": q_filter_project,
-        "join_5way": q_join_5way,
-        "join_suffix": q_join_suffix,
-        "lateral_topn": q_lateral_topn,
-        "latest_snapshot": q_latest_snapshot,
-        "map_join": q_map_join,
-        "merge_into": q_merge_into,
-        "pivot": q_pivot,
-        "ppl_buckets": q_ppl_buckets,
-        "quality_pipeline": q_quality_pipeline,
-        "quantile_sketch": q_quantile_sketch,
-        "range_join": q_range_join,
-        "recursive_cte": q_recursive_cte,
-        "rollup": q_rollup,
-        "rows_roundtrip": q_rows_roundtrip,
-        "salted_join": q_salted_join,
-        "schema_evolution": q_schema_evolution,
-        "sort_limit": q_sort_limit,
-        "split_unnest": q_split_unnest,
-        "sql_update_delete": q_sql_update_delete,
-        "string_funcs": q_string_funcs,
-        "tfidf": q_tfidf,
-        "theta_sets": q_theta_sets,
-        "try_cast": q_try_cast,
-        "union_all": q_union_all,
-        "weighted_sample": q_weighted_sample,
-        "zorder_layout": q_zorder_layout,
     }
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -6384,18 +6399,14 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= 5
     """
 
-    # FP note: the cascaded sum (minute partials → hour → day) must
-    # match a direct day-grain sum in DuckDB; double addition is
-    # associative enough here only because values are 2-decimal
-    # fixed-point — rounded at 4dp regardless.
-    sql["cascading_rollup"] = """
-        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-               event_type,
-               count(*) AS n,
-               floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
-        FROM events
-        GROUP BY date_trunc('day', ts), event_type
-    """
+    # cascading_rollup: CONSOLIDATED into `rollup` r17 (SURVEY §8
+    # rule 4) — both surfaces are aggregation-lattice derivation
+    # (derive coarser levels from finer partials, never re-scan raw):
+    # `rollup` walks the grouping-set lattice, `cascading_rollup`
+    # walked the hypertable time lattice (minute → hour → day). The
+    # cascade ≡ direct-one-shot equivalence AND the rollup-lattice
+    # derivability are both pinned in tests/test_consolidated_keys.py
+    # (q_cascading_rollup stays defined for those pins).
 
     # session start = min ts of each gap-delimited group; Spark's
     # session_window end extends past the last event, so compare on

@@ -40,6 +40,7 @@ CONSOLIDATED = {
     "session_window": "sessionize",  # r13
     "tws_first_seen": "first_seen",  # r13
     "sql_nested_semi": "semi_join",  # r15
+    "cascading_rollup": "rollup",  # r17 (pins drafted+green r16)
 }
 
 #: the SURVEY §8 rule-2 headline bench queries — re-gated as window

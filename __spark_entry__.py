@@ -177,6 +177,7 @@ _HB_THREAD = None
 
 
 def _cleanup_scratch() -> None:
+    global _HB_STOP, _HB_THREAD
     import os as _os
     import shutil as _sh
 
@@ -186,9 +187,14 @@ def _cleanup_scratch() -> None:
     # CREATE with the same name
     # stop the heartbeat refresher FIRST: daemon threads keep running
     # through atexit handlers, and a refresh racing the rmtree below
-    # would recreate orphan .hb files beside removed dirs
+    # would recreate orphan .hb files beside removed dirs. Null the
+    # globals after signalling (r16 advisor): the stopping thread can
+    # stay is_alive() for up to a tick, and a later allocation's
+    # _start_hb_refresher must see "nothing running", not the corpse.
     if _HB_STOP is not None:
         _HB_STOP.set()
+    _HB_STOP = None
+    _HB_THREAD = None
     if _SCRATCH_TABLES:
         try:
             from pyspark.sql import SparkSession as _SS
@@ -242,7 +248,17 @@ def _start_hb_refresher(interval: "float | None" = None) -> None:
     orphaned ``.hb`` whose dir is gone ages out in the sweep).
     ``interval`` is injectable for tests only."""
     global _HB_STOP, _HB_THREAD
-    if _HB_THREAD is not None and _HB_THREAD.is_alive():
+    # A STOPPING thread counts as not running (r16 advisor): after
+    # _cleanup_scratch sets _HB_STOP, the old thread may still be
+    # is_alive() for up to one tick — returning early here would
+    # leave a subsequent scratch allocation with no refresher at all
+    # (silently reverting to allocation-only freshness, the exact r15
+    # gap this daemon closes).
+    if (
+        _HB_THREAD is not None
+        and _HB_THREAD.is_alive()
+        and not (_HB_STOP is not None and _HB_STOP.is_set())
+    ):
         return
     import threading as _th
 

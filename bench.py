@@ -247,6 +247,10 @@ def main() -> None:
         ),
         "loadavg_1_5_15_start": loadavg_start,
         "loadavg_1_5_15_end": _loadavg(),
+        # always present (r16 advisor item 3): the sf1 branch
+        # overwrites with a real reading; None = no sf1 pass ran,
+        # so readers can rely on all three loadavg keys existing
+        "loadavg_1_5_15_sf1_baseline": None,
     }
     paired_ratios = [
         round(s / d, 3) for s, d in pairs if d
@@ -418,7 +422,44 @@ def main() -> None:
         except Exception as exc:  # probe is evidence, never fatal
             out["sf1_probe_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
-    print(json.dumps(out))
+    print(json.dumps(_tail_safe_order(out), separators=(",", ":")))
+
+
+#: r16 judge directive #4: the driver records bench output through a
+#: FIXED-SIZE TAIL capture — whatever prints first is what a long
+#: JSON loses (BENCH_r16.json lost its per-query sf0.1 dict and
+#: sequential_total to field-order luck after new fields landed).
+#: Print compact AND order the highest-value fields LAST, most
+#: valuable at the very end, so any tail truncation keeps them.
+#: Fields not listed keep their natural order, printed FIRST.
+_TAIL_LAST = [
+    # expendable prose / diagnostics first among the protected set
+    "loadavg_1_5_15_start",
+    "loadavg_1_5_15_sf1_baseline",
+    "loadavg_1_5_15_end",
+    "baseline_queries",           # per-query duckdb sf0.1
+    "queries_sf1",                # per-query spark sf1
+    "baseline_queries_sf1",       # per-query duckdb sf1
+    "per_query_ratio_sf1",
+    "queries",                    # per-query spark sf0.1 (the r16 loss)
+    "sequential_total",
+    "baseline_duckdb_sequential_total",
+    "sequential_ratio",
+    "sequential_ratio_sf1",
+    "paired_ratios",
+    "ratio_vs_baseline",          # the official gate number
+    # driver contract scalars dead last — they must always survive
+    "metric",
+    "value",
+    "unit",
+    "sf",
+]
+
+
+def _tail_safe_order(out: dict) -> dict:
+    head = {k: v for k, v in out.items() if k not in _TAIL_LAST}
+    tail = {k: out[k] for k in _TAIL_LAST if k in out}
+    return {**head, **tail}
 
 
 if __name__ == "__main__":

@@ -54,8 +54,52 @@ def test_vanilla_flag_survives():
 
 
 def test_malformed_conf_left_loud():
-    # no k=v operand: the flag stays in argv and later fails as an
-    # unknown query name instead of being silently swallowed
+    # no k=v operand: the flag stays in argv ...
     rest, confs = parse_sweep_confs(["--conf", "not-a-pair"])
     assert rest == ["--conf", "not-a-pair"]
     assert confs == {}
+    # ... and main() then REJECTS it as an unknown name (r16 advisor,
+    # medium): before this check the leftover tokens joined the name
+    # filter, matched no registry key, zero queries ran, and the tool
+    # exited 0 with "0 failures" — a vacuous PASS. Pin the nonzero
+    # exit, not just the parse.
+    from check_oracle import unknown_names
+
+    assert unknown_names({"--conf", "not-a-pair"}, {"ohlc": None}) == [
+        "--conf",
+        "not-a-pair",
+    ]
+
+
+def test_unknown_names_helper():
+    from check_oracle import unknown_names
+
+    assert unknown_names(set(), {"a": None}) == []
+    assert unknown_names({"a"}, {"a": None}) == []
+    assert unknown_names({"a", "typo"}, {"a": None}) == ["typo"]
+
+
+def test_main_exits_nonzero_on_unknown_name():
+    """End-to-end pin of the exit code: a typo'd query name (or a
+    malformed --conf's leftover tokens) must exit 2 BEFORE any Spark
+    session spins up — not print '0 failures' and exit 0."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "check_oracle.py"),
+         "--conf", "not-a-pair"],
+        capture_output=True, text=True, timeout=120,
+        env={**__import__("os").environ, "PYTHONPATH": str(REPO)},
+    )
+    assert out.returncode == 2, out.stdout + out.stderr
+    assert "unknown query name" in out.stdout
+    assert "0 failures" not in out.stdout
+
+    out2 = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "check_oracle.py"),
+         "no-such-query-xyz"],
+        capture_output=True, text=True, timeout=120,
+        env={**__import__("os").environ, "PYTHONPATH": str(REPO)},
+    )
+    assert out2.returncode == 2, out2.stdout + out2.stderr
+    assert "no-such-query-xyz" in out2.stdout

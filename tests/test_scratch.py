@@ -360,10 +360,16 @@ def test_cleanup_stops_refresher_and_cannot_orphan_hb(tmp_path):
         _stop_refresher()
         entry._SCRATCH_DIRS[:] = [d]
         entry._write_heartbeats()  # writes sentinel + starts refresher
-        assert entry._HB_THREAD.is_alive()
+        hb_thread = entry._HB_THREAD
+        assert hb_thread.is_alive()
         entry._cleanup_scratch()
-        entry._HB_THREAD.join(timeout=5)
-        assert not entry._HB_THREAD.is_alive(), (
+        # cleanup nulls the globals (r16 advisor — a later allocation
+        # must see "nothing running"), so join the captured ref
+        assert entry._HB_THREAD is None and entry._HB_STOP is None, (
+            "cleanup left the stopped refresher's globals populated"
+        )
+        hb_thread.join(timeout=5)
+        assert not hb_thread.is_alive(), (
             "cleanup did not stop the refresher"
         )
         assert entry._SCRATCH_DIRS == [], "cleanup left dirs registered"
@@ -374,5 +380,87 @@ def test_cleanup_stops_refresher_and_cannot_orphan_hb(tmp_path):
             "orphan .hb per killed run"
         )
     finally:
+        _stop_refresher()
+        entry._SCRATCH_DIRS[:] = saved_dirs
+
+
+def test_hb_refresher_restarts_after_cleanup(tmp_path):
+    """r16 advisor (restart race): _cleanup_scratch signals _HB_STOP
+    but the stopping thread can stay is_alive() for up to one tick.
+    If the process then allocates NEW scratch (cleanup is not only an
+    atexit hook — tests and long sessions call it mid-process), the
+    next _start_hb_refresher must not mistake the still-draining
+    corpse for a live refresher and return without starting one —
+    that would silently revert the process to allocation-only
+    heartbeat freshness, the exact r15 gap the daemon closes."""
+    saved_dirs = entry._SCRATCH_DIRS[:]
+    try:
+        _stop_refresher()
+        entry._SCRATCH_DIRS[:] = []
+        # long tick: the old thread stays parked in Event.wait, still
+        # is_alive() when cleanup returns — the advisor's exact shape
+        entry._start_hb_refresher(interval=30)
+        old = entry._HB_THREAD
+        assert old.is_alive()
+        entry._cleanup_scratch()
+        # (the signalled thread usually drains within microseconds —
+        # the deterministic stopping-thread shape is pinned in
+        # test_hb_refresher_start_ignores_stopping_thread below)
+        d = str(tmp_path / "fbs_restart_pin")
+        os.makedirs(d)
+        entry._SCRATCH_DIRS[:] = [d]
+        entry._write_heartbeats_once()
+        before = os.stat(d + ".hb").st_mtime_ns
+        entry._start_hb_refresher(interval=0.05)
+        assert entry._HB_THREAD is not None and entry._HB_THREAD is not old, (
+            "start treated the stopping thread as a live refresher — "
+            "no refresher is running after a cleanup+reallocation"
+        )
+        assert entry._HB_THREAD.is_alive()
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            if os.stat(d + ".hb").st_mtime_ns > before:
+                break
+            time.sleep(0.05)
+        assert os.stat(d + ".hb").st_mtime_ns > before, (
+            "restarted refresher never rewrote the heartbeat"
+        )
+    finally:
+        _stop_refresher()
+        entry._SCRATCH_DIRS[:] = saved_dirs
+
+
+def test_hb_refresher_start_ignores_stopping_thread():
+    """Deterministic pin of the r16 advisor's exact window: _HB_STOP
+    is SET but the old thread is still is_alive() (it can drain for
+    up to one tick, or be mid-heartbeat-write). _start_hb_refresher
+    must treat that corpse as 'not running' and start a fresh
+    refresher — the pre-r17 `is_alive()`-only check returned early
+    and left the process with no refresher once the thread drained."""
+    import threading
+
+    saved_dirs = entry._SCRATCH_DIRS[:]
+    park = threading.Event()
+    try:
+        _stop_refresher()
+        entry._SCRATCH_DIRS[:] = []
+        # Hand-build the stopping-but-alive state: a thread parked on
+        # OUR event (so it deterministically stays alive), with the
+        # refresher's stop event already signalled.
+        dummy = threading.Thread(target=park.wait, daemon=True)
+        dummy.start()
+        stop = threading.Event()
+        stop.set()
+        entry._HB_THREAD = dummy
+        entry._HB_STOP = stop
+        entry._start_hb_refresher(interval=30)
+        assert entry._HB_THREAD is not dummy, (
+            "a set _HB_STOP with a still-alive thread was treated as "
+            "a live refresher — no new refresher started"
+        )
+        assert entry._HB_THREAD.is_alive()
+        assert entry._HB_STOP is not stop and not entry._HB_STOP.is_set()
+    finally:
+        park.set()
         _stop_refresher()
         entry._SCRATCH_DIRS[:] = saved_dirs

@@ -125,8 +125,10 @@ def parse_sweep_confs(argv: list) -> tuple:
     batch size, shuffle partition count, AQE off, broadcast off, tiny
     file splits, ...) pass confs here; they are applied at builder
     time so static confs take too. A ``--conf`` with no ``k=v``
-    operand is left in ``remaining_argv`` (it will fail loudly as an
-    unknown query name rather than be silently dropped).
+    operand is left in ``remaining_argv``; main() then rejects it as
+    an unknown query name with exit code 2 (r16 advisor: before that
+    check, such tokens joined the name filter, matched nothing, and
+    the run printed a vacuous '0 failures' PASS).
     """
     confs: dict = {}
     remaining: list = []
@@ -142,6 +144,13 @@ def parse_sweep_confs(argv: list) -> tuple:
     return remaining, confs
 
 
+def unknown_names(only: set, queries: dict) -> list:
+    """Names in the CLI filter that match no registry key — each one
+    is either a typo or an unparsed flag token; running with any
+    present would silently test nothing (see main())."""
+    return sorted(only - set(queries))
+
+
 def main() -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
@@ -151,11 +160,32 @@ def main() -> int:
     if sweep_conf:
         print(f"sweep confs: {sweep_conf}")
 
-    if "--vanilla" in sys.argv:
+    vanilla = "--vanilla" in sys.argv
+    if vanilla:
+        sys.argv.remove("--vanilla")
+
+    # Validate the name filter BEFORE any session spins up (r16
+    # advisor, medium): a typo'd query name or an unparsed token (e.g.
+    # a `--conf` missing its k=v operand) used to fall into `only`,
+    # match nothing, and the run printed "0 failures" / exited 0 — a
+    # vacuous PASS green-lighting an invocation that tested nothing.
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[1:])
+    unknown = unknown_names(only, queries)
+    if unknown:
+        print(
+            f"unknown query name(s) / unparsed argument(s): {unknown} — "
+            "refusing the run (zero queries would execute and the tool "
+            "would report a vacuous PASS). Check for a typo, or a --conf "
+            "missing its k=v operand."
+        )
+        return 2
+
+    if vanilla:
         # mimic the driver exactly: a default-config SparkSession
         # (ANSI on, no legacy confs, host TZ) — the contract functions
         # must set whatever runtime confs they need themselves
-        sys.argv.remove("--vanilla")
         from pyspark.sql import SparkSession
 
         builder = SparkSession.builder.master("local[8]").appName(
@@ -173,10 +203,6 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-    only = set(sys.argv[1:])
     failures = []
     for name, fn in queries.items():
         if only and name not in only:

@@ -71,6 +71,22 @@ def test_malformed_conf_left_loud():
     ]
 
 
+def test_master_flag_extracted():
+    from check_oracle import parse_master
+
+    rest, master = parse_master(
+        ["--master", "local-cluster[2,4,2048]", "ohlc"]
+    )
+    assert rest == ["ohlc"]
+    assert master == "local-cluster[2,4,2048]"
+    rest, master = parse_master(["ohlc"])
+    assert rest == ["ohlc"] and master is None
+    # trailing --master with no operand stays in argv → rejected by
+    # the unknown-name check instead of silently running local
+    rest, master = parse_master(["ohlc", "--master"])
+    assert rest == ["ohlc", "--master"] and master is None
+
+
 def test_unknown_names_helper():
     from check_oracle import unknown_names
 

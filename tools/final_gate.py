@@ -31,7 +31,12 @@ Runs, in order (each step's full output goes to /tmp/final_gate/):
      printed, only when no changed entries are named AND the
      date-sensitive engine files are untouched vs HEAD~1.
      --tz-full forces the full-registry Bogota sweep (~7 min).)
-  7. ledger_check --check                 (README ledger drift)
+  7. check_oracle --master local-cluster[2,4,2048] <smoke set>
+     (standing since r17, r16 judge directive #7: separate executor
+     JVMs + executor-side Python workers — catches serializer /
+     classpath / import assumptions single-JVM local[32] hides.
+     Headliners + one canary per Python-kernel class. ~2 min.)
+  8. ledger_check --check                 (README ledger drift)
 
 Usage:
     PYTHONPATH=/root/repo python tools/final_gate.py [--window-only] \
@@ -157,6 +162,29 @@ def main() -> int:
               "named and the date/timeseries engine paths are "
               "untouched vs HEAD~1 (pass entry names or --tz-full "
               "to force)")
+    # --- local-cluster smoke (standing since r17, r16 judge
+    #     directive #7): the one executed-plan axis local[32] cannot
+    #     produce — SEPARATE executor JVMs with their own Python
+    #     workers, so task results, broadcasts, and accumulator
+    #     updates actually SERIALIZE over the wire and every pandas/
+    #     UDTF kernel imports the package in a fresh executor-side
+    #     process. Headliners + one canary per Python-kernel class
+    #     (mapInPandas, applyInPandas, UDTF, Variant, Structured
+    #     Streaming, custom DataSource, Arrow-batched BPE). ~2 min.
+    LC_MASTER = "local-cluster[2,4,2048]"
+    LC_SET = [
+        "sessionize", "pricing_summary", "merge_upsert",
+        "dedup_minhash_lsh", "ann_topk", "windowed_rollup",
+        "multimodal_features", "grouped_ols", "udtf_sentences",
+        "variant_json", "streaming_rollup", "csv_roundtrip",
+        "bpe_encode",
+    ]
+    steps.append(
+        _run(
+            "check_oracle_local_cluster_smoke",
+            [py, "tools/check_oracle.py", "--master", LC_MASTER, *LC_SET],
+        )
+    )
     steps.append(_run("ledger_check", [py, "tools/ledger_check.py", "--check"]))
 
     all_ok = all(ok for _, ok, _ in steps)

@@ -200,3 +200,78 @@ def test_cascading_rollup_draft_pin_rollup_lattice_derivable(spark):
     ).first()
     assert g["n_customers"] == tot["n"]
     assert abs(g["sum_acctbal"] - tot["s"]) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# r18 QUEUED consolidation — pins DRAFTED r17, execution deferred
+# (r16 judge directive #6). `table_profile` and `table_profile_approx`
+# remain INDEPENDENT gate keys until r18 executes the arithmetic.
+# Subsumption argument: both keys gate the same one-wide-aggregation
+# catalog-profile surface over `orders` (count / nulls / min / max /
+# avg / stringified temporal edges, one output row per column via
+# inline, never a job per column); the survivor additionally gates
+# the portable-HLL distinct path. The ONLY divergent column is
+# n_distinct — exact vs estimate — and the exact-distinct AGGREGATE
+# surface stays independently gated by other registry keys
+# (`array_agg`'s count(DISTINCT), `cust_order_dist`, `hll_distinct`'s
+# exact leg), so retiring `table_profile` loses no gated surface.
+# ---------------------------------------------------------------------------
+
+
+def test_table_profile_draft_pin_base_stats_identical(spark):
+    """Every column of the exact profile EXCEPT n_distinct must be
+    byte-identical between `table_profile` and `table_profile_approx`
+    — proving the survivor's wide aggregation gates the whole
+    non-distinct surface of the retiring key (same skeleton, same
+    numeric/temporal/string edge rules)."""
+    cols = [
+        "column", "dtype", "n_rows", "n_nulls",
+        "min_num", "max_num", "avg", "min_str", "max_str",
+    ]
+    got_exact = _rows(entry.q_table_profile(spark, SF).select(*cols), cols)
+    got_approx = _rows(
+        entry.q_table_profile_approx(spark, SF).select(*cols), cols
+    )
+    assert got_exact == got_approx
+    assert len(got_exact) > 0
+
+
+def test_table_profile_draft_pin_distinct_column_covered(spark):
+    """The one divergent column, pinned in all three directions:
+    (a) the retiring key's exact n_distinct ≡ a plain per-column
+    countDistinct recomputation (nothing unique to the key's
+    machinery); (b) the survivor's portable-HLL estimate lands inside
+    the 4096-register error envelope (~1.6 % std, 6 % bound) of the
+    exact count for EVERY column — the estimate tracks the surface it
+    replaces; (c) float columns are EXACT in the survivor too (its
+    documented countDistinct fallback), so the only loosened columns
+    are the HLL-covered ones."""
+    exact_nd = {
+        r["column"]: r["n_distinct"]
+        for r in entry.q_table_profile(spark, SF).collect()
+    }
+    approx_nd = {
+        r["column"]: r["n_distinct"]
+        for r in entry.q_table_profile_approx(spark, SF).collect()
+    }
+    o = entry._t(spark, SF, "orders")
+    dtypes = dict(o.dtypes)
+    recomputed = (
+        o.agg(
+            *[F.countDistinct(F.col(c)).alias(c) for c in o.columns]
+        )
+        .first()
+        .asDict()
+    )
+    assert set(exact_nd) == set(approx_nd) == set(o.columns)
+    for c in o.columns:
+        assert exact_nd[c] == recomputed[c], c
+        rel = abs(approx_nd[c] - exact_nd[c]) / max(exact_nd[c], 1)
+        assert rel <= 0.06, (
+            f"{c}: HLL estimate {approx_nd[c]} vs exact {exact_nd[c]} "
+            f"(rel {rel:.3f}) — outside the 4096-register envelope"
+        )
+        if dtypes[c].startswith(("float", "double")):
+            assert float(approx_nd[c]) == float(exact_nd[c]), (
+                f"{c}: float column must use the exact fallback"
+            )

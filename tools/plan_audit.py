@@ -55,7 +55,8 @@ def main() -> None:
         "lookup_join", "merge_upsert", "text_stats", "dedup_minhash_lsh",
         "ann_topk", "windowed_rollup", "sessionize", "monthly_rollup",
         "asof_join", "scalar_subquery", "range_join", "window_range_30d",
-        "dedup_clusters", "ann_ivf", "simhash_pairs", "cascading_rollup",
+        # (cascading_rollup consolidated into rollup r17)
+        "dedup_clusters", "ann_ivf", "simhash_pairs", "rollup",
         "array_ops", "tfidf", "gopher_quality", "top_ngram", "pii_scrub",
         "stratified_sample", "sequence_packing", "decontaminate",
         "corpus_stats", "histogram", "quality_pipeline",

@@ -13,6 +13,15 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+import pytest
+
+# r16 judge directive #3, executed r17: the quiet full-suite wall
+# crossed ~20 min (22:26) — this long-running suite sits behind the
+# `slow` marker. Excluded from the fast loop (-m "not slow"); still
+# runs in plain `pytest tests/` AND gated every round by
+# tools/final_gate.py's pytest_slow_suites step.
+pytestmark = pytest.mark.slow
+
 _SET = settings(
     max_examples=6,
     deadline=None,

@@ -11,6 +11,15 @@ from pyspark.sql import functions as F
 from fbs_data_pipelines_spark.operators.audit import scd2_apply
 from fbs_data_pipelines_spark.operators.timeseries import ewma
 
+import pytest
+
+# r16 judge directive #3, executed r17: the quiet full-suite wall
+# crossed ~20 min (22:26) — this long-running suite sits behind the
+# `slow` marker. Excluded from the fast loop (-m "not slow"); still
+# runs in plain `pytest tests/` AND gated every round by
+# tools/final_gate.py's pytest_slow_suites step.
+pytestmark = pytest.mark.slow
+
 _SEGS = ["A", "B", "C"]
 
 _dim_entry = st.tuples(

@@ -12,6 +12,15 @@ from hypothesis import strategies as st
 from fbs_data_pipelines_spark.sql_dml import parse_delete, parse_update
 from fbs_data_pipelines_spark.sql_merge import parse_merge
 
+import pytest
+
+# r16 judge directive #3, executed r17: the quiet full-suite wall
+# crossed ~20 min (22:26) — this long-running suite sits behind the
+# `slow` marker. Excluded from the fast loop (-m "not slow"); still
+# runs in plain `pytest tests/` AND gated every round by
+# tools/final_gate.py's pytest_slow_suites step.
+pytestmark = pytest.mark.slow
+
 _ident = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,10}", fullmatch=True).filter(
     # exclude the grammar's own keywords from identifier slots
     lambda s: s.upper()

@@ -30,10 +30,15 @@ from fbs_data_pipelines_spark.streaming.stateful import (
     streaming_running_total,
 )
 
-pytestmark = pytest.mark.skipif(
-    not HAS_TWS_DEPS,
-    reason="transformWithState needs google.protobuf (absent in sandbox)",
-)
+# `slow` since r17 (r16 judge directive #3 — see pytest.ini): excluded
+# from the fast loop, still gated by final_gate's pytest_slow_suites.
+pytestmark = [
+    pytest.mark.skipif(
+        not HAS_TWS_DEPS,
+        reason="transformWithState needs google.protobuf (absent in sandbox)",
+    ),
+    pytest.mark.slow,
+]
 
 
 def _csv_stream(spark, tmp, schema):

@@ -36,7 +36,10 @@ Runs, in order (each step's full output goes to /tmp/final_gate/):
      JVMs + executor-side Python workers — catches serializer /
      classpath / import assumptions single-JVM local[32] hides.
      Headliners + one canary per Python-kernel class. ~2 min.)
-  8. ledger_check --check                 (README ledger drift)
+  8. pytest -m slow                       (streaming + hypothesis
+     suites — behind the `slow` marker since r17 for the fast loop,
+     gated here every round. ~4 min.)
+  9. ledger_check --check                 (README ledger drift)
 
 Usage:
     PYTHONPATH=/root/repo python tools/final_gate.py [--window-only] \
@@ -183,6 +186,18 @@ def main() -> int:
         _run(
             "check_oracle_local_cluster_smoke",
             [py, "tools/check_oracle.py", "--master", LC_MASTER, *LC_SET],
+        )
+    )
+    # --- slow-suite leg (standing since r17, r16 judge directive #3:
+    #     the quiet full-suite wall crossed ~20 min, so the streaming
+    #     + hypothesis suites moved behind the `slow` marker for the
+    #     fast loop — but they must still GATE every round; this step
+    #     is that guarantee; ~4 min) -------------------------------------
+    steps.append(
+        _run(
+            "pytest_slow_suites",
+            [py, "-m", "pytest", "tests/", "-q", "-m", "slow",
+             "-p", "no:cacheprovider"],
         )
     )
     steps.append(_run("ledger_check", [py, "tools/ledger_check.py", "--check"]))

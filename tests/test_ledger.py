@@ -288,6 +288,51 @@ def test_stamp_oracles_clears_changed_state(tmp_path):
     assert "b" not in refreshed
 
 
+def test_plan_next_says_stamp_to_clear_inline(tmp_path):
+    """r16 judge "What's wrong #4": a changed-oracle key that is GREEN
+    in the LATEST correctness file almost certainly gated on its
+    current text — the round-start `--stamp-oracles` just hasn't run.
+    The planner must say "STAMP TO CLEAR" inline for exactly those
+    keys (and NOT for a key whose last green predates the latest
+    round — that one's text genuinely moved after its gate and needs
+    a window slot)."""
+    import json
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    (tmp_path / "__spark_entry__.py").write_text(
+        "def queries():\n"
+        "    return {k: None for k in ['a', 'b', 'c']}\n"
+        "def oracle_sql():\n"
+        "    return {'a': 'SELECT 1', 'b': 'SELECT 2', 'c': 'SELECT 3'}\n"
+    )
+    # a gated green in r1 only; b and c gated green in r2 (the latest)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": green, "b": green, "c": green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"b": green, "c": green})
+    )
+    side = {
+        # a: text moved after its r1 gate AND it is absent from the
+        # latest file — genuinely changed, needs a slot, NO stamp hint
+        "a": {"hash": ledger_check._sha("SELECT 1 -- as gated"), "round": 1},
+        # b: green in the LATEST file but the sidecar still carries a
+        # pre-gate stamp — the round-start-stamp-missing state
+        "b": {"hash": ledger_check._sha("SELECT 2 -- as gated"), "round": 1},
+        # c: stamped current — not changed at all
+        "c": {"hash": ledger_check._sha("SELECT 3"), "round": 2},
+    }
+    (tmp_path / "ORACLE_HASHES.json").write_text(json.dumps(side))
+    assert ledger_check.changed_oracle_keys(str(tmp_path)) == ["a", "b"]
+    plan = ledger_check.plan_next(str(tmp_path))
+    assert plan["changed_oracle"] == ["a", "b"]
+    assert plan["stamp_to_clear"] == ["b"]
+    stamp_notes = [n for n in plan["notes"] if n.startswith("STAMP TO CLEAR")]
+    assert len(stamp_notes) == 1
+    assert "b" in stamp_notes[0] and "--stamp-oracles" in stamp_notes[0]
+    assert "a —" not in stamp_notes[0]
+
+
 def test_plan_next_fires_on_synthetic_rotation_state(tmp_path):
     """Non-vacuous exercise of the plan's mandatory tiers (the real
     repo currently has no reds and no never-gated keys): a fixture

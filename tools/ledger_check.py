@@ -270,6 +270,23 @@ def plan_next(repo: str = REPO) -> dict:
             "changed-oracle keys (oracle_sql text moved since last "
             "gate — red-tier): " + ", ".join(changed)
         )
+    # r17 (r16 judge "What's wrong #4"): a changed-oracle key that is
+    # GREEN in the latest CORRECTNESS file very likely gated on its
+    # current text and only the round-start sidecar stamp is missing
+    # — say so inline, so a fresh context doesn't compose a window
+    # that wastes slots re-gating just-greened keys before reading
+    # the handoff's ROUND START bullet.
+    stamp_to_clear = [c for c in changed if now in led["evidence"].get(c, [])]
+    if stamp_to_clear:
+        notes.append(
+            "STAMP TO CLEAR: " + ", ".join(stamp_to_clear)
+            + f" — green in CORRECTNESS_r{now:02d} (the latest gate). If "
+            "the oracle text is unchanged since that gate (the normal "
+            "round-start state), run `ledger_check --stamp-oracles` "
+            "FIRST to clear them from the red tier instead of spending "
+            "window slots re-gating just-greened keys; only a key whose "
+            "text moved AFTER the gate genuinely needs a slot"
+        )
     # never-gated keys have NO age entry (they never greened) and
     # would otherwise be invisible to the bucket/fill passes — but a
     # key outside the window gains no driver evidence at all (§8
@@ -329,6 +346,7 @@ def plan_next(repo: str = REPO) -> dict:
         "window": window[:50],
         "reds": reds,
         "changed_oracle": changed,
+        "stamp_to_clear": stamp_to_clear,
         "never_gated": never,
         "oldest_age": oldest,
         "oldest_bucket": bucket,

@@ -87,6 +87,38 @@ def test_master_flag_extracted():
     assert rest == ["ohlc", "--master"] and master is None
 
 
+def test_sf_dir_flag_extracted():
+    from check_oracle import SF_DIR, parse_sf_dir
+
+    rest, sf = parse_sf_dir(["--sf-dir", "/root/testdata/sf0.1", "ohlc"])
+    assert rest == ["ohlc"]
+    assert sf == "/root/testdata/sf0.1"
+    # default is the driver's gate scale
+    rest, sf = parse_sf_dir(["ohlc"])
+    assert rest == ["ohlc"] and sf == SF_DIR
+    # trailing --sf-dir with no operand stays in argv → rejected by
+    # the unknown-name check instead of silently running sf0.01
+    rest, sf = parse_sf_dir(["ohlc", "--sf-dir"])
+    assert rest == ["ohlc", "--sf-dir"] and sf == SF_DIR
+
+
+def test_sf_dir_nonexistent_path_exits_2():
+    """A mistyped --sf-dir path must refuse the run (exit 2) before a
+    session spins up — not fall back to sf0.01 and vacuous-PASS the
+    data-scale axis."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "check_oracle.py"),
+         "--sf-dir", "/root/testdata/no-such-sf", "datediff"],
+        capture_output=True, text=True, timeout=120,
+        env={**__import__("os").environ, "PYTHONPATH": str(REPO)},
+    )
+    assert out.returncode == 2, out.stdout + out.stderr
+    assert "--sf-dir does not exist" in out.stdout
+    assert "0 failures" not in out.stdout
+
+
 def test_unknown_names_helper():
     from check_oracle import unknown_names
 

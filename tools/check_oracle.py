@@ -169,6 +169,33 @@ def parse_master(argv: list) -> tuple:
     return remaining, master
 
 
+def parse_sf_dir(argv: list) -> tuple:
+    """Split a ``--sf-dir <path>`` pair out of ``argv``.
+
+    Returns ``(remaining_argv, sf_dir)`` with ``sf_dir`` defaulting to
+    the driver's gate scale (``SF_DIR`` = sf0.01). The data-SCALE axis:
+    every driver gate and every local sweep before r17 ran the oracle
+    comparison at sf0.01 only; ``--sf-dir /root/testdata/sf0.1`` runs
+    the identical Spark-vs-DuckDB comparison at 10× that scale, so a
+    result that silently depends on cardinality (tie-break gaps in a
+    top-k, LSH band occupancy, sample-fraction rounding) fails loudly
+    instead of riding a small-data accident. A ``--sf-dir`` with no
+    operand is left in remaining_argv and rejected by the unknown-name
+    check in main(); a nonexistent path is rejected here.
+    """
+    i = 0
+    remaining: list = []
+    sf_dir = SF_DIR
+    while i < len(argv):
+        if argv[i] == "--sf-dir" and i + 1 < len(argv):
+            sf_dir = argv[i + 1]
+            i += 2
+        else:
+            remaining.append(argv[i])
+            i += 1
+    return remaining, sf_dir
+
+
 def unknown_names(only: set, queries: dict) -> list:
     """Names in the CLI filter that match no registry key — each one
     is either a typo or an unparsed flag token; running with any
@@ -182,7 +209,15 @@ def main() -> int:
 
     rest, sweep_conf = parse_sweep_confs(sys.argv[1:])
     rest, master = parse_master(rest)
+    rest, sf_dir = parse_sf_dir(rest)
     sys.argv = [sys.argv[0], *rest]
+    if sf_dir != SF_DIR:
+        import os
+
+        if not os.path.isdir(sf_dir):
+            print(f"--sf-dir does not exist: {sf_dir} — refusing the run")
+            return 2
+        print(f"sf-dir: {sf_dir} (data-scale axis; gate default is {SF_DIR})")
     if sweep_conf:
         print(f"sweep confs: {sweep_conf}")
     if master:
@@ -234,14 +269,14 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, SF_DIR)
+        sdf = fn(spark, sf_dir)
         scols = sdf.columns
         stypes = dict(sdf.dtypes)
         srows = [tuple(norm(v) for v in r) for r in sdf.collect()]

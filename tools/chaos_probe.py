@@ -20,13 +20,21 @@ node dies mid-job. The probe asserts three things:
 
 Usage:
     PYTHONPATH=/root/repo python tools/chaos_probe.py \
-        [query ...] [--sf-dir DIR] [--cluster W,C,M] [--iters N]
+        [query ...] [--sf-dir DIR] [--cluster W,C,M] [--iters N] \
+        [--victims N]
 
 Defaults: the heaviest shuffle-rich headliners
 (dedup_minhash_lsh merge_upsert windowed_rollup), sf0.1,
 local-cluster[2,2,1536], 3 timed iterations per query (the kill is
 scheduled during iteration 1; iterations 2..N prove the healed
 cluster still computes — every iteration's rows are compared).
+
+``--victims N`` kills N executors SIMULTANEOUSLY (default 1).
+``--victims 2`` on a 2-worker cluster is TOTAL compute loss mid-stage:
+every running task, every cached block, and every shuffle-map output
+dies at once, and the driver must wait for fresh executor JVMs and
+rebuild purely from lineage — the severest single-point recovery a
+static-allocation cluster can face short of losing the driver.
 """
 
 from __future__ import annotations
@@ -90,7 +98,7 @@ def sorted_rows(cols, rows):
 def main() -> int:
     sys.path.insert(0, "/root/repo")
     argv = sys.argv[1:]
-    sf_dir, cluster, iters = "/root/testdata/sf0.1", "2,2,1536", 3
+    sf_dir, cluster, iters, victims = "/root/testdata/sf0.1", "2,2,1536", 3, 1
     names: list = []
     i = 0
     while i < len(argv):
@@ -102,6 +110,9 @@ def main() -> int:
             i += 2
         elif argv[i] == "--iters" and i + 1 < len(argv):
             iters = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "--victims" and i + 1 < len(argv):
+            victims = int(argv[i + 1])
             i += 2
         else:
             names.append(argv[i])
@@ -164,18 +175,20 @@ def main() -> int:
         t0 = time.time()
         worker.start()
 
-        # kill one executor the moment stages go active for this query
+        # kill executor(s) the moment stages go active for this query
         killed, active_at_kill = None, False
         while worker.is_alive() and time.time() - t0 < 300:
             active = sc.statusTracker().getActiveStageIds()
             if active and killed is None:
-                victims = executor_pids()
-                if victims:
-                    victim = sorted(victims)[0]
-                    subprocess.run(["kill", "-9", str(victim)])
-                    killed, active_at_kill = victim, True
+                candidates = sorted(executor_pids())
+                if candidates:
+                    chosen = candidates[:victims]
+                    for pid in chosen:
+                        subprocess.run(["kill", "-9", str(pid)])
+                    killed, active_at_kill = chosen, True
                     print(
-                        f"  [{name}] SIGKILL executor pid {victim} "
+                        f"  [{name}] SIGKILL executor pid(s) {chosen} "
+                        f"of {candidates} "
                         f"(active stages at kill: {list(active)})"
                     )
             time.sleep(0.05)
@@ -190,12 +203,12 @@ def main() -> int:
                 "active — raise --iters or use a heavier query"
             )
         else:
-            # healed? killed pid gone, and a replacement registered
+            # healed? every killed pid gone, and replacements registered
             heal_deadline = time.time() + 60
             healed = False
             while time.time() < heal_deadline:
                 now = executor_pids()
-                if killed not in now and len(now) >= len(baseline):
+                if not (set(killed) & now) and len(now) >= len(baseline):
                     healed = True
                     break
                 time.sleep(0.5)

@@ -99,6 +99,7 @@ def main() -> int:
     sys.path.insert(0, "/root/repo")
     argv = sys.argv[1:]
     sf_dir, cluster, iters, victims = "/root/testdata/sf0.1", "2,2,1536", 3, 1
+    extra_conf: dict = {}
     names: list = []
     i = 0
     while i < len(argv):
@@ -113,6 +114,10 @@ def main() -> int:
             i += 2
         elif argv[i] == "--victims" and i + 1 < len(argv):
             victims = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "--conf" and i + 1 < len(argv) and "=" in argv[i + 1]:
+            k, _, v = argv[i + 1].partition("=")
+            extra_conf[k] = v
             i += 2
         else:
             names.append(argv[i])
@@ -130,11 +135,15 @@ def main() -> int:
         return 2
 
     master = f"local-cluster[{cluster}]"
-    print(f"master: {master}  sf-dir: {sf_dir}  iters: {iters}")
+    print(
+        f"master: {master}  sf-dir: {sf_dir}  iters: {iters}  "
+        f"victims: {victims}  conf: {extra_conf}"
+    )
+    extra_conf.setdefault("spark.executorEnv.PYTHONPATH", "/root/repo")
     spark = get_spark(
         app_name="chaos-probe",
         master=master,
-        extra_conf={"spark.executorEnv.PYTHONPATH": "/root/repo"},
+        extra_conf=extra_conf,
     )
     sc = spark.sparkContext
 

@@ -35,6 +35,18 @@ every running task, every cached block, and every shuffle-map output
 dies at once, and the driver must wait for fresh executor JVMs and
 rebuild purely from lineage — the severest single-point recovery a
 static-allocation cluster can face short of losing the driver.
+
+``--conf k=v`` (repeatable) reaches the session builder, enabling the
+isolation runs documented in EVIDENCE_r17 §13 (e.g. broadcasts off).
+``--gc-pause N`` forces a driver ``System.gc()`` + N-second pause
+between iterations — this is what ContextCleaner's periodic GC does
+on its 30-min cadence, and it clears the one known environmental
+failure mode: after a kill during a broadcast-join query at sf1 on
+≤3 GiB executors, re-materialized broadcast hash relations hold
+execution memory that storage eviction cannot reclaim, and the NEXT
+broadcast-heavy run OOMs ("Could not allocate memory to grow
+BytesToBytesMap") until the cleaner fires. Never a wrong row —
+completed runs stay oracle-exact.
 """
 
 from __future__ import annotations
@@ -99,6 +111,7 @@ def main() -> int:
     sys.path.insert(0, "/root/repo")
     argv = sys.argv[1:]
     sf_dir, cluster, iters, victims = "/root/testdata/sf0.1", "2,2,1536", 3, 1
+    gc_pause = 0
     extra_conf: dict = {}
     names: list = []
     i = 0
@@ -119,6 +132,9 @@ def main() -> int:
             k, _, v = argv[i + 1].partition("=")
             extra_conf[k] = v
             i += 2
+        elif argv[i] == "--gc-pause" and i + 1 < len(argv):
+            gc_pause = int(argv[i + 1])
+            i += 2
         else:
             names.append(argv[i])
             i += 1
@@ -137,7 +153,7 @@ def main() -> int:
     master = f"local-cluster[{cluster}]"
     print(
         f"master: {master}  sf-dir: {sf_dir}  iters: {iters}  "
-        f"victims: {victims}  conf: {extra_conf}"
+        f"victims: {victims}  gc-pause: {gc_pause}  conf: {extra_conf}"
     )
     extra_conf.setdefault("spark.executorEnv.PYTHONPATH", "/root/repo")
     spark = get_spark(
@@ -172,11 +188,29 @@ def main() -> int:
 
         def run_iters():
             try:
-                for _ in range(iters):
+                for it in range(iters):
+                    if gc_pause and it:
+                        # The prior iteration's DataFrame proxy must be
+                        # unreferenced BEFORE the GC: a live py4j ref
+                        # keeps the JVM plan — and the broadcast
+                        # variables its query stages hold — reachable,
+                        # so ContextCleaner cannot unpersist the hash
+                        # relations. Two GC rounds: the first frees the
+                        # Python proxy (queueing the py4j detach), the
+                        # second lets the JVM collect the plan and the
+                        # cleaner process the broadcast weak refs.
+                        import gc
+
+                        gc.collect()
+                        spark._jvm.System.gc()
+                        time.sleep(max(1, gc_pause * 2 // 3))
+                        spark._jvm.System.gc()
+                        time.sleep(max(1, gc_pause // 3))
                     sdf = fn(spark, sf_dir)
                     cols = sdf.columns
                     rows = [tuple(norm(v) for v in r) for r in sdf.collect()]
                     results.append((cols, rows))
+                    del sdf
             except Exception as exc:  # surfaced below as a failure
                 errors.append(exc)
 

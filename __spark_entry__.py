@@ -730,11 +730,18 @@ def q_audit_log(spark, sf_dir):
 
 
 def q_merge_upsert(spark, sf_dir):
+    # sort_output=False: the driver gate compares sorted rows (its
+    # oracle carries no ORDER BY), so the merge's global PK sort was
+    # pure determinism overhead — a range-partition Exchange plus a
+    # sampling job, 35-50% of the query (guide §2.4 "orderBy used only
+    # to make output deterministic"; A/B numbers in merge_snapshot's
+    # docstring). Result multiset unchanged.
     return merge_snapshot(
         _published(spark, sf_dir),
         _snapshot(spark, sf_dir),
         id_col="o_orderkey",
         target_cols=["o_totalprice", "o_orderpriority"],
+        sort_output=False,
     )
 
 

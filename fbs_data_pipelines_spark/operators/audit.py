@@ -104,6 +104,7 @@ def merge_snapshot(
     id_col: str,
     target_cols: Sequence[str],
     rename_map: dict[str, str] | None = None,
+    sort_output: bool = True,
 ) -> DataFrame:
     """C2 — join-based SCD-1 upsert (log_handler.py:99-128).
 
@@ -111,6 +112,13 @@ def merge_snapshot(
     keep published rows for unchanged ids (semi), take snapshot rows
     for everything else (anti); align columns to the snapshot's order,
     cast all to string, union, sort by PK.
+
+    ``sort_output=False`` skips the final PK sort: a global sort is a
+    range-partition Exchange plus a boundary-sampling job, ~35-50% of
+    the operator's wall-clock (interleaved A/B r17: sf0.1
+    0.623 s → 0.287 s, 10× data 1.587 s → 1.118 s), and a consumer
+    that needs keyed order re-establishes it anyway (set semantics are
+    identical — the merge result is the same multiset of rows).
 
     At scale: the two joins shuffle on the PK once each; with a
     lakehouse table format this whole function becomes MERGE INTO —
@@ -169,7 +177,9 @@ def merge_snapshot(
     # lexicographically — a cheaper sort (long vs string range
     # partition, measured 0.88s → 0.70s at sf0.1) and the order a
     # keyed-upsert consumer actually expects.
-    return cast_all_to_string(out.orderBy(id_col))
+    if sort_output:
+        out = out.orderBy(id_col)
+    return cast_all_to_string(out)
 
 
 def audit_from_registry(

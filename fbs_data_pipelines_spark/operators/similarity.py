@@ -40,22 +40,28 @@ def ann_topk_bruteforce(
     (query_id, neighbor_id, sim, rank).
     """
     from fbs_data_pipelines_spark.functions.vectors import dot_product, l2_norm
+    from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
 
     # norms hoisted out of the per-pair scoring: corpus norm computed
     # once per vector during the scan, query norms once on the
     # broadcast side — the O(N·Q) stage folds only the dot product.
-    # No ensure_parallelism here (unlike the shingle-heavy dedup ops):
-    # the per-row work is a handful of dot folds, so the scan's own
-    # split count — which grows with corpus size — is already the
-    # right parallelism; pre-shuffling the dense vectors costs more
-    # than it saves (measured 0.50s → 0.30s at sf0.1 dropping it).
+    # The corpus side fans out to the session's parallelism BEFORE the
+    # O(N·Q) scoring: a small parquet corpus scans as 1-2 splits
+    # (openCostInBytes packing), which serializes every dot fold onto
+    # 1-2 cores while the rest of the machine idles. Interleaved A/B
+    # (r17, min/median of 6): sf0.1 0.322/0.406 s → 0.307/0.331 s;
+    # 10× corpus 0.969/1.077 s → 0.264/0.291 s (3.7×). The repartition
+    # ships only (id, vec) once and is a no-op whenever the scan
+    # already has ≥ defaultParallelism splits — any real corpus.
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         l2_norm(vec_col).alias("__qn"),
     )
-    joined = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+    joined = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    ).select(
+        F.col("neighbor_id"),
         F.col(vec_col),
         l2_norm(vec_col).alias("__cn"),
     ).crossJoin(F.broadcast(q))

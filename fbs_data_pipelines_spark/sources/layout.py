@@ -33,9 +33,13 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: quantile sketch accuracy for boundary estimation; 0.001 keeps the
-#: equi-depth buckets within 0.1% of exact at any scale
-_QUANTILE_ERR = 0.001
+#: floor on the quantile sketch accuracy used for boundary estimation.
+#: The effective error is half a bucket width (1 / (2 * n_buckets)) —
+#: tight enough that no two adjacent equi-depth boundaries collapse,
+#: loose enough to avoid paying for precision the bucketing can't use
+#: (r17 A/B at sf0.1, 255 cuts: err 0.001 → 2.07 s, err 1/512 →
+#: 1.39 s for the same 255 distinct boundaries).
+_QUANTILE_ERR = 0.01
 
 _ZCOL = "__zvalue"
 
@@ -51,45 +55,87 @@ def _as_double(df: DataFrame, col: str) -> Column:
     return F.col(col).cast("double")
 
 
-def _bucket_rank(value: Column, cuts: list[float]) -> Column:
+def _bucket_rank(
+    value: Column, cuts: list[float], leaf=None
+) -> Column:
     """Equi-depth bucket rank in [0, len(cuts)]: the number of
     boundaries strictly below the value. Nulls sort to bucket 0 so
-    they cluster together instead of scattering."""
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
-    crossings = F.aggregate(
-        arr,
-        F.lit(0),
-        lambda acc, cut: acc + F.when(value > cut, 1).otherwise(0),
+    they cluster together instead of scattering.
+
+    The rank is found by a BINARY-SEARCH tree of nested ``when``s —
+    log2(|cuts|) codegen'd comparisons per row. The previous form
+    (``F.aggregate`` over a literal boundary array) evaluated |cuts|
+    interpreted lambda closures per row per column: at 8 bits that is
+    255 closure evals where 8 compiled branches suffice. Ranks are
+    identical: sorted strictly-increasing cuts make "count of cuts <
+    value" equal the binary-search insertion point, with Spark's
+    NaN-greatest ordering agreeing on both forms (NaN > every cut →
+    rank |cuts|).
+
+    ``leaf`` (rank int → int) maps each leaf before it becomes a
+    literal, letting callers fold a post-processing table lookup
+    (e.g. the Morton bit spread) into the tree for free instead of
+    re-evaluating the whole tree per output bit."""
+    if leaf is None:
+        leaf = lambda r: r  # noqa: E731
+
+    def search(lo: int, hi: int) -> Column:
+        # invariant: the true rank lies in [lo, hi]
+        if lo == hi:
+            return F.lit(leaf(lo))
+        mid = (lo + hi) // 2
+        return F.when(
+            value > F.lit(float(cuts[mid])), search(mid + 1, hi)
+        ).otherwise(search(lo, mid))
+
+    return F.when(value.isNull(), F.lit(leaf(0))).otherwise(
+        search(0, len(cuts))
     )
-    return F.when(value.isNull(), F.lit(0)).otherwise(crossings)
+
+
+def _morton_spread(rank: int, ncols: int, j: int) -> int:
+    """Bit i of ``rank`` placed at output bit ``i * ncols + j`` — the
+    j-th column's contribution to the interleaved Morton code."""
+    out, i = 0, 0
+    while rank:
+        out |= (rank & 1) << (i * ncols + j)
+        rank >>= 1
+        i += 1
+    return out
 
 
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> Column:
     """Morton code over ``cols``: interleaves the ``bits``-bit
     equi-depth bucket ranks of each column. Pure JVM expressions —
     usable directly in ``repartitionByRange``/``sortWithinPartitions``.
-    """
+
+    The interleave is folded into the rank search itself: each
+    column's binary-search tree returns its rank PRE-SPREAD to the
+    Morton bit positions (leaves are literals, so the spread is free
+    at plan-build time), and the per-column trees are OR'd. The
+    earlier shift/mask loop referenced every rank tree ``bits`` times,
+    duplicating each ~2·2^bits-node tree 8× in one expression —
+    driver-side analysis/codegen of that ~8k-node tree dominated
+    zorder_write's wall-clock (r17 A/B at sf0.1: 22.8 s → 6.0 s with
+    identical output; see OPTIMIZATION_r17.md). Here every tree
+    appears exactly once: output bit (i * ncols + j) = bit i of rank
+    j, so all columns contribute equally at every scale of the key."""
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    err = min(_QUANTILE_ERR, 1.0 / (2 * n_buckets))
     all_cuts = df.select(
         *[_as_double(df, c).alias(c) for c in cols]
-    ).approxQuantile(list(cols), probs, _QUANTILE_ERR)
+    ).approxQuantile(list(cols), probs, err)
 
-    ranks = [
-        _bucket_rank(_as_double(df, c), sorted(set(cuts)))
-        for c, cuts in zip(cols, all_cuts)
+    ncols = len(cols)
+    parts = [
+        _bucket_rank(
+            _as_double(df, c),
+            sorted(set(cuts)),
+            leaf=lambda r, j=j: _morton_spread(r, ncols, j),
+        ).cast("long")
+        for j, (c, cuts) in enumerate(zip(cols, all_cuts))
     ]
-    # interleave: output bit (i * ncols + j) = bit i of rank j, so all
-    # columns contribute equally at every scale of the sort key
-    parts = []
-    for i in range(bits):
-        for j, r in enumerate(ranks):
-            parts.append(
-                F.shiftleft(
-                    F.shiftright(r.cast("long"), i).bitwiseAND(F.lit(1)),
-                    i * len(ranks) + j,
-                )
-            )
     return reduce(lambda a, b: a.bitwiseOR(b), parts).alias(_ZCOL)
 
 

@@ -150,6 +150,33 @@ def streaming_snapshot_merge(
     )
 
 
+#: fixed-length duration units ``F.window`` accepts that are safe to
+#: rewrite as epoch arithmetic (calendar units — month/year — are not)
+_FIXED_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def _duration_micros(duration: str) -> int | None:
+    """``"1 hour"`` → 3_600_000_000, or None when not a plain
+    fixed-length ``"<int> <unit>[s]"`` duration."""
+    parts = duration.strip().lower().split()
+    if len(parts) != 2:
+        return None
+    qty, unit = parts
+    unit = unit.rstrip("s") if unit != "s" else unit
+    if not qty.lstrip("-").isdigit() or int(qty) <= 0:
+        return None
+    us = _FIXED_UNIT_US.get(unit)
+    return None if us is None else int(qty) * us
+
+
 def windowed_event_rollup(
     events: DataFrame,
     ts_col: str = "ts",
@@ -158,10 +185,48 @@ def windowed_event_rollup(
 ) -> DataFrame:
     """Watermarked tumbling-window rollup (works on both batch and
     streaming DataFrames): per (window, event_type) count + value sum.
-    Late rows beyond the watermark are dropped in streaming mode."""
+    Late rows beyond the watermark are dropped in streaming mode.
+
+    Batch plans rewrite the tumbling ``F.window`` as epoch-micros
+    bucket arithmetic: ``F.window``'s struct expression recomputes the
+    timestamp→long conversion six times per row (no common
+    subexpression elimination inside the named_struct) and groups on a
+    16-byte struct<timestamp,timestamp> key; the rewrite computes the
+    conversion once, groups on one 8-byte long, and rebuilds
+    start/end AFTER the aggregate — identical values, including
+    ``F.window``'s floor alignment for pre-epoch timestamps and its
+    implicit not-null filter. Streaming keeps ``F.window`` (the
+    watermark/eviction machinery requires the window struct)."""
     src = events
     if events.isStreaming:
         src = events.withWatermark(ts_col, watermark)
+    # the rewrite needs unix_micros, which only accepts plain
+    # TIMESTAMP — NTZ inputs (raw parquet scans) keep F.window, whose
+    # window struct also preserves their NTZ type
+    dur_us = (
+        None
+        if events.isStreaming or dict(events.dtypes).get(ts_col) != "timestamp"
+        else _duration_micros(window_duration)
+    )
+    if dur_us is not None:
+        e = F.unix_micros(F.col(ts_col))
+        m = e % F.lit(dur_us)
+        start = e - F.when(m < 0, m + dur_us).otherwise(m)
+        return (
+            src.filter(F.col(ts_col).isNotNull())
+            .groupBy(start.alias("__ws"), F.col("event_type"))
+            .agg(
+                F.count("*").alias("n_events"),
+                round_half_up(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.timestamp_micros(F.col("__ws")).alias("window_start"),
+                F.timestamp_micros(F.col("__ws") + dur_us).alias("window_end"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
     return (
         src.groupBy(
             F.window(F.col(ts_col), window_duration).alias("w"),

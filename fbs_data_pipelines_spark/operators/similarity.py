@@ -469,6 +469,8 @@ def sparse_cosine_pairs(
     text_col: str,
     threshold: float = 0.3,
     max_df: int | None = None,
+    n_docs: int | None = None,
+    dense_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """All-pairs document similarity by TF-IDF cosine over an inverted
     index (the AllPairs / prefix-filter family, Bayardo et al. 2007,
@@ -499,12 +501,39 @@ def sparse_cosine_pairs(
     6dp, thresholded on the rounded value (cross-engine stable).
     Cached intermediates are scope-attached — ``release_cache`` after
     consuming.
+
+    ``n_docs`` lets callers that already counted the corpus skip a
+    duplicate count job. ``dense_max_bytes`` gates the small-
+    vocabulary dense path (below).
+
+    Strategy dispatch: the inverted-index self-join is the right
+    general plan (real text is Zipfian: vocabulary >> corpus, df²
+    bounded by max_df). But when the KEPT vocabulary is tiny — token
+    spaces that are categorical rather than linguistic — every token
+    is stop-grade (df ~ n_docs), ``max_df`` prunes nothing, and the
+    join degenerates to Σ df² ≈ |vocab|·n_docs² rows funnelled
+    through |vocab| join keys: quadratic volume AND single-task skew
+    at once (r17 at sf0.1: 31 tokens × 5 000 docs → 4.5e8 join rows,
+    ~85 s). In that regime each doc's tf-idf vector is effectively
+    DENSE in |vocab| dims, so the exact same cosines come from a
+    blocked matrix product: broadcast the (n_docs × vocab) unit-row
+    matrix (gate: ≤ ``dense_max_bytes``), fan row-blocks across the
+    cluster, and each task BLAS-multiplies its block against the
+    matrix — no O(Σ df²) shuffle exists at all. The kernel
+    pre-filters at ``threshold - 1e-6`` (wider than the 5e-7 rounding
+    boundary), and the SAME ``round_half_up``-then-threshold filter
+    as the join path runs JVM-side, so both paths cut identically
+    (6dp rounding absorbs summation-order fp noise; oracle-verified
+    at sf0.001/0.01/0.1).
     """
     from fbs_data_pipelines_spark.caching import CacheScope
     from fbs_data_pipelines_spark.functions.text import tokens
+    from fbs_data_pipelines_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
 
     scope = CacheScope()
-    tok = docs.select(
+    tok = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     ).filter(F.col("tok") != "")
     tf = scope.persist(
@@ -513,7 +542,8 @@ def sparse_cosine_pairs(
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= max_df)
-    n_docs = docs.select(id_col).distinct().count()
+    if n_docs is None:
+        n_docs = docs.select(id_col).distinct().count()
     w = tf.join(dfreq, "tok").select(
         "id",
         "tok",
@@ -525,6 +555,14 @@ def sparse_cosine_pairs(
         .filter(F.col("n") > 0)
         .select("id", "tok", (F.col("w") / F.col("n")).alias("u"))
     )
+    # vocabulary-sized count off the persisted tf — cheap relative to
+    # either join strategy, and it decides between them
+    vocab = dfreq.count()
+    if vocab * n_docs * 8 <= dense_max_bytes:
+        out = _dense_cosine_pairs(wn, vocab, threshold)
+        if out is not None:
+            scope.release()
+            return out
     a = wn.select(F.col("id").alias("id_a"), "tok", F.col("u").alias("ua"))
     b = wn.select(F.col("id").alias("id_b"), "tok", F.col("u").alias("ub"))
     pairs = (
@@ -535,6 +573,73 @@ def sparse_cosine_pairs(
         .filter(F.col("cos") >= threshold)
     )
     return scope.attach(pairs)
+
+
+def _dense_cosine_pairs(
+    wn: DataFrame, vocab: int, threshold: float
+) -> DataFrame | None:
+    """Small-vocabulary exact all-pairs cosine: densify the unit
+    vectors into one gate-bounded (n_docs × vocab) matrix, broadcast
+    it, and let each task score a block of rows against the whole
+    matrix with one BLAS product (guide §4.2: batches to native
+    vectorized code). Row blocks are sized so ~4 blocks land per core.
+    Returns None when the corpus holds ≤1 non-zero doc (no pairs) —
+    the caller's join path then produces the (empty) result so the
+    output schema/typing stays on one code path.
+    """
+    import numpy as np
+
+    spark = wn.sparkSession
+    id_dtype = dict(wn.dtypes)["id"]
+    rows = wn.collect()  # ≤ n_docs·vocab entries, gate-bounded
+    if not rows:
+        return None
+    ids = sorted({r.id for r in rows})
+    if len(ids) < 2:
+        return None
+    id_ix = {v: i for i, v in enumerate(ids)}
+    tok_ix: dict[str, int] = {}
+    mat = np.zeros((len(ids), vocab), dtype=np.float64)
+    for r in rows:
+        j = tok_ix.setdefault(r.tok, len(tok_ix))
+        mat[id_ix[r.id], j] = r.u
+    n = len(ids)
+    bc = spark.sparkContext.broadcast((np.asarray(ids), mat))
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    block = max(32, -(-n // (4 * par)))
+    margin = threshold - 1e-6  # superset of "rounds up to threshold"
+
+    def score_blocks(batches):
+        import pandas as pd
+
+        ids_b, m = bc.value
+        for pdf in batches:
+            for start in pdf["start"]:
+                s = int(start)
+                e = min(s + block, n)
+                sims = m[s:e] @ m[s:].T  # row i only needs j > i ≥ s
+                for li in range(e - s):
+                    gi = s + li
+                    js = np.nonzero(sims[li, gi - s + 1 :] >= margin)[0]
+                    if js.size:
+                        js = js + gi + 1
+                        yield pd.DataFrame(
+                            {
+                                "id_a": np.repeat(ids_b[gi], js.size),
+                                "id_b": ids_b[js],
+                                "cos": sims[li, js - s],
+                            }
+                        )
+
+    starts = spark.createDataFrame(
+        [(i,) for i in range(0, n, block)], "start long"
+    ).repartition(min(par, -(-n // block)))
+    scored = starts.mapInPandas(
+        score_blocks, schema=f"id_a {id_dtype}, id_b {id_dtype}, cos double"
+    )
+    return scored.select(
+        "id_a", "id_b", round_half_up(F.col("cos"), 6).alias("cos")
+    ).filter(F.col("cos") >= threshold)
 
 
 def semantic_dedup(

@@ -461,6 +461,27 @@ def test_sparse_cosine_weights_rare_tokens_higher(spark):
     assert (0, 2) not in got
 
 
+def test_sparse_cosine_dense_path_matches_join_path(spark, sf_dir):
+    """The small-vocabulary dense (blocked-BLAS) strategy and the
+    inverted-index join strategy are the same operator — every pair
+    and every 6dp cosine must agree. sf0.001 documents have a small
+    synthetic vocabulary, so the default gate picks the dense path;
+    dense_max_bytes=0 forces the join path on identical input."""
+    from fbs_data_pipelines_spark.operators.similarity import (
+        sparse_cosine_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(threshold=0.5, max_df=int(0.8 * docs.count()))
+    dense = sparse_cosine_pairs(docs, "doc_id", "text", **kw)
+    joined = sparse_cosine_pairs(
+        docs, "doc_id", "text", dense_max_bytes=0, **kw
+    )
+    d = {(r.id_a, r.id_b): r.cos for r in dense.collect()}
+    j = {(r.id_a, r.id_b): r.cos for r in joined.collect()}
+    assert d and d == j
+
+
 def test_ann_sq8_high_recall_vs_bruteforce(spark, sf_dir):
     """SQ8 rank + exact rerank: with rerank margin 4x k, the final
     top-k should match brute force on this corpus (8-bit grid error

@@ -2881,7 +2881,7 @@ def q_sparse_cosine(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     n = docs.select("doc_id").distinct().count()
     return sparse_cosine_pairs(
-        docs, "doc_id", "text", threshold=0.9, max_df=int(0.8 * n)
+        docs, "doc_id", "text", threshold=0.9, max_df=int(0.8 * n), n_docs=n
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fbs_data_pipelines_spark.functions.text import tokens
+from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
 
 #: end-of-word marker (classic BPE: distinguishes "est</w>" from "est")
 EOW = "</w>"
@@ -35,7 +36,8 @@ def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
     """(word, count) over the normalized corpus — the one
     corpus-sized pass; everything else operates on this table."""
     return (
-        docs.select(F.explode(tokens(text_col)).alias("word"))
+        ensure_parallelism(docs)
+        .select(F.explode(tokens(text_col)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("count"))
@@ -163,7 +165,7 @@ def bpe_encode(
             _encode_word_fn(merges),
         )
     )
-    return docs.select(F.col(id_col), enc.alias(out_col))
+    return ensure_parallelism(docs).select(F.col(id_col), enc.alias(out_col))
 
 
 def _encode_word_fn(merges: list[dict]):

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fbs_data_pipelines_spark.functions.text import tokens, word_shingles
+from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
 from fbs_data_pipelines_spark.operators.sampling import sample_bucket
 
 
@@ -71,7 +72,8 @@ def dsir_bucket_ratios(
 
     def counts(df: DataFrame, out: str) -> DataFrame:
         return (
-            df.select(
+            ensure_parallelism(df)
+            .select(
                 F.explode(_gram_buckets(text_col, n_buckets, salt)).alias(
                     "bucket"
                 )
@@ -128,7 +130,7 @@ def dsir_scores(
     B-row ratio table, and a doc-keyed map-side-combined sum. Docs
     with zero grams score 0.
     """
-    exploded = raw.select(
+    exploded = ensure_parallelism(raw).select(
         F.col(id_col),
         F.explode_outer(_gram_buckets(text_col, n_buckets, salt)).alias(
             "bucket"

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..caching import CacheScope, carry_cache
 from ..functions.text import tokens
+from .partitioning import ensure_parallelism
 
 
 def _bigrams(toks: Column) -> Column:
@@ -53,7 +54,7 @@ def bigram_lm_train(docs: DataFrame, text_col: str) -> DataFrame:
     branches — without the persist the tokenize/explode/count
     subtree would re-execute per branch, exactly the recompute the
     de-skewed tf-idf fix killed. ``release_cache(result)`` frees it."""
-    pairs = docs.select(
+    pairs = ensure_parallelism(docs).select(
         F.explode(_bigrams(tokens(text_col))).alias("b")
     ).select("b.w1", "b.w2")
     c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
@@ -65,7 +66,8 @@ def bigram_lm_train(docs: DataFrame, text_col: str) -> DataFrame:
 def vocabulary_size(docs: DataFrame, text_col: str) -> int:
     """Distinct normalized tokens in the corpus (scalar, one pass)."""
     return (
-        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        ensure_parallelism(docs)
+        .select(F.explode(tokens(text_col)).alias("tok"))
         .filter(F.col("tok") != "")
         .agg(F.countDistinct("tok").alias("v"))
         .collect()[0]["v"]
@@ -85,7 +87,7 @@ def lm_perplexity(
     (id, n_bigrams, log_ppl): log-perplexity = mean negative ln-prob
     of the doc's bigrams; unseen bigrams/contexts fall back to the
     smoothing mass. Docs with < 2 tokens score null."""
-    b = docs.select(
+    b = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(_bigrams(tokens(text_col))).alias("bg")
     ).select(id_col, "bg.w1", "bg.w2")
     contexts = model.select("w1", "c1").distinct()

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from fbs_data_pipelines_spark.functions.cleaning import round_half_up
 from fbs_data_pipelines_spark.functions.text import tokens
+from fbs_data_pipelines_spark.operators.partitioning import ensure_parallelism
 
 #: Gopher-style acceptance bounds (public heuristics; tune per corpus)
 GOPHER_BOUNDS = {
@@ -60,6 +61,9 @@ def gopher_quality_flags(
     per-doc word/line arrays JVM-side.
     """
     b = {**GOPHER_BOUNDS, **(bounds or {})}
+    # heavy per-row regex/array folds: spread single-row-group local
+    # inputs over the cluster (no-op at real scale — plan-time check)
+    df = ensure_parallelism(df)
     text = F.col(text_col)
     words = F.filter(tokens(text), lambda t: t != "")
     n_words = F.size(words).cast("long")
@@ -126,6 +130,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     dup_*_frac = 1 - |distinct units| / |units| (0 when no units).
     """
+    df = ensure_parallelism(df)
     text = F.col(text_col)
     words = F.filter(tokens(text), lambda t: t != "")
     lines = F.filter(
@@ -172,6 +177,7 @@ def top_ngram_stats(
     carries (doc_id, gram, count) partials only.
     Emits (id, top_gram, top_gram_count, n_grams, top_gram_frac).
     """
+    df = ensure_parallelism(df)
     words = F.filter(tokens(F.col(text_col)), lambda t: t != "")
     grams = _word_ngrams(words, n)
     exploded = df.select(
@@ -225,6 +231,7 @@ def boilerplate_ngram_stats(
     argument — so the join back is a broadcast, never a shuffle of
     the corpus. Total: 2 map-side-combined shuffles, 1 broadcast.
     """
+    df = ensure_parallelism(df)
     words = F.filter(tokens(F.col(text_col)), lambda t: t != "")
     grams = _word_ngrams(words, n)
     doc_grams = df.select(

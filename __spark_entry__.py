@@ -1404,7 +1404,7 @@ def q_ann_topk(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_topk_bruteforce(e, queries, k=5)
+    return ann_topk_bruteforce(e, queries, k=5, dim=64)
 
 
 def q_ann_sq8(spark, sf_dir):
@@ -1795,7 +1795,7 @@ def q_ann_ivf(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_ivf_topk(e, queries, k=5, num_centroids=8)
+    return ann_ivf_topk(e, queries, k=5, num_centroids=8, dim=64)
 
 
 def q_array_agg(spark, sf_dir):
@@ -2131,7 +2131,7 @@ def q_ann_ivf_nprobe(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_ivf_topk(e, queries, k=5, num_centroids=8, nprobe=3)
+    return ann_ivf_topk(e, queries, k=5, num_centroids=8, nprobe=3, dim=64)
 
 
 def q_corpus_curation(spark, sf_dir):
@@ -2779,7 +2779,7 @@ def q_semantic_dedup(spark, sf_dir):
     from fbs_data_pipelines_spark.operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = semantic_dedup(emb, "vec_id", "embedding", k=8, n_iter=3,
+    out = semantic_dedup(emb, "vec_id", "embedding", k=8, n_iter=3, dim=64,
                          threshold=0.8)
     return out.select(
         "vec_id", F.col("cluster").cast("long").alias("cluster"), "kept"

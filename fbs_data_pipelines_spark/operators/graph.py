@@ -44,24 +44,55 @@ def pagerank(
     ``dst``; duplicate edges collapse (a link counts once, as in the
     original formulation). Ranks initialize to 1.0.
     """
+    # persist the deduped edge list for the duration of the eager
+    # preamble: outdeg, base and nodes all consume it, and without the
+    # persist each materialization re-runs the caller's upstream plan
+    # (for the bench graph: a fact-table join + a 1M-row distinct,
+    # executed 4×). Released before the iteration loop starts.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .persist()
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # (src, dst, outdeg) — the loop-invariant join base, materialized
     # once so each iteration starts from a checkpointed snapshot
     base = e.join(outdeg, "src").localCheckpoint()
+    # every edge row survives the inner join above (each src has an
+    # out-degree), so the node set can be read off the checkpointed
+    # base instead of recomputing the edge plan twice more
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
+        base.select(F.col("src").alias("id"))
+        .unionByName(base.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint()
     )
+    e.unpersist()
+    # The rank table is node-sized but enters each iteration as a
+    # checkpoint RDD scan with NO size statistics, so the planner
+    # sort-merge-joins it — re-shuffling the edge-sized base every
+    # iteration even though base never changes. When the node count
+    # (known once, from the materialized checkpoint) fits the
+    # session's broadcast threshold, hint the broadcast explicitly:
+    # the base side then never exchanges at all, and each iteration
+    # is one broadcast build (node-sized) + one map-side-combined
+    # aggregation. Billion-node graphs keep the shuffled join.
+    raw = edges.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+    )
+    try:
+        threshold = int(raw.lower().removesuffix("b"))
+    except ValueError:
+        # suffixed form ("10m", "1g") — rare outside hand-set sessions;
+        # fall back to Spark's default rather than guess the unit
+        threshold = 10 * 1024 * 1024
+    # ~32 bytes per (id, rank) row in the built hash relation
+    bcast_ranks = threshold > 0 and nodes.count() * 32 <= threshold
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
     for _ in range(n_iter):
+        r = F.broadcast(ranks) if bcast_ranks else ranks
         contribs = (
-            base.join(ranks, base.src == ranks.id)
+            base.join(r, base.src == r.id)
             .select(
                 F.col("dst").alias("id"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),
@@ -70,7 +101,11 @@ def pagerank(
             .agg(F.sum("c").alias("mass"))
         )
         ranks = (
-            nodes.join(contribs, "id", "left")
+            nodes.join(
+                F.broadcast(contribs) if bcast_ranks else contribs,
+                "id",
+                "left",
+            )
             .select(
                 "id",
                 (

@@ -32,6 +32,7 @@ def ann_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query.
 
@@ -56,18 +57,18 @@ def ann_topk_bruteforce(
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        l2_norm(vec_col).alias("__qn"),
+        l2_norm(vec_col, dim).alias("__qn"),
     )
     joined = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
     ).select(
         F.col("neighbor_id"),
         F.col(vec_col),
-        l2_norm(vec_col).alias("__cn"),
+        l2_norm(vec_col, dim).alias("__cn"),
     ).crossJoin(F.broadcast(q))
     denom = F.col("__cn") * F.col("__qn")
     cos = F.when(denom == 0, F.lit(None)).otherwise(
-        dot_product(vec_col, "__qvec") / denom
+        dot_product(vec_col, "__qvec", dim) / denom
     )
     scored = joined.filter(F.col("neighbor_id") != F.col(query_id_col)).select(
         F.col(query_id_col),
@@ -107,18 +108,36 @@ def lsh_bucket(
     bigint column ``bucket``. Bucketing is a narrow map — no shuffle;
     downstream joins/groupBys key on ``bucket``."""
     planes = _deterministic_planes(num_planes, dim)
-    vec = F.col(vec_col).cast("array<double>")
+    vec = F.col(vec_col)
+    idx = F.lit(list(range(1, dim + 1)))
     bucket = F.lit(0).cast("bigint")
+    # per-plane dot as ONE indexed fold over a literal index array
+    # (vectors.dot_product's dim path): half the interpreted lambda
+    # dispatches of the zip_with+aggregate form and no intermediate
+    # product array per plane per row. Bit-identical sign bits: same
+    # left-to-right association, float→double widening exact. A
+    # too-short vector nulls the sum (element_at past the end) exactly
+    # like the zip form's null padding; the size guard below keeps the
+    # too-LONG case identical too (zip form: plane side null-padded →
+    # null dot → bit 0; the indexed fold alone would sum a real
+    # dim-prefix dot instead).
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        plit = F.lit([float(x) for x in plane])
+
+        def _step(acc, j):
+            # bound immediately by F.aggregate below, so closing over
+            # this iteration's plit is safe
+            return acc + F.element_at(vec, j).cast("double") * F.element_at(
+                plit, j
+            )
+
+        dot = F.aggregate(idx, F.lit(0.0), _step)
         bucket = bucket + F.when(dot >= 0, F.lit(2**i).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
+    bucket = F.when(F.size(vec) <= F.lit(dim), bucket).otherwise(
+        F.lit(0).cast("bigint")
+    )
     return df.withColumn("bucket", bucket)
 
 
@@ -155,7 +174,7 @@ def ann_lsh_topk(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col),
-            l2_norm(vec_col).alias("__cn"),
+            l2_norm(vec_col, dim).alias("__cn"),
         ),
         vec_col,
         num_planes,
@@ -165,7 +184,7 @@ def ann_lsh_topk(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
-            l2_norm(vec_col).alias("__qn"),
+            l2_norm(vec_col, dim).alias("__qn"),
         ),
         "__qvec",
         num_planes,
@@ -187,7 +206,7 @@ def ann_lsh_topk(
     )
     denom = F.col("__cn") * F.col("__qn")
     cos = F.when(denom == 0, F.lit(None)).otherwise(
-        dot_product(vec_col, "__qvec") / denom
+        dot_product(vec_col, "__qvec", dim) / denom
     )
     scored = joined.select(
         F.col(query_id_col),
@@ -250,6 +269,9 @@ def embedding_neardup_pairs(
             ensure_parallelism(
                 df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
             )
+            # no dim here: unlike lsh_bucket's hyperplanes, the norm
+            # contract covers vectors of ANY length (dim is only the
+            # plane dimensionality), so the adaptive fold stays off
             .withColumn("__n", l2_norm("__v"))
         )
         base = scope.persist(lsh_bucket(base, "__v", num_planes, dim))
@@ -405,6 +427,7 @@ def ann_ivf_topk(
     query_id_col: str = "query_id",
     n_rows: int | None = None,
     nprobe: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are bucketed by nearest centroid
     (the inverted file); each query probes its ``nprobe`` nearest
@@ -438,15 +461,16 @@ def ann_ivf_topk(
     from fbs_data_pipelines_spark.functions.vectors import dot_product, l2_norm
 
     joined = (
-        c.withColumn("__cn", l2_norm(vec_col))
+        c.withColumn("__cn", l2_norm(vec_col, dim))
         .join(
-            F.broadcast(q.withColumn("__qn", l2_norm("__qvec"))), "centroid_id"
+            F.broadcast(q.withColumn("__qn", l2_norm("__qvec", dim))),
+            "centroid_id",
         )
         .filter(F.col("neighbor_id") != F.col(query_id_col))
     )
     denom = F.col("__cn") * F.col("__qn")
     cos = F.when(denom == 0, F.lit(None)).otherwise(
-        dot_product(vec_col, "__qvec") / denom
+        dot_product(vec_col, "__qvec", dim) / denom
     )
     scored = joined.select(
         F.col(query_id_col),
@@ -649,6 +673,7 @@ def semantic_dedup(
     k: int = 8,
     n_iter: int = 3,
     threshold: float = 0.8,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pruning (Abbas et al.
     2023, arXiv:2303.09540): cluster the embedding space with k-means,
@@ -684,7 +709,7 @@ def semantic_dedup(
             "cluster",
             F.col(vec_col).cast("array<double>").alias("__v"),
         )
-        .withColumn("__n", l2_norm("__v"))
+        .withColumn("__n", l2_norm("__v", dim))
     )
     a = base.select(
         F.col("__id").alias("id_a"), "cluster",
@@ -696,7 +721,7 @@ def semantic_dedup(
     )
     denom = F.col("__na") * F.col("__nb")
     sim = F.when(denom == 0, F.lit(None)).otherwise(
-        dot_product("__va", "__vb") / denom
+        dot_product("__va", "__vb", dim) / denom
     )
     dropped = (
         a.join(b, "cluster")
@@ -1664,7 +1689,7 @@ def ann_knn_join(
         right.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col),
-            l2_norm(vec_col).alias("__rn"),
+            l2_norm(vec_col, dim).alias("__rn"),
         ),
         vec_col,
         num_planes,
@@ -1674,7 +1699,7 @@ def ann_knn_join(
         left.select(
             F.col(id_col).alias("__left_id"),
             F.col(vec_col).alias("__lvec"),
-            l2_norm(vec_col).alias("__ln"),
+            l2_norm(vec_col, dim).alias("__ln"),
         ),
         "__lvec",
         num_planes,
@@ -1696,7 +1721,7 @@ def ann_knn_join(
     )
     denom = F.col("__ln") * F.col("__rn")
     cos = F.when(denom == 0, F.lit(None)).otherwise(
-        dot_product("__lvec", vec_col) / denom
+        dot_product("__lvec", vec_col, dim) / denom
     )
     scored = joined.select(
         F.col("__left_id").alias(id_col),

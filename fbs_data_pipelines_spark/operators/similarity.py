@@ -612,23 +612,26 @@ def _dense_cosine_pairs(
     output schema/typing stays on one code path.
     """
     import numpy as np
+    import pandas as pd
 
     spark = wn.sparkSession
     id_dtype = dict(wn.dtypes)["id"]
-    rows = wn.collect()  # ≤ n_docs·vocab entries, gate-bounded
-    if not rows:
+    # Arrow transfer + vectorized densify (r17 opt round: the pickled
+    # Row collect + per-row dict fill was ~1.5 s of pure driver time
+    # at 155k entries; toPandas over Arrow plus two factorizations is
+    # ~50 ms). Same matrix: ids sorted ascending, token column order
+    # arbitrary (the dot product is order-invariant over columns).
+    pdf = wn.toPandas()  # ≤ n_docs·vocab entries, gate-bounded
+    if pdf.empty:
         return None
-    ids = sorted({r.id for r in rows})
-    if len(ids) < 2:
+    ids, id_inv = np.unique(pdf["id"].to_numpy(), return_inverse=True)
+    if ids.size < 2:
         return None
-    id_ix = {v: i for i, v in enumerate(ids)}
-    tok_ix: dict[str, int] = {}
-    mat = np.zeros((len(ids), vocab), dtype=np.float64)
-    for r in rows:
-        j = tok_ix.setdefault(r.tok, len(tok_ix))
-        mat[id_ix[r.id], j] = r.u
-    n = len(ids)
-    bc = spark.sparkContext.broadcast((np.asarray(ids), mat))
+    tok_codes = pd.factorize(pdf["tok"])[0]
+    mat = np.zeros((ids.size, vocab), dtype=np.float64)
+    mat[id_inv, tok_codes] = pdf["u"].to_numpy()
+    n = ids.size
+    bc = spark.sparkContext.broadcast((ids, mat))
     par = max(spark.sparkContext.defaultParallelism, 1)
     block = max(32, -(-n // (4 * par)))
     margin = threshold - 1e-6  # superset of "rounds up to threshold"
@@ -637,23 +640,25 @@ def _dense_cosine_pairs(
         import pandas as pd
 
         ids_b, m = bc.value
-        for pdf in batches:
-            for start in pdf["start"]:
+        for pdf_in in batches:
+            for start in pdf_in["start"]:
                 s = int(start)
                 e = min(s + block, n)
                 sims = m[s:e] @ m[s:].T  # row i only needs j > i ≥ s
-                for li in range(e - s):
-                    gi = s + li
-                    js = np.nonzero(sims[li, gi - s + 1 :] >= margin)[0]
-                    if js.size:
-                        js = js + gi + 1
-                        yield pd.DataFrame(
-                            {
-                                "id_a": np.repeat(ids_b[gi], js.size),
-                                "id_b": ids_b[js],
-                                "cos": sims[li, js - s],
-                            }
-                        )
+                # one vectorized emit per block (the per-row loop
+                # yielded up to `block` 1-row frames — Arrow batch
+                # overhead per frame dwarfed the BLAS): local row li
+                # maps to global s+li, local col cj to s+cj, so the
+                # strict upper triangle (k=1) is exactly gj > gi.
+                ii, jj = np.nonzero(np.triu(sims >= margin, k=1))
+                if ii.size:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ids_b[s + ii],
+                            "id_b": ids_b[s + jj],
+                            "cos": sims[ii, jj],
+                        }
+                    )
 
     starts = spark.createDataFrame(
         [(i,) for i in range(0, n, block)], "start long"

@@ -116,8 +116,8 @@ def standardize_embeddings(
         .orderBy("pos")
         .collect()
     )
-    mu_arr = F.array(*[F.lit(float(r["mu"])) for r in stats])
-    sd_arr = F.array(*[F.lit(float(r["sd"])) for r in stats])
+    mu_arr = F.lit([float(r["mu"]) for r in stats])
+    sd_arr = F.lit([float(r["sd"]) for r in stats])
     centered = F.zip_with(vecd, mu_arr, lambda x, m: x - m)
     z = F.zip_with(
         centered,

@@ -46,10 +46,12 @@ def _dist2(vec: Column, cent: Column) -> Column:
 
 
 def _centroid_literal(cents: list[list[float]]) -> Column:
-    """k×dim driver-side centroids as a nested array literal."""
-    return F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
-    )
+    """k×dim driver-side centroids as ONE nested array Literal —
+    F.lit(list-of-lists) is a single py4j call and a single plan node
+    where the per-element F.array(F.lit…) build paid k·dim py4j round
+    trips and put ~k·dim leaves in every plan that referenced it
+    (r17 opt round). Identical values, identical dtype."""
+    return F.lit([[float(v) for v in c] for c in cents])
 
 
 def assign_clusters(

@@ -352,7 +352,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
             acc, F.slice(contribs(h), 1, bits), lambda a, c: a + c
         ),
     )
-    powers = F.array(*[F.lit(int(2**p)).cast("bigint") for p in range(bits)])
+    powers = F.lit([int(2**p) for p in range(bits)])  # array<bigint>
     sim = F.aggregate(
         F.zip_with(
             bit_sums,

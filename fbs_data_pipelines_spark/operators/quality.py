@@ -94,7 +94,7 @@ def gopher_quality_flags(
     alpha_frac = F.size(
         F.filter(words, lambda w: w.rlike("[a-z]"))
     ) / F.greatest(n_words, F.lit(1))
-    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    sw = F.lit(list(GOPHER_STOPWORDS))
     sw_hits = F.size(
         F.filter(sw, lambda s: F.array_contains(words, s))
     ).cast("long")

@@ -367,28 +367,39 @@ def ivf_assign(
     top n. Adds ``centroid_id``; cosine arithmetic and tie order are
     identical to the former window/max_by form."""
     rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
-    cent_lits = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["centroid_id"])).alias("cid"),
-                F.array(
-                    *[F.lit(float(x)) for x in r["centroid_vec"]]
-                ).alias("cv"),
-            )
-            for r in rows
-        ]
-    )
+    cids = [int(r["centroid_id"]) for r in rows]
+    vecs = [[float(x) for x in r["centroid_vec"]] for r in rows]
+
     # null-safe: desc NULLS LAST == treating a null cosine as -inf
-    scored_arr = F.transform(
-        cent_lits,
-        lambda c: F.struct(
+    def _score(cv, cid):
+        return F.struct(
             F.coalesce(
-                cosine_similarity(F.col(vec_col), c["cv"]),
+                cosine_similarity(F.col(vec_col), cv),
                 F.lit(float("-inf")),
             ).alias("s"),
-            c["cid"].alias("cid"),
-        ),
-    )
+            cid.alias("cid"),
+        )
+
+    if cids == list(range(len(cids))):
+        # dense 0..K-1 ids (the ivf_centroids contract): the vectors
+        # enter as ONE nested-array Literal and the transform INDEX is
+        # the cid — one py4j call and one plan node instead of K·dim
+        # F.lit leaves plus K struct wrappers (r17 opt round; same
+        # values, same int cid type).
+        scored_arr = F.transform(F.lit(vecs), lambda cv, i: _score(cv, i))
+    else:
+        cent_lits = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.lit(cv).alias("cv"),
+                )
+                for cid, cv in zip(cids, vecs)
+            ]
+        )
+        scored_arr = F.transform(
+            cent_lits, lambda c: _score(c["cv"], c["cid"])
+        )
     if n == 1:
         best = F.array_max(
             F.transform(
@@ -936,8 +947,8 @@ def ann_topk_sq8(
         else 1.0
         for r in dims
     ]
-    mn_arr = F.array(*[F.lit(v) for v in mns])
-    rng_arr = F.array(*[F.lit(v) for v in rngs])
+    mn_arr = F.lit(mns)
+    rng_arr = F.lit(rngs)
 
     def quant_codes(col: str):
         # array<smallint> codes: q = clamp(floor((x−mn)·255/rng), 0, 255)
@@ -1098,12 +1109,7 @@ def pq_codebooks(
         entries = []
         for s in range(num_subspaces):
             sl = F.slice(vecd, s * sub + 1, sub)
-            cbl = F.array(
-                *[
-                    F.array(*[F.lit(x) for x in cb[s][j]])
-                    for j in range(num_codes)
-                ]
-            )
+            cbl = F.lit(cb[s])  # one Literal node (see ann_topk_pq)
             dists = F.transform(
                 cbl,
                 lambda cv: F.aggregate(
@@ -1182,19 +1188,13 @@ def ann_topk_pq(
         for s in range(num_subspaces)
     ]
 
-    # codebook literals as ONE nested-array expression per subspace:
-    # the per-code work is a `transform` lambda over it, so the plan
-    # carries 1 fold per subspace instead of num_codes (32 unrolled
-    # folds per subspace took codegen from ~1s to ~20s at sf0.01)
-    cb_lits = [
-        F.array(
-            *[
-                F.array(*[F.lit(x) for x in cb[s][j]])
-                for j in range(num_codes)
-            ]
-        )
-        for s in range(num_subspaces)
-    ]
+    # ONE nested-array Literal per subspace via F.lit(list-of-lists):
+    # a single py4j call and a single plan node, vs num_codes·subdim
+    # F.lit leaves wired through py4j one by one (r17 opt round: the
+    # leaf-wise build cost ~0.5 s per 32×8 codebook of pure driver
+    # time, and the ~300-node trees slowed every analysis pass).
+    # Identical values and dtype (array<array<double>>).
+    cb_lits = [F.lit(cb[s]) for s in range(num_subspaces)]
     idxs = F.sequence(F.lit(0), F.lit(num_codes - 1))
 
     def codes(col: str):
@@ -1270,7 +1270,7 @@ def ann_topk_pq(
         lambda a, b: a + b,
         [
             F.element_at(
-                F.array(*[F.lit(x) for x in cb_norm2[s]]),
+                F.lit(cb_norm2[s]),
                 F.col("__codes").getItem(s) + 1,
             )
             for s in range(num_subspaces)
@@ -1382,8 +1382,13 @@ def ann_topk_ivfpq(
         )
 
     scope = CacheScope()
+    # one sizing pass shared by BOTH quantizers' seed rules — without
+    # it the coarse ivf_centroids and pq_codebooks' ivf_centroids each
+    # ran their own corpus count (r17 opt round: one job saved per
+    # invocation; the count itself is a columnar id-only scan)
+    n_corpus = corpus.select(id_col).count()
     cents = scope.persist(
-        ivf_centroids(corpus, num_centroids, id_col, vec_col)
+        ivf_centroids(corpus, num_centroids, id_col, vec_col, n_rows=n_corpus)
     )
     assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
@@ -1398,12 +1403,8 @@ def ann_topk_ivfpq(
         cent_vecs = [
             [float(x) for x in r["centroid_vec"]] for r in cent_rows
         ]
-        cent_lit = F.array(
-            *[F.array(*[F.lit(x) for x in cv]) for cv in cent_vecs]
-        )
-        cnorm2_lit = F.array(
-            *[F.lit(sum(x * x for x in cv)) for cv in cent_vecs]
-        )
+        cent_lit = F.lit(cent_vecs)
+        cnorm2_lit = F.lit([sum(x * x for x in cv) for cv in cent_vecs])
 
         def res_of(vec_expr, cid_col):
             return F.zip_with(
@@ -1418,26 +1419,24 @@ def ann_topk_ivfpq(
         )
         cb = pq_codebooks(
             train, num_codes, num_subspaces, dim, "neighbor_id",
-            "__res", refine_iters=refine_iters,
+            "__res", n_rows=n_corpus, refine_iters=refine_iters,
         )
     else:
         cb = pq_codebooks(
             corpus, num_codes, num_subspaces, dim, id_col, vec_col,
-            refine_iters=refine_iters,
+            n_rows=n_corpus, refine_iters=refine_iters,
         )
     cb_norm2 = [
         [sum(x * x for x in cb[s][j]) for j in range(num_codes)]
         for s in range(num_subspaces)
     ]
-    cb_lits = [
-        F.array(
-            *[
-                F.array(*[F.lit(x) for x in cb[s][j]])
-                for j in range(num_codes)
-            ]
-        )
-        for s in range(num_subspaces)
-    ]
+    # ONE nested-array Literal per subspace via F.lit(list-of-lists):
+    # a single py4j call and a single plan node, vs num_codes·subdim
+    # F.lit leaves wired through py4j one by one (r17 opt round: the
+    # leaf-wise build cost ~0.5 s per 32×8 codebook of pure driver
+    # time, and the ~300-node trees slowed every analysis pass).
+    # Identical values and dtype (array<array<double>>).
+    cb_lits = [F.lit(cb[s]) for s in range(num_subspaces)]
 
     def codes(v):
         v = v.cast("array<double>")
@@ -1525,7 +1524,7 @@ def ann_topk_ivfpq(
         lambda a, b: a + b,
         [
             F.element_at(
-                F.array(*[F.lit(x) for x in cb_norm2[s]]),
+                F.lit(cb_norm2[s]),
                 F.col("__codes").getItem(s) + 1,
             )
             for s in range(num_subspaces)

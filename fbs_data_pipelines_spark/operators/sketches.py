@@ -407,7 +407,7 @@ def qsketch_quantiles(
         "w",
         "cw",
         "n",
-        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        F.explode(F.lit([float(q) for q in qs])).alias("q"),
     ).withColumn("t", F.floor(F.col("q") * (F.col("n") - 1)) + 1)
     return exploded.filter(
         (F.col("cw") >= F.col("t")) & (F.col("cw") - F.col("w") < F.col("t"))

@@ -55,41 +55,62 @@ def _as_double(df: DataFrame, col: str) -> Column:
     return F.col(col).cast("double")
 
 
-def _bucket_rank(
-    value: Column, cuts: list[float], leaf=None
-) -> Column:
-    """Equi-depth bucket rank in [0, len(cuts)]: the number of
-    boundaries strictly below the value. Nulls sort to bucket 0 so
-    they cluster together instead of scattering.
+def _double_sql(v: float) -> str:
+    """SQL double literal that round-trips ``v`` exactly: ``repr`` is
+    Python's shortest round-trip rendering and Java's
+    ``Double.parseDouble`` reproduces the identical IEEE double; the
+    ``D`` suffix forces DoubleType so no DECIMAL coercion sneaks into
+    the comparison."""
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{float(v)!r}D"
 
-    The rank is found by a BINARY-SEARCH tree of nested ``when``s —
-    log2(|cuts|) codegen'd comparisons per row. The previous form
-    (``F.aggregate`` over a literal boundary array) evaluated |cuts|
-    interpreted lambda closures per row per column: at 8 bits that is
-    255 closure evals where 8 compiled branches suffice. Ranks are
-    identical: sorted strictly-increasing cuts make "count of cuts <
-    value" equal the binary-search insertion point, with Spark's
-    NaN-greatest ordering agreeing on both forms (NaN > every cut →
-    rank |cuts|).
+
+def _bucket_rank_sql(value_sql: str, cuts: list[float], leaf=None) -> str:
+    """Equi-depth bucket rank in [0, len(cuts)] as SQL text: the
+    number of boundaries strictly below the value. Nulls sort to
+    bucket 0 so they cluster together instead of scattering.
+
+    The rank is found by a BINARY-SEARCH tree of nested ``CASE``s —
+    log2(|cuts|) codegen'd comparisons per row. The previous forms:
+    ``F.aggregate`` over a literal boundary array evaluated |cuts|
+    interpreted lambda closures per row per column (255 closure evals
+    where 8 compiled branches suffice), and the Column-API ``when``
+    tree carried ~4·|cuts| py4j round trips at PLAN BUILD time (~2 s
+    per 255-cut tree, r17 opt round measurement) — emitting the same
+    tree as ONE SQL string hands the whole parse to Catalyst in one
+    call. Ranks are identical across all three forms: sorted
+    strictly-increasing cuts make "count of cuts < value" equal the
+    binary-search insertion point, with Spark's NaN-greatest ordering
+    agreeing (NaN > every cut → rank |cuts|); ``CASE WHEN`` ≡
+    ``when/otherwise`` and the ``D``-suffixed literals are the same
+    IEEE doubles ``F.lit`` carried.
 
     ``leaf`` (rank int → int) maps each leaf before it becomes a
     literal, letting callers fold a post-processing table lookup
     (e.g. the Morton bit spread) into the tree for free instead of
-    re-evaluating the whole tree per output bit."""
+    re-evaluating the whole tree per output bit. Leaves are emitted
+    as BIGINT (callers cast the result to long either way)."""
     if leaf is None:
         leaf = lambda r: r  # noqa: E731
 
-    def search(lo: int, hi: int) -> Column:
+    def search(lo: int, hi: int) -> str:
         # invariant: the true rank lies in [lo, hi]
         if lo == hi:
-            return F.lit(leaf(lo))
+            return f"{leaf(lo)}L"
         mid = (lo + hi) // 2
-        return F.when(
-            value > F.lit(float(cuts[mid])), search(mid + 1, hi)
-        ).otherwise(search(lo, mid))
+        return (
+            f"CASE WHEN {value_sql} > {_double_sql(cuts[mid])} "
+            f"THEN {search(mid + 1, hi)} ELSE {search(lo, mid)} END"
+        )
 
-    return F.when(value.isNull(), F.lit(leaf(0))).otherwise(
-        search(0, len(cuts))
+    return (
+        f"CASE WHEN {value_sql} IS NULL THEN {leaf(0)}L "
+        f"ELSE {search(0, len(cuts))} END"
     )
 
 
@@ -129,10 +150,12 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> Column:
 
     ncols = len(cols)
     parts = [
-        _bucket_rank(
-            _as_double(df, c),
-            sorted(set(cuts)),
-            leaf=lambda r, j=j: _morton_spread(r, ncols, j),
+        F.expr(
+            _bucket_rank_sql(
+                "CAST(`{}` AS DOUBLE)".format(c.replace("`", "``")),
+                sorted(set(cuts)),
+                leaf=lambda r, j=j: _morton_spread(r, ncols, j),
+            )
         ).cast("long")
         for j, (c, cuts) in enumerate(zip(cols, all_cuts))
     ]

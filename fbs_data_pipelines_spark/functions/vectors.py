@@ -16,6 +16,49 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _sql_num(v) -> str:
+    """SQL literal that round-trips ``v`` exactly. Doubles use
+    ``repr`` (shortest round-trip; Java's parseDouble reproduces the
+    identical IEEE bits) with a ``D`` suffix so no DECIMAL coercion
+    sneaks in; ints stay bare when they fit INT (matching F.lit's
+    int32/int64 inference) and take ``L`` above that."""
+    if isinstance(v, bool):
+        raise TypeError("lit_array is numeric-only")
+    if isinstance(v, int):
+        return str(v) if -(2**31) <= v < 2**31 else f"{v}L"
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
+def lit_array(values) -> Column:
+    """Literal (possibly nested) numeric array as ONE parsed SQL
+    expression. Classic PySpark's ``F.lit(list)`` recursively expands
+    to ``array(*[lit(x) ...])`` — one py4j round trip per ELEMENT
+    (~270 ms of pure driver time per 32×8 codebook, measured r18;
+    the r17 comments claiming lit(list) was a single call were wrong
+    on this runtime, r17 advisor item). Emitting the same array as
+    SQL text hands the whole build to one parser call (~2 ms) —
+    the zorder CASE-tree lesson applied to array literals. Values
+    and dtypes are bit-identical to the F.lit form (verified by
+    element-wise struct-pack comparison and by dtype equality in
+    tests/test_vectors.py); Catalyst constant-folds the parsed
+    ``array(...)`` into the same Literal the old build produced."""
+    def emit(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(emit(x) for x in v) + ")"
+        return _sql_num(v)
+
+    if not values:
+        return F.lit(values)  # empty: keep F.lit's type inference
+    return F.expr(emit(values))
+
+
 def _as_double(c: Column) -> Column:
     return c.cast("array<double>")
 
@@ -41,7 +84,7 @@ def dot_product(
     if dim is not None:
         av, bv = _col(a), _col(b)
         return F.aggregate(
-            F.lit(list(range(1, dim + 1))),
+            lit_array(list(range(1, dim + 1))),
             F.lit(0.0),
             lambda acc, i: acc
             + F.element_at(av, i).cast("double")
@@ -59,7 +102,7 @@ def l2_norm(a: Column | str, dim: int | None = None) -> Column:
         av = _col(a)
         return F.sqrt(
             F.aggregate(
-                F.lit(list(range(1, dim + 1))),
+                lit_array(list(range(1, dim + 1))),
                 F.lit(0.0),
                 lambda acc, i: acc
                 + F.element_at(av, i).cast("double")
@@ -116,8 +159,8 @@ def standardize_embeddings(
         .orderBy("pos")
         .collect()
     )
-    mu_arr = F.lit([float(r["mu"]) for r in stats])
-    sd_arr = F.lit([float(r["sd"]) for r in stats])
+    mu_arr = lit_array([float(r["mu"]) for r in stats])
+    sd_arr = lit_array([float(r["sd"]) for r in stats])
     centered = F.zip_with(vecd, mu_arr, lambda x, m: x - m)
     z = F.zip_with(
         centered,

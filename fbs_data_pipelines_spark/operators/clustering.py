@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fbs_data_pipelines_spark.functions.vectors import lit_array
+
 
 def _dist2(vec: Column, cent: Column) -> Column:
     """Squared L2 distance between two array<double> columns."""
@@ -46,12 +48,13 @@ def _dist2(vec: Column, cent: Column) -> Column:
 
 
 def _centroid_literal(cents: list[list[float]]) -> Column:
-    """k×dim driver-side centroids as ONE nested array Literal —
-    F.lit(list-of-lists) is a single py4j call and a single plan node
-    where the per-element F.array(F.lit…) build paid k·dim py4j round
-    trips and put ~k·dim leaves in every plan that referenced it
-    (r17 opt round). Identical values, identical dtype."""
-    return F.lit([[float(v) for v in c] for c in cents])
+    """k×dim driver-side centroids as ONE parsed nested-array literal.
+    Classic PySpark's F.lit(list-of-lists) expands element-wise — the
+    r17 comment claiming it was a single py4j call was wrong on this
+    runtime (r17 advisor item); lit_array emits the array as SQL text
+    so one parser call builds it (~140× faster, measured r18).
+    Identical values, identical dtype."""
+    return lit_array([[float(v) for v in c] for c in cents])
 
 
 def assign_clusters(

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fbs_data_pipelines_spark.functions.vectors import lit_array
+
 from fbs_data_pipelines_spark.functions.cleaning import round_half_up
 from fbs_data_pipelines_spark.functions.text import (
     normalize_text,
@@ -352,7 +354,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
             acc, F.slice(contribs(h), 1, bits), lambda a, c: a + c
         ),
     )
-    powers = F.lit([int(2**p) for p in range(bits)])  # array<bigint>
+    # explicit element type: the literal only infers array<bigint> on
+    # its own when bits > 31 forces long inference (r17 advisor item —
+    # at bits ≤ 31 correctness would silently lean on the
+    # when/otherwise branch coercing against lit(0).cast('bigint'))
+    powers = lit_array([int(2**p) for p in range(bits)]).cast(
+        "array<bigint>"
+    )
     sim = F.aggregate(
         F.zip_with(
             bit_sums,
@@ -451,6 +459,15 @@ def dup_clusters(
     standard scalable CC construction (cf. small-star/large-star,
     Kiveris et al., "Connected Components in MapReduce"), minus the
     star optimizations that only pay off at huge diameters.
+
+    One ACTION per round (r18, guide §2.4): the previous label is
+    carried through the propagation aggregate as a second min (nulls
+    on the prop side, so ``min(__old)`` is exactly the old label),
+    which folds convergence detection into the round itself — the
+    former separate labels⋈labels change-count join (one extra job
+    per round locally, one extra shuffle of the full label table per
+    round at scale) is gone. The round's checkpoint is LAZY; the
+    changed-count action materializes it.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -464,24 +481,29 @@ def dup_clusters(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
+    label_type = labels.schema["label"].dataType
     for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "label")
+        prop = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"),
+            "label",
+            F.lit(None).cast(label_type).alias("__old"),
+        )
+        base = labels.select(
+            "id", "label", F.col("label").alias("__old")
         )
         new_labels = (
-            labels.unionByName(prop)
+            base.unionByName(prop)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            # every id has exactly one non-null __old (its base row),
+            # so min(__old) == the previous label and the change test
+            # needs no join back
+            .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("__old")
+        ).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

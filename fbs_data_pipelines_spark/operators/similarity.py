@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fbs_data_pipelines_spark.functions.cleaning import round_half_up
-from fbs_data_pipelines_spark.functions.vectors import cosine_similarity
+from fbs_data_pipelines_spark.functions.vectors import (
+    cosine_similarity,
+    lit_array,
+)
 
 
 def ann_topk_bruteforce(
@@ -122,7 +125,7 @@ def lsh_bucket(
     # null dot → bit 0; the indexed fold alone would sum a real
     # dim-prefix dot instead).
     for i, plane in enumerate(planes):
-        plit = F.lit([float(x) for x in plane])
+        plit = lit_array([float(x) for x in plane])
 
         def _step(acc, j):
             # bound immediately by F.aggregate below, so closing over
@@ -350,56 +353,21 @@ def ivf_centroids(
     )
 
 
-def ivf_assign(
-    df: DataFrame,
-    centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n: int = 1,
-) -> DataFrame:
-    """Assign each vector to its ``n`` nearest centroids (max cosine;
-    ties → lowest centroid_id). The K-row centroid table is collected
-    as control plane (like k-means centroids / PQ codebooks) and the
-    per-row argmax over K centroid literals is a NARROW expression —
-    no shuffle, no join: the corpus never moves for assignment (the
-    pre-r10 groupBy+join shuffled corpus vectors by id). ``n>1``
-    (query multi-probe) sorts the K scores in-row and explodes the
-    top n. Adds ``centroid_id``; cosine arithmetic and tie order are
-    identical to the former window/max_by form."""
-    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
-    cids = [int(r["centroid_id"]) for r in rows]
-    vecs = [[float(x) for x in r["centroid_vec"]] for r in rows]
+def _score_vs_centroid(vec_col: str, cv, cid):
+    """(cosine, centroid_id) struct for the in-row argmax — null-safe:
+    desc NULLS LAST == treating a null cosine as -inf."""
+    return F.struct(
+        F.coalesce(
+            cosine_similarity(F.col(vec_col), cv),
+            F.lit(float("-inf")),
+        ).alias("s"),
+        cid.alias("cid"),
+    )
 
-    # null-safe: desc NULLS LAST == treating a null cosine as -inf
-    def _score(cv, cid):
-        return F.struct(
-            F.coalesce(
-                cosine_similarity(F.col(vec_col), cv),
-                F.lit(float("-inf")),
-            ).alias("s"),
-            cid.alias("cid"),
-        )
 
-    if cids == list(range(len(cids))):
-        # dense 0..K-1 ids (the ivf_centroids contract): the vectors
-        # enter as ONE nested-array Literal and the transform INDEX is
-        # the cid — one py4j call and one plan node instead of K·dim
-        # F.lit leaves plus K struct wrappers (r17 opt round; same
-        # values, same int cid type).
-        scored_arr = F.transform(F.lit(vecs), lambda cv, i: _score(cv, i))
-    else:
-        cent_lits = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("cid"),
-                    F.lit(cv).alias("cv"),
-                )
-                for cid, cv in zip(cids, vecs)
-            ]
-        )
-        scored_arr = F.transform(
-            cent_lits, lambda c: _score(c["cv"], c["cid"])
-        )
+def _assign_tail(df: DataFrame, scored_arr, n: int) -> DataFrame:
+    """Top-``n`` centroid pick over the scored struct array — shared
+    by both literal forms; arithmetic and tie order unchanged."""
     if n == 1:
         best = F.array_max(
             F.transform(
@@ -428,6 +396,98 @@ def ivf_assign(
     )
 
 
+def _ivf_assign_vecs(
+    df: DataFrame, vecs: list, vec_col: str, n: int = 1
+) -> DataFrame:
+    """ivf_assign for ALREADY-COLLECTED dense 0..K-1 centroid vectors
+    — no job, pure expression. Callers that derive centroids and
+    assignment from the same corpus pass the one-job ``_seed_vecs``
+    result here instead of materializing a centroid DataFrame only to
+    collect it again (r18: ann_ivf/ann_ivfpq control-plane fold)."""
+    scored_arr = F.transform(
+        lit_array(vecs), lambda cv, i: _score_vs_centroid(vec_col, cv, i)
+    )
+    return _assign_tail(df, scored_arr, n)
+
+
+def _seed_vecs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    wants: list[tuple[int, int]],
+) -> list[list[list[float]]]:
+    """The ``ivf_centroids`` seed rule for SEVERAL (step, cap) pairs
+    in ONE job: collect every row matching any ``id % step == 0``
+    (flags computed JVM-side so modulo semantics can never drift),
+    then split driver-side — seeds for want i are the first ``cap``
+    matching rows in id order, exactly ivf_centroids' row_number cap.
+    ann_topk_ivfpq previously ran this scan once for the coarse
+    quantizer and once more inside pq_codebooks (r18 fold: 2 corpus
+    scans + a cached re-collect → 1 scan)."""
+    idc = F.col(id_col)
+    flags = [
+        (idc % step == 0).alias(f"__is_{i}")
+        for i, (step, _cap) in enumerate(wants)
+    ]
+    rows = (
+        corpus.select(idc.alias("__sid"), F.col(vec_col).alias("__svec"), *flags)
+        .filter(reduce(lambda a, b: a | b, [f for f in flags]))
+        .collect()
+    )
+    rows.sort(key=lambda r: r["__sid"])
+    return [
+        [
+            [float(x) for x in r["__svec"]]
+            for r in rows
+            if r[f"__is_{i}"]
+        ][:cap]
+        for i, (_step, cap) in enumerate(wants)
+    ]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n`` nearest centroids (max cosine;
+    ties → lowest centroid_id). The K-row centroid table is collected
+    as control plane (like k-means centroids / PQ codebooks) and the
+    per-row argmax over K centroid literals is a NARROW expression —
+    no shuffle, no join: the corpus never moves for assignment (the
+    pre-r10 groupBy+join shuffled corpus vectors by id). ``n>1``
+    (query multi-probe) sorts the K scores in-row and explodes the
+    top n. Adds ``centroid_id``; cosine arithmetic and tie order are
+    identical to the former window/max_by form."""
+    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    cids = [int(r["centroid_id"]) for r in rows]
+    vecs = [[float(x) for x in r["centroid_vec"]] for r in rows]
+
+    if cids == list(range(len(cids))):
+        # dense 0..K-1 ids (the ivf_centroids contract): the vectors
+        # enter as ONE parsed nested-array literal (lit_array — one
+        # py4j/parser call; classic F.lit(list) expands element-wise,
+        # K·dim round trips, r17 advisor correction) and the transform
+        # INDEX is the cid — no K struct wrappers (same values, same
+        # int cid type).
+        return _ivf_assign_vecs(df, vecs, vec_col, n)
+    cent_lits = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.lit(cv).alias("cv"),
+            )
+            for cid, cv in zip(cids, vecs)
+        ]
+    )
+    scored_arr = F.transform(
+        cent_lits, lambda c: _score_vs_centroid(vec_col, c["cv"], c["cid"])
+    )
+    return _assign_tail(df, scored_arr, n)
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -449,23 +509,22 @@ def ann_ivf_topk(
     multi-probe never produces duplicate candidates. Same output shape
     as the exact path. ``n_rows`` (optional) skips the centroid-sizing
     count when the corpus size is known."""
-    # centroids feed two broadcast assigns; persist the k-row table so
-    # the corpus isn't re-scanned to derive it for each branch (cache
-    # is scope-attached to the result — release_cache after consuming)
-    from fbs_data_pipelines_spark.caching import CacheScope
-
-    scope = CacheScope()
-    cents = scope.persist(ivf_centroids(corpus, num_centroids, id_col, vec_col, n_rows))
-    c = ivf_assign(
+    # control plane folded to TWO jobs (r18): one sizing count + one
+    # seed collect; both assigns are then pure expressions over the
+    # collected vectors. The r17 shape persisted a centroid DataFrame
+    # and collected it once per assign (3 jobs + persist/unpersist).
+    n = n_rows if n_rows is not None else corpus.select(id_col).count()
+    (cvecs,) = _seed_vecs(
+        corpus, id_col, vec_col, [(max(1, n // num_centroids), num_centroids)]
+    )
+    c = _ivf_assign_vecs(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
-        cents,
-        "neighbor_id",
+        cvecs,
         vec_col,
     )
-    q = ivf_assign(
+    q = _ivf_assign_vecs(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
-        cents,
-        query_id_col,
+        cvecs,
         "__qvec",
         n=nprobe,
     )
@@ -491,7 +550,7 @@ def ann_ivf_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
-    return scope.attach(
+    return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "sim", "rank")
@@ -947,8 +1006,8 @@ def ann_topk_sq8(
         else 1.0
         for r in dims
     ]
-    mn_arr = F.lit(mns)
-    rng_arr = F.lit(rngs)
+    mn_arr = lit_array(mns)
+    rng_arr = lit_array(rngs)
 
     def quant_codes(col: str):
         # array<smallint> codes: q = clamp(floor((x−mn)·255/rng), 0, 255)
@@ -1058,12 +1117,19 @@ def pq_codebooks(
     n_rows: int | None = None,
     refine_iters: int = 0,
     train_fraction: float | None = None,
+    seed_vecs: list | None = None,
 ) -> list:
     """Product-quantization codebooks from the deterministic IVF seed
     rule (``ivf_centroids``): codebook[s][j] is subspace s's slice of
     seed vector j — hash-free, reproducible on any engine. Returns a
     Python list ``cb[s][j] -> list[float]`` — control plane,
     num_codes rows collected once, like k-means centroids.
+
+    ``seed_vecs`` (optional): the seed vectors already collected by
+    the caller (ivf_centroids order: ascending id, capped at
+    ``num_codes``) — skips this function's own seed job entirely.
+    ann_topk_ivfpq fetches both quantizers' seeds in one combined
+    scan (r18 control-plane fold) and passes them through here.
 
     ``refine_iters`` > 0 runs that many per-subspace Lloyd k-means
     iterations over the corpus slices (Jégou 2011 trains codebooks
@@ -1081,17 +1147,16 @@ def pq_codebooks(
     so the refinement passes scan a fraction while ENCODE still
     covers every row; same-fraction runs reproduce bit-for-bit."""
     sub = dim // num_subspaces
-    rows = sorted(
-        ivf_centroids(
-            corpus, num_codes, id_col=id_col, vec_col=vec_col, n_rows=n_rows
-        ).collect(),
-        key=lambda r: r["centroid_id"],
-    )
+    if seed_vecs is None:
+        rows = sorted(
+            ivf_centroids(
+                corpus, num_codes, id_col=id_col, vec_col=vec_col, n_rows=n_rows
+            ).collect(),
+            key=lambda r: r["centroid_id"],
+        )
+        seed_vecs = [[float(v) for v in r["centroid_vec"]] for r in rows]
     cb = [
-        [
-            [float(v) for v in r["centroid_vec"][s * sub : (s + 1) * sub]]
-            for r in rows
-        ]
+        [list(v[s * sub : (s + 1) * sub]) for v in seed_vecs]
         for s in range(num_subspaces)
     ]
     vecd = F.col(vec_col).cast("array<double>")
@@ -1109,7 +1174,7 @@ def pq_codebooks(
         entries = []
         for s in range(num_subspaces):
             sl = F.slice(vecd, s * sub + 1, sub)
-            cbl = F.lit(cb[s])  # one Literal node (see ann_topk_pq)
+            cbl = lit_array(cb[s])  # one parser call (see ann_topk_pq)
             dists = F.transform(
                 cbl,
                 lambda cv: F.aggregate(
@@ -1188,13 +1253,13 @@ def ann_topk_pq(
         for s in range(num_subspaces)
     ]
 
-    # ONE nested-array Literal per subspace via F.lit(list-of-lists):
-    # a single py4j call and a single plan node, vs num_codes·subdim
-    # F.lit leaves wired through py4j one by one (r17 opt round: the
-    # leaf-wise build cost ~0.5 s per 32×8 codebook of pure driver
-    # time, and the ~300-node trees slowed every analysis pass).
-    # Identical values and dtype (array<array<double>>).
-    cb_lits = [F.lit(cb[s]) for s in range(num_subspaces)]
+    # ONE parsed nested-array literal per subspace (lit_array): a
+    # single parser call per codebook. The r17 F.lit(list-of-lists)
+    # form claimed this but classic PySpark expands lit(list)
+    # element-wise — num_codes·subdim py4j round trips, ~270 ms per
+    # 32×8 codebook of pure driver time (r17 advisor item, re-measured
+    # r18). Identical values and dtype (array<array<double>>).
+    cb_lits = [lit_array(cb[s]) for s in range(num_subspaces)]
     idxs = F.sequence(F.lit(0), F.lit(num_codes - 1))
 
     def codes(col: str):
@@ -1270,7 +1335,7 @@ def ann_topk_pq(
         lambda a, b: a + b,
         [
             F.element_at(
-                F.lit(cb_norm2[s]),
+                lit_array(cb_norm2[s]),
                 F.col("__codes").getItem(s) + 1,
             )
             for s in range(num_subspaces)
@@ -1370,8 +1435,6 @@ def ann_topk_ivfpq(
     2·centroid·r̂ + ‖r̂‖² where centroid·r̂ is a precomputed
     (centroid, subspace, code) literal table. Still fully
     deterministic; rerank exactness is untouched."""
-    from fbs_data_pipelines_spark.caching import CacheScope
-
     sub = dim // num_subspaces
     vecd = F.col(vec_col).cast("array<double>")
     idxs = F.sequence(F.lit(0), F.lit(num_codes - 1))
@@ -1381,30 +1444,32 @@ def ann_topk_ivfpq(
             F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
         )
 
-    scope = CacheScope()
-    # one sizing pass shared by BOTH quantizers' seed rules — without
-    # it the coarse ivf_centroids and pq_codebooks' ivf_centroids each
-    # ran their own corpus count (r17 opt round: one job saved per
-    # invocation; the count itself is a columnar id-only scan)
+    # control plane folded to TWO jobs (r18, guide §7; r17 verdict
+    # item 1): one sizing count + ONE combined seed collect covering
+    # BOTH quantizers — the coarse centroids and the PQ codebook
+    # seeds share the `id % step == 0` rule, so a single filtered
+    # scan fetches both seed families. The r17 chain serialized four
+    # driver round trips: count, coarse-centroid collect (through a
+    # persisted DataFrame), pq_codebooks' own seed collect, and a
+    # cached re-collect for the query-side assign.
     n_corpus = corpus.select(id_col).count()
-    cents = scope.persist(
-        ivf_centroids(corpus, num_centroids, id_col, vec_col, n_rows=n_corpus)
+    cent_vecs, pq_seed_vecs = _seed_vecs(
+        corpus,
+        id_col,
+        vec_col,
+        [
+            (max(1, n_corpus // num_centroids), num_centroids),
+            (max(1, n_corpus // num_codes), num_codes),
+        ],
     )
-    assigned = ivf_assign(
+    assigned = _ivf_assign_vecs(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
-        cents,
-        "neighbor_id",
+        cent_vecs,
         vec_col,
     )
     if residual:
-        cent_rows = sorted(
-            cents.collect(), key=lambda r: r["centroid_id"]
-        )
-        cent_vecs = [
-            [float(x) for x in r["centroid_vec"]] for r in cent_rows
-        ]
-        cent_lit = F.lit(cent_vecs)
-        cnorm2_lit = F.lit([sum(x * x for x in cv) for cv in cent_vecs])
+        cent_lit = lit_array(cent_vecs)
+        cnorm2_lit = lit_array([sum(x * x for x in cv) for cv in cent_vecs])
 
         def res_of(vec_expr, cid_col):
             return F.zip_with(
@@ -1417,6 +1482,9 @@ def ann_topk_ivfpq(
             "neighbor_id",
             res_of(vecd, F.col("centroid_id")).alias("__res"),
         )
+        # residual codebook seeds depend on the in-JVM assignment, so
+        # pq_codebooks keeps its own one-job seed collect here (the
+        # raw-vector seeds from the combined collect don't apply)
         cb = pq_codebooks(
             train, num_codes, num_subspaces, dim, "neighbor_id",
             "__res", n_rows=n_corpus, refine_iters=refine_iters,
@@ -1425,18 +1493,17 @@ def ann_topk_ivfpq(
         cb = pq_codebooks(
             corpus, num_codes, num_subspaces, dim, id_col, vec_col,
             n_rows=n_corpus, refine_iters=refine_iters,
+            seed_vecs=pq_seed_vecs,
         )
     cb_norm2 = [
         [sum(x * x for x in cb[s][j]) for j in range(num_codes)]
         for s in range(num_subspaces)
     ]
-    # ONE nested-array Literal per subspace via F.lit(list-of-lists):
-    # a single py4j call and a single plan node, vs num_codes·subdim
-    # F.lit leaves wired through py4j one by one (r17 opt round: the
-    # leaf-wise build cost ~0.5 s per 32×8 codebook of pure driver
-    # time, and the ~300-node trees slowed every analysis pass).
-    # Identical values and dtype (array<array<double>>).
-    cb_lits = [F.lit(cb[s]) for s in range(num_subspaces)]
+    # ONE parsed nested-array literal per subspace (lit_array; see
+    # the ann_topk_pq comment — classic F.lit(list) expands
+    # element-wise, r17 advisor correction). Identical values and
+    # dtype (array<array<double>>).
+    cb_lits = [lit_array(cb[s]) for s in range(num_subspaces)]
 
     def codes(v):
         v = v.cast("array<double>")
@@ -1483,10 +1550,9 @@ def ann_topk_ivfpq(
                 ),
             ).alias(f"__qd_{s}")
         )
-    q = ivf_assign(
+    q = _ivf_assign_vecs(
         queries.select(*qcols).withColumn("__qn", norm(F.col("__qvec"))),
-        cents,
-        query_id_col,
+        cent_vecs,
         "__qvec",
         n=nprobe,
     )
@@ -1524,7 +1590,7 @@ def ann_topk_ivfpq(
         lambda a, b: a + b,
         [
             F.element_at(
-                F.lit(cb_norm2[s]),
+                lit_array(cb_norm2[s]),
                 F.col("__codes").getItem(s) + 1,
             )
             for s in range(num_subspaces)
@@ -1532,27 +1598,22 @@ def ann_topk_ivfpq(
     )
     if residual:
         # centroid·r̂: (centroid, subspace, code) control-plane table
-        cent_cb = F.array(
-            *[
-                F.array(
-                    *[
-                        F.array(
-                            *[
-                                F.lit(
-                                    sum(
-                                        a * b
-                                        for a, b in zip(
-                                            cv[s * sub : (s + 1) * sub],
-                                            cb[s][j],
-                                        )
-                                    )
-                                )
-                                for j in range(num_codes)
-                            ]
+        # as ONE parsed literal (the element-wise F.array/F.lit build
+        # paid K·S·J py4j round trips — ~2k for 8×8×32)
+        cent_cb = lit_array(
+            [
+                [
+                    [
+                        sum(
+                            a * b
+                            for a, b in zip(
+                                cv[s * sub : (s + 1) * sub], cb[s][j]
+                            )
                         )
-                        for s in range(num_subspaces)
+                        for j in range(num_codes)
                     ]
-                )
+                    for s in range(num_subspaces)
+                ]
                 for cv in cent_vecs
             ]
         )
@@ -1625,7 +1686,7 @@ def ann_topk_ivfpq(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
-    return scope.attach(
+    return (
         exact.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "sim", "rank")

@@ -35,6 +35,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fbs_data_pipelines_spark.functions.vectors import lit_array
+
 #: register-index width in hex chars (12 bits → m = 4096 registers);
 #: fixed so the Spark and oracle expressions stay literally parallel
 _P_HEX = 3
@@ -407,7 +409,7 @@ def qsketch_quantiles(
         "w",
         "cw",
         "n",
-        F.explode(F.lit([float(q) for q in qs])).alias("q"),
+        F.explode(lit_array([float(q) for q in qs])).alias("q"),
     ).withColumn("t", F.floor(F.col("q") * (F.col("n") - 1)) + 1)
     return exploded.filter(
         (F.col("cw") >= F.col("t")) & (F.col("cw") - F.col("w") < F.col("t"))

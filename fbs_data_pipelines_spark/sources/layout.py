@@ -44,15 +44,27 @@ _QUANTILE_ERR = 0.01
 _ZCOL = "__zvalue"
 
 
+def _value_sql(df: DataFrame, col: str) -> str:
+    """SQL text for the numeric view of a column (dates map to days
+    since epoch, everything else casts to double directly). The
+    quantile pass and the per-row rank expression BOTH build from
+    this one string, so the cut units and the ranked units can never
+    diverge — the r17 split (cuts through ``datediff``, ranks through
+    a bare ``CAST(col AS DOUBLE)``) made any DATE column throw
+    ``DATATYPE_MISMATCH`` at plan time because Spark rejects
+    date→double casts (r17 advisor item, date-column coverage now in
+    tests/test_layout.py)."""
+    quoted = "`{}`".format(col.replace("`", "``"))
+    dtype = dict(df.dtypes)[col]
+    if dtype == "date":
+        return f"CAST(DATEDIFF({quoted}, DATE'1970-01-01') AS DOUBLE)"
+    return f"CAST({quoted} AS DOUBLE)"
+
+
 def _as_double(df: DataFrame, col: str) -> Column:
     """Numeric view of a column for quantile bucketing (dates and
     timestamps map to days/seconds since epoch)."""
-    dtype = dict(df.dtypes)[col]
-    if dtype == "date":
-        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")
-    if dtype.startswith("timestamp"):
-        return F.col(col).cast("double")
-    return F.col(col).cast("double")
+    return F.expr(_value_sql(df, col))
 
 
 def _double_sql(v: float) -> str:
@@ -152,7 +164,7 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> Column:
     parts = [
         F.expr(
             _bucket_rank_sql(
-                "CAST(`{}` AS DOUBLE)".format(c.replace("`", "``")),
+                _value_sql(df, c),
                 sorted(set(cuts)),
                 leaf=lambda r, j=j: _morton_spread(r, ncols, j),
             )

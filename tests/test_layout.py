@@ -59,3 +59,33 @@ def test_zorder_key_is_jvm_only_and_null_safe(spark):
     assert all(v is not None for v in rows.values())
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_key_on_date_column(spark):
+    """DATE columns must z-order (r17 advisor high item: the rank
+    expression cast DATE→DOUBLE directly, which Spark rejects at plan
+    time, while the quantile cuts went through datediff — any date
+    column threw AnalysisException). Both sides now share _value_sql,
+    so the units agree and dates cluster like any numeric."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.date(2020, 1, 1) + dt.timedelta(days=i * 3), float(i % 7))
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "id int, d date, v double")
+    out = df.withColumn("z", zorder_key(df, ["d", "v"], bits=4))
+    got = out.orderBy("id").collect()
+    assert all(r.z is not None for r in got)
+    # equi-depth on a monotone date: z-key must order WITH the date on
+    # the date-major bits — adjacent-in-date rows land in nearby
+    # buckets, so Spearman-style monotonicity holds bucket-wise
+    by_date = [r.z for r in sorted(got, key=lambda r: r.d)]
+    # date bucket rank occupies interleaved bits; coarse check: the
+    # first-date quartile's max date-bucket is below the last
+    # quartile's min (needs only that ranks increase with the date)
+    import statistics
+
+    q1 = by_date[:16]
+    q4 = by_date[-16:]
+    assert statistics.mean(q1) < statistics.mean(q4)

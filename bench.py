@@ -240,6 +240,17 @@ def main() -> None:
         "queries": timings,
         "sequential_total": sequential_total,
         "sf": sf,
+        # effective-parallelism echo (r17 verdict item 2): the driver
+        # flagged `suspect_cpus_ignored` because nothing in this JSON
+        # proved the $SPARK_GRAFT_CPUS contract was honored — the
+        # sf0.1 headliners sit under a 0.3-0.5 s/job local scheduling
+        # floor, so 8-core and 32-core runs time alike. These three
+        # fields make the session's actual parallelism machine-visible;
+        # the work-dominated core-scaling signal is queries_sf1 (the
+        # sf1 probe runs at whatever core count the driver exported).
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
         "protocol": (
             f"interleaved: per-query paired sequential (spark then duckdb), "
             f"then {PAIRED_ROUNDS} back-to-back (spark-concurrent, "
@@ -434,6 +445,9 @@ def main() -> None:
 #: Fields not listed keep their natural order, printed FIRST.
 _TAIL_LAST = [
     # expendable prose / diagnostics first among the protected set
+    "master",
+    "default_parallelism",
+    "shuffle_partitions",
     "loadavg_1_5_15_start",
     "loadavg_1_5_15_sf1_baseline",
     "loadavg_1_5_15_end",

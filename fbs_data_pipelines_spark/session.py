@@ -15,8 +15,61 @@ Conventions (SURVEY §7 step 1):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+
+def _executor_memory_mb(
+    master: str | None, extra_conf: dict[str, str] | None
+) -> int | None:
+    """Best-effort executor heap size in MB, from an explicit
+    ``spark.executor.memory`` conf or a ``local-cluster[n,c,mem]``
+    master string. None when unknown (plain ``local[*]``: executors
+    share the driver heap, so driver memory governs)."""
+    raw = (extra_conf or {}).get("spark.executor.memory")
+    if raw:
+        m = re.fullmatch(r"(\d+)([kmgt]?)b?", raw.strip().lower())
+        if m:
+            mult = {"": 1 / (1024 * 1024), "k": 1 / 1024, "m": 1, "g": 1024,
+                    "t": 1024 * 1024}[m.group(2)]
+            return int(int(m.group(1)) * mult)
+    m = re.match(r"local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]", master or "")
+    if m:
+        return int(m.group(1))
+    return None
+
+
+def _broadcast_threshold(
+    master: str | None, extra_conf: dict[str, str] | None
+) -> int:
+    """Pressure-aware ``autoBroadcastJoinThreshold`` (r17 verdict
+    item 6). The engine default is 64 MB — 6.4× Spark's stock 10 MB —
+    which is right for the ≥8 GB heaps the engine normally runs on,
+    but widens exposure to the known post-executor-loss failure mode
+    on memory-tight executors: a re-materialized broadcast hash
+    relation holds execution memory until ContextCleaner GC, and the
+    NEXT broadcast build on a ≤3 GiB executor can then OOM
+    (EVIDENCE_r17 §13 — never a wrong row, purely an allocation
+    failure). On executors under 4 GiB automatic broadcast joins are
+    therefore DISABLED (-1): the r17 isolation matrix showed a merely
+    smaller threshold does not help — even candidate-pair-sized
+    relations re-materialized across a kill pin execution memory —
+    while broadcasts-off passed 3/3, and the r18 capstone re-check
+    confirmed 10 MB still OOMs where -1 heals. Shuffle joins on a
+    tight test topology cost little; explicit F.broadcast hints in
+    operators still apply where the caller KNOWS the side is bounded.
+    ``SPARK_GRAFT_BROADCAST_THRESHOLD`` (bytes; -1 disables) overrides
+    — the documented mitigation knob. Plans change under the fallback
+    (broadcast → shuffle join); results never do (the broadcast-off
+    oracle axis is green, tools/check_oracle.py --conf)."""
+    env = os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD")
+    if env:
+        return int(env)
+    mem = _executor_memory_mb(master, extra_conf)
+    if mem is not None and mem < 4096:
+        return -1
+    return 64 * 1024 * 1024
 
 
 def get_spark(
@@ -55,7 +108,10 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(_broadcast_threshold(master, extra_conf)),
+        )
         # parquet TIMESTAMP(NANOS) (e.g. pandas-written event streams)
         # is read as long nanos; sources normalize to micros explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

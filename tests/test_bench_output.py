@@ -96,3 +96,19 @@ def test_loadavg_keys_always_present():
     assert '"loadavg_1_5_15_sf1_baseline": None' in src
     # and the sf1 branch overwrites it with a real reading
     assert 'out["loadavg_1_5_15_sf1_baseline"] = _loadavg()' in src
+
+
+def test_effective_parallelism_echo(monkeypatch=None):
+    """r17 verdict item 2: the driver's `suspect_cpus_ignored` flag
+    fired because nothing in the bench JSON proved the
+    $SPARK_GRAFT_CPUS contract was honored. The session's actual
+    master / defaultParallelism / shuffle partitions must be echoed,
+    and protected by the tail-capture ordering (early in the tail so
+    they can never displace the headline scalars at the very end)."""
+    src = (REPO / "bench.py").read_text()
+    assert '"master": spark.sparkContext.master' in src
+    assert '"default_parallelism": spark.sparkContext.defaultParallelism' in src
+    assert '"shuffle_partitions"' in src
+    for k in ("master", "default_parallelism", "shuffle_partitions"):
+        assert k in bench._TAIL_LAST
+        assert bench._TAIL_LAST.index(k) < bench._TAIL_LAST.index("queries")

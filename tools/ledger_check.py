@@ -41,6 +41,7 @@ CONSOLIDATED = {
     "tws_first_seen": "first_seen",  # r13
     "sql_nested_semi": "semi_join",  # r15
     "cascading_rollup": "rollup",  # r17 (pins drafted+green r16)
+    "table_profile": "table_profile_approx",  # r18 (pins drafted+green r17)
 }
 
 #: the SURVEY §8 rule-2 headline bench queries — re-gated as window
